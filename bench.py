@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+import __spark_entry__ as entrymod
+from sna_pyspark_graphframes_spark.session import get_spark
+
+# Headline subset: every group of the engine gets a representative. Keys not
+# present in queries() are skipped, so this list can lead implementation.
+HEADLINE = [
+    "pricing_summary",
+    "copurchase_edges",
+    "degree",
+    "degree_histogram",
+    "top10_degree",
+    "avg_degree",
+    "triangle_count",
+    "avg_clustering",
+    "transitivity",
+    "adjacency",
+    "dedup_exact",
+    "minhash_near_dup",
+    "similarity_topk",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "event_tumbling_window",
+    "event_sessionization",
+    "connected_components_count",
+    "lpa_community_count",
+    "random_walk_sample",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

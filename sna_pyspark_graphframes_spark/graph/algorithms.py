@@ -1,0 +1,385 @@
+"""Iterative graph algorithms as pure DataFrame loops.
+
+The reference delegates all of these either to GraphFrames/GraphX Pregel
+(label propagation, ``/root/reference/main.py:161``) or to driver-side
+NetworkX on a collect()ed graph (betweenness/closeness/diameter,
+``main.py:147-155``). Here every algorithm is an iterative DataFrame loop —
+join + aggregate per superstep, ``plans.checkpointed`` every round to
+truncate lineage — so the only ceiling is cluster memory, not driver memory
+(SURVEY.md §3.2 rebuild note, §7.2 step 4).
+
+Inputs: ``edges`` is an undirected edge set in canonical form (src < dst,
+deduped, no self-loops) unless stated otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.graph.build import symmetrize
+from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return symmetrize(edges, dedup=True)
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """``(id, component)`` with component = min vertex id in the component.
+
+    Min-label propagation: each round every vertex takes
+    ``min(own, min(neighbor labels))``; converges in O(diameter) rounds with
+    an explicit changed-row convergence check (= GraphFrames
+    ``connectedComponents`` semantics, SURVEY.md §2.2 M9).
+
+    Scale note: O(diameter) shuffles of |E|. For 100 TB graphs with large
+    diameter, the two-phase large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce", SoCC'14) halves round count; the
+    simple propagation is kept here because social graphs have small
+    diameter and the code stays one join + one aggregate per round.
+    """
+    sym = checkpointed(_sym(edges))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    labels = checkpointed(labels)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_comp", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = checkpointed(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
+    """Synchronous LPA: ``(id, label)`` after ``max_iter`` supersteps.
+
+    Reference: ``graph.labelPropagation(maxIter)`` (GraphX Pregel under
+    GraphFrames, ``/root/reference/main.py:161``). Semantics here:
+      * labels initialized to vertex id;
+      * each superstep every vertex adopts the most frequent label among its
+        neighbors; ties broken by MIN label id (deterministic — GraphX's
+        Scala-map tie-break is placement-dependent; we pin it, SURVEY.md
+        §3.2 rebuild note);
+      * isolated vertices keep their label.
+
+    Per superstep: one join (labels onto edge dst), one count aggregate,
+    one ``max_by(struct)`` argmax aggregate — all JVM-side, two shuffles.
+    ``max_by(struct(cnt, -label))`` does the argmax without a window
+    (a per-vertex window would sort; the aggregate form gets map-side
+    partial aggregation and no sort).
+    """
+    sym = checkpointed(_sym(edges))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    labels = checkpointed(labels)
+    for _ in range(max_iter):
+        nbr_labels = sym.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        counts = nbr_labels.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        best = counts.groupBy("id").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+            ).alias("new_label")
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+        )
+        labels = checkpointed(labels)
+    return labels
+
+
+def community_count(labels: DataFrame) -> DataFrame:
+    """1-row ``(n_communities)`` (``/root/reference/main.py:162``)."""
+    return labels.agg(F.countDistinct("label").alias("n_communities"))
+
+
+def dense_rekey(labels: DataFrame) -> DataFrame:
+    """Re-key arbitrary labels to dense ``0..k-1`` — distributed.
+
+    Replaces the reference's driver-built dict + row-at-a-time Python UDF
+    (``/root/reference/main.py:44-48, 164-173``; SURVEY.md §2.1 #12). The
+    distinct label set is small (k communities) → broadcast join against a
+    ranked label table. The ``row_number`` window runs over the *k distinct
+    labels only* — never over the full vertex table, so no single-partition
+    bottleneck at scale.
+    """
+    from pyspark.sql import Window
+
+    distinct_labels = labels.select("label").distinct()
+    ranked = distinct_labels.withColumn(
+        "new_label",
+        F.row_number().over(Window.orderBy("label")) - 1,
+    )
+    return (
+        labels.join(F.broadcast(ranked), "label")
+        .select("id", F.col("new_label").alias("label"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS / shortest-path distances
+# ---------------------------------------------------------------------------
+
+def multi_source_bfs(
+    edges: DataFrame, landmarks: DataFrame, max_iter: int = 64
+) -> DataFrame:
+    """Unweighted shortest-path distances ``(landmark, id, dist)`` from every
+    landmark to every reachable vertex.
+
+    Frontier expansion: the frontier (newly-settled vertices) joins the
+    symmetrized edges, anti-joins already-settled pairs, repeat until the
+    frontier is empty. Rounds = graph diameter; per round one join + one
+    anti-join, all keyed shuffles (SURVEY.md §2.2 M6/M7 plan).
+
+    ``landmarks``: DataFrame with column ``id``. All-pairs = pass all
+    vertices (test scale); at 100 TB pass a sample (HADI/HyperANF-style
+    approximations are the scale path, documented not implemented).
+    """
+    sym = checkpointed(_sym(edges))
+    settled = landmarks.select(
+        F.col("id").alias("landmark"), F.col("id"), F.lit(0).alias("dist")
+    )
+    settled = checkpointed(settled)
+    frontier = settled
+    for _ in range(max_iter):
+        expanded = (
+            frontier.join(sym, frontier.id == sym.src)
+            .select("landmark", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("landmark", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new_frontier = expanded.join(settled, ["landmark", "id"], "left_anti")
+        new_frontier = checkpointed(new_frontier)
+        if new_frontier.isEmpty():
+            break
+        settled = checkpointed(settled.unionByName(new_frontier))
+        frontier = new_frontier
+    return settled
+
+
+def eccentricity(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Per-vertex eccentricity over all-pairs BFS (reachable pairs only)."""
+    sym = _sym(edges)
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    dist = multi_source_bfs(edges, vertices, max_iter=max_iter)
+    return dist.groupBy(F.col("landmark").alias("id")).agg(
+        F.max("dist").alias("eccentricity")
+    )
+
+
+def diameter(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """1-row ``(diameter)`` = max eccentricity (``nx.diameter``,
+    ``/root/reference/main.py:151``). On a disconnected graph this is the
+    max over components (NetworkX raises instead; we compute the useful
+    thing and document the divergence)."""
+    return eccentricity(edges, max_iter=max_iter).agg(
+        F.max("eccentricity").alias("diameter")
+    )
+
+
+def closeness_centrality(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """``(id, closeness)`` with the Wasserman–Faust component correction —
+    exactly NetworkX ``closeness_centrality(wf_improved=True)``
+    (``/root/reference/main.py:154-155``):
+
+        C(v) = ((r-1) / Σ_u d(v,u)) · ((r-1) / (n-1))
+
+    where r = vertices reachable from v (incl. v), n = |V|. Reduces to the
+    classic formula on a connected graph; sane on disconnected samples
+    (SURVEY.md §2.2 M7, §7.4 #5).
+    """
+    sym = _sym(edges)
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    n = vertices.count()
+    dist = multi_source_bfs(edges, vertices, max_iter=max_iter)
+    per_v = dist.groupBy(F.col("landmark").alias("id")).agg(
+        F.count("*").alias("r"),  # reachable incl. self (dist 0)
+        F.sum("dist").alias("total_dist"),
+    )
+    return per_v.select(
+        "id",
+        F.when(
+            (F.col("total_dist") > 0) & (F.lit(n) > 1),
+            ((F.col("r") - 1) / F.col("total_dist"))
+            * ((F.col("r") - 1) / F.lit(float(n - 1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
+
+
+def average_closeness(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    return closeness_centrality(edges, max_iter=max_iter).agg(
+        F.round(F.avg("closeness"), 4).alias("avg_closeness")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Betweenness centrality (Brandes)
+# ---------------------------------------------------------------------------
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    max_iter: int = 64,
+    normalized: bool = True,
+) -> DataFrame:
+    """``(id, betweenness)`` via Brandes' algorithm, all sources in parallel
+    as DataFrame supersteps (SURVEY.md §2.2 M5 — the hardest metric; exact
+    when ``sources`` is None, sampled-source approximation otherwise with
+    the standard n/K extrapolation).
+
+    Forward phase: level-synchronous BFS keyed by (source, vertex)
+    accumulating σ = #shortest paths (sum of predecessor σ per level).
+    Backward phase: process levels from deepest to 0; dependency
+    δ(v) = Σ_{w: succ} σ_v/σ_w · (1 + δ(w)). Each level is one join +
+    one aggregate over the (source, vertex) distance table.
+
+    Normalization (NetworkX ``betweenness_centrality`` defaults): undirected
+    pair contributions are counted twice (once per endpoint as source) →
+    halve, then scale by 2/((n-1)(n-2)); net δ/((n-1)(n-2)).
+    """
+    sym = checkpointed(_sym(edges))
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    n = vertices.count()
+    if sources is None:
+        src_df = vertices
+        scale_up = 1.0
+    else:
+        src_df = sources.select("id")
+        k = src_df.count()
+        scale_up = float(n) / float(k) if k else 1.0
+
+    # --- forward: settled(source, id, dist, sigma) -------------------------
+    settled = src_df.select(
+        F.col("id").alias("source"),
+        F.col("id"),
+        F.lit(0).alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    )
+    settled = checkpointed(settled)
+    frontier = settled
+    depth = 0
+    for it in range(max_iter):
+        expanded = (
+            frontier.join(sym, frontier.id == sym.src)
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + 1).alias("dist"),
+                "sigma",
+            )
+            .groupBy("source", "id", "dist")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new_frontier = expanded.join(settled, ["source", "id"], "left_anti")
+        new_frontier = checkpointed(new_frontier)
+        if new_frontier.isEmpty():
+            depth = it
+            break
+        settled = checkpointed(settled.unionByName(new_frontier))
+        frontier = new_frontier
+        depth = it + 1
+
+    # --- backward: per-level dependency accumulation -----------------------
+    # succ edge (source, v -> w) exists iff dist(w) = dist(v) + 1 and (v,w) edge
+    sv = settled.select(
+        "source", F.col("id").alias("v"), F.col("dist").alias("dv"), F.col("sigma").alias("sigma_v")
+    )
+    sw = settled.select(
+        "source", F.col("id").alias("w"), F.col("dist").alias("dw"), F.col("sigma").alias("sigma_w")
+    )
+    dag = (
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        .join(sv, "v")
+        .join(sw, ["source", "w"])
+        .filter(F.col("dw") == F.col("dv") + 1)
+        .select("source", "v", "w", "dv", "dw", "sigma_v", "sigma_w")
+    )
+    dag = checkpointed(dag)
+
+    # delta starts at 0 for every (source, id); process levels deepest-first
+    delta = settled.select("source", "id", "dist").withColumn("delta", F.lit(0.0))
+    delta = checkpointed(delta)
+    for level in range(depth, 0, -1):
+        dw_delta = delta.filter(F.col("dist") == level).select(
+            "source", F.col("id").alias("w"), F.col("delta").alias("delta_w")
+        )
+        contrib = (
+            dag.filter(F.col("dw") == level)
+            .join(dw_delta, ["source", "w"])
+            .select(
+                "source",
+                F.col("v").alias("id"),
+                (
+                    (F.col("sigma_v") / F.col("sigma_w")) * (1.0 + F.col("delta_w"))
+                ).alias("c"),
+            )
+            .groupBy("source", "id")
+            .agg(F.sum("c").alias("inc"))
+        )
+        delta = (
+            delta.join(contrib, ["source", "id"], "left")
+            .select(
+                "source",
+                "id",
+                "dist",
+                (F.col("delta") + F.coalesce("inc", F.lit(0.0))).alias("delta"),
+            )
+        )
+        delta = checkpointed(delta)
+
+    acc = (
+        delta.filter(F.col("source") != F.col("id"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("raw"))
+    )
+    out = vertices.join(acc, "id", "left").fillna({"raw": 0.0})
+    if normalized and n > 2:
+        factor = scale_up / float((n - 1) * (n - 2))
+    else:
+        factor = scale_up / 2.0  # undirected: each pair counted from both endpoints
+    return out.select("id", (F.col("raw") * F.lit(factor)).alias("betweenness"))
+
+
+def average_betweenness(edges: DataFrame, **kw) -> DataFrame:
+    return betweenness_centrality(edges, **kw).agg(
+        F.round(F.avg("betweenness"), 6).alias("avg_betweenness")
+    )

@@ -1,0 +1,165 @@
+"""Graph construction operators — edge symmetrization, adjacency, endpoint
+normalization, induced subgraphs, and graph-from-relational-table builders.
+
+Reference parity map (SURVEY.md §2.1):
+  * #4/#5  vertex derivation (union+distinct)      -> Graph.from_edges
+  * #7     endpoint-normalization left joins        -> normalize_edges
+  * #15    edge symmetrization (RDD map ×2)         -> symmetrize
+  * #16/17 adjacency grouping (buggy groupByKey)    -> adjacency (intended
+           semantics: full undirected neighbor set, SURVEY.md §2.5 #2)
+  * #25/26 cartesian+filter induced edges (O(n²))   -> induced_subgraph
+           (two semi-joins — linear, identical result set)
+
+Scale notes: every op here is a single shuffle on a key column or a
+broadcast-able join; nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.graph.core import Graph
+
+
+def symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Emit both (src,dst) and (dst,src) — undirected adjacency semantics.
+
+    Mirrors the reference's E1/E2 RDD maps (``/root/reference/main.py:176-177``)
+    as a narrow union (no shuffle). ``dedup=True`` additionally collapses
+    duplicate directed edges (one hash-aggregate shuffle).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.filter(F.col("src") != F.col("dst"))  # drop self-loops for metric sanity
+    return sym.distinct() if dedup else sym
+
+
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set with src < dst — one row per undirected edge."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def normalize_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Re-key edge endpoints against a canonical vertex table.
+
+    The reference does two LEFT joins against the derived vertex ids
+    (``/root/reference/main.py:33-37``). The vertex table is the small side —
+    broadcast it so the fact table never shuffles.
+    """
+    v = F.broadcast(vertices.select(F.col("id")))
+    e = edges
+    e = e.join(v, e.src == v.id, "left").drop(v.id)
+    v2 = F.broadcast(vertices.select(F.col("id")))
+    e = e.join(v2, e.dst == v2.id, "left").drop(v2.id)
+    return e
+
+
+def adjacency(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """Per-vertex neighbor list: ``(id, nbrs: array<long>)``.
+
+    Implements the *intended* semantics of the reference's grouped-union
+    (``/root/reference/main.py:176-180`` keeps only one direction's list per
+    vertex — documented bug, SURVEY.md §2.5 #2): symmetrize, then a single
+    ``collect_set`` aggregate. ``sort_array`` makes the result deterministic
+    for oracle comparison. Map-side partial aggregation applies; one shuffle
+    on ``src``.
+    """
+    e = edges.select("src", "dst") if directed else symmetrize(edges, dedup=False)
+    return (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    )
+
+
+def induced_subgraph(edges: DataFrame, sample_vertices: DataFrame) -> DataFrame:
+    """Edges with BOTH endpoints in ``sample_vertices`` (column ``id``).
+
+    Replaces the reference's O(n²) cartesian candidate set joined against the
+    edge list (``/root/reference/main.py:192-195``) with two semi-joins —
+    linear in |E|, identical result set (SURVEY.md §2.1 #26). The sample is
+    usually small → broadcast both semi-joins (no shuffle of the edge table).
+    """
+    s = sample_vertices.select("id").distinct()
+    e = edges.join(F.broadcast(s), edges.src == s.id, "left_semi")
+    return e.join(F.broadcast(s), e.dst == s.id, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Graph builders over the relational testdata (FIXTURES.md §3) — each has a
+# deterministic SQL twin so the oracle harness can verify the derivation.
+# ---------------------------------------------------------------------------
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Co-purchase graph over parts: an edge (p1, p2), p1 < p2, iff the two
+    parts appear in the same order. Self-equi-join on ``l_orderkey`` with a
+    range predicate to halve the pair space; DISTINCT to collapse repeats.
+
+    Scale: the join shuffles on ``l_orderkey`` (natural key, well
+    distributed). A pathological order containing k parts emits k² pairs —
+    AQE skew-join handles the shuffle side; upstream, orders are bounded in
+    practice (TPC-H ≤ 7 lines).
+    """
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def customer_nation_edges(customer: DataFrame, nation: DataFrame, offset: int = 1_000_000) -> DataFrame:
+    """Bipartite customer→nation graph; nation ids shifted by ``offset`` into
+    a disjoint id space. Nation is tiny → broadcast."""
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
+        )
+        .select(
+            F.col("c_custkey").alias("src"),
+            (F.col("n_nationkey").cast("long") + F.lit(offset)).alias("dst"),
+        )
+    )
+
+
+def user_session_edges(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
+    """Temporal proximity graph: event pairs of the same user within
+    ``gap_seconds``. Equi-join on user_id + range predicate on the timestamp
+    delta (the range filter applies post-join; the equi-key keeps it a hash
+    join, not a cartesian)."""
+    a = events.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("src"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = events.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("dst"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(b, "u")
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (
+                F.abs(
+                    F.col("ts_a").cast("double") - F.col("ts_b").cast("double")
+                )
+                < F.lit(float(gap_seconds))
+            )
+        )
+        .select("src", "dst")
+    )
+
+
+def copurchase_graph(lineitem: DataFrame) -> Graph:
+    return Graph.from_edges(copurchase_edges(lineitem))

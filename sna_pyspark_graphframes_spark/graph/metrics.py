@@ -1,0 +1,138 @@
+"""Whole-graph metric library — every metric a DataFrame computation.
+
+The reference computes these driver-side with NetworkX on a collect()ed
+graph (``/root/reference/main.py:129-159, 199-225``; SURVEY.md §2.2). Here
+each metric is distributed and returns a DataFrame (per-vertex) or a 1-row
+DataFrame (scalar), so nothing requires the graph to fit on one machine.
+
+Conventions match NetworkX so golden tests agree (SURVEY.md §7.4 #5):
+  * clustering coefficient of a vertex with degree < 2 is 0.0
+  * transitivity = 3·triangles / wedges, 0.0 if no wedges
+
+All inputs are an *undirected* edge set; pass edges through
+``build.canonical_edges`` first (src < dst, deduped, no self-loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.graph.build import symmetrize
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex degree of the undirected graph: ``(id, degree)``.
+
+    = GraphFrames ``g.degrees`` (used via ``nx.degree`` at
+    ``/root/reference/main.py:142-144``). Symmetrize (narrow) + one
+    count aggregate (map-side combine, single shuffle on id).
+    """
+    return (
+        symmetrize(edges, dedup=True)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def average_degree(edges: DataFrame) -> DataFrame:
+    """1-row ``(avg_degree)`` — paper Table 1's "average degree"."""
+    return degrees(edges).agg(F.round(F.avg("degree"), 4).alias("avg_degree"))
+
+
+def degree_histogram(edges: DataFrame, normalized: bool = False) -> DataFrame:
+    """``(degree, cnt)`` histogram; optionally normalized to a pmf
+    (``nx.degree_histogram`` + pk at ``/root/reference/main.py:108, 132-135``).
+
+    Note: vertices only ever appear via edges here; an isolated vertex
+    contributes degree 0 only if callers union it in — matches the
+    reference, whose vertex set is also edge-derived.
+    """
+    h = degrees(edges).groupBy("degree").agg(F.count("*").alias("cnt"))
+    if normalized:
+        total = degrees(edges).count()
+        h = h.withColumn("pk", F.round(F.col("cnt") / F.lit(total), 6))
+    return h
+
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """``(id, triangles)`` — number of triangles through each vertex.
+
+    Plan (SURVEY.md §2.2 M3): with canonical edges (src<dst), enumerate each
+    triangle exactly once as a<b<c via two self-joins:
+        e1(a,b) ⋈ e2(b,c) on b  → wedge a<b<c
+        ⋈ e3(a,c)               → closed triangle
+    then credit each of a, b, c. Two shuffles on join keys; whole-stage
+    codegen throughout; no Python. At scale this is the standard
+    "node-iterator via join" — AQE handles skew from high-degree vertices.
+    Degree-0..1 vertices simply don't appear (callers left-join degrees).
+    """
+    e = edges.select("src", "dst")  # canonical: src < dst
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])  # rows = triangles, once each
+    per_corner = (
+        tri.select(F.col("a").alias("id"))
+        .union(tri.select(F.col("b").alias("id")))
+        .union(tri.select(F.col("c").alias("id")))
+    )
+    return per_corner.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """``(id, cc)`` local clustering coefficient per vertex.
+
+    cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2 (NetworkX
+    convention). Left join so triangle-free vertices get cc=0.
+    """
+    deg = degrees(edges)
+    tri = triangles_per_vertex(edges)
+    joined = deg.join(tri, "id", "left").fillna({"triangles": 0})
+    return joined.select(
+        "id",
+        F.when(
+            F.col("degree") < 2, F.lit(0.0)
+        )
+        .otherwise(
+            2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1))
+        )
+        .alias("cc"),
+    )
+
+
+def average_clustering(edges: DataFrame) -> DataFrame:
+    """1-row ``(avg_cc)`` — ``nx.average_clustering`` equivalent
+    (``/root/reference/main.py:139, 211``; ground truth 0.6055 on
+    ego-Facebook, BASELINE.md Table 1)."""
+    return local_clustering(edges).agg(F.round(F.avg("cc"), 4).alias("avg_cc"))
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """1-row ``(transitivity)`` — global clustering coefficient:
+    3·Σtri / Σ wedges, wedges(v) = deg(v)·(deg(v)−1)/2
+    (``nx.transitivity``, ``/root/reference/main.py:158-159, 221-222``).
+    """
+    deg = degrees(edges)
+    wedges = deg.agg(
+        F.sum(F.col("degree") * (F.col("degree") - 1) / 2.0).alias("wedges")
+    )
+    tris = triangles_per_vertex(edges).agg(
+        (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).alias("n_tri")
+    )  # Σ per-vertex counts each triangle 3× → /3 = total triangles
+    return wedges.crossJoin(tris).select(
+        F.round(
+            F.when(F.col("wedges") > 0, 3.0 * F.col("n_tri") / F.col("wedges"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("transitivity")
+    )
+
+
+def top_k_by_degree(edges: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k vertices by degree with deterministic ties (degree desc, id asc).
+
+    Global top-k: Spark's ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+    — per-partition heaps then a driver merge of k·P rows, no full sort.
+    """
+    return degrees(edges).orderBy(F.col("degree").desc(), F.col("id").asc()).limit(k)

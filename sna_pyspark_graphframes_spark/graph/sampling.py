@@ -1,0 +1,177 @@
+"""Community-based graph sampling via parallel random walks — the
+reference's headline pipeline (``/root/reference/main.py:113-197``; paper
+Algorithm 1), Spark-native.
+
+Pipeline (SURVEY.md §3.3 rebuild note):
+    edges → LPA labels → dense re-key → adjacency ⋈ labels
+          → groupBy(label).applyInPandas(walk kernel)   # one Arrow crossing
+          → distinct sampled ids → induced subgraph (two semi-joins)
+
+The ONLY Python compute is the walk kernel — per-community sequential by
+nature (a random walk is a chain); the parallelism unit is the community,
+exactly as in the reference (``mapPartitions`` with one partition per
+community, ``main.py:184-185``) but via ``applyInPandas``: no manual
+partitioner, Arrow-batched transfer, AQE-managed shuffle.
+
+Determinism: per-community RNG seeded by ``(seed, label)`` so output is
+identical regardless of task placement (FIXTURES.md §5; the reference's
+unseeded ``np.random`` — SURVEY.md §2.5 #5 — is replaced by an explicit
+seed).
+
+Walk-kernel semantics preserved from ``/root/reference/main.py:55-105``:
+  * community cc = average clustering over the graph of ALL edges incident
+    to community members (external endpoints included — the reference
+    builds ``nx.Graph(edges_list)`` before intra-community filtering);
+  * walk length = int(n / (1 + alpha·cc)) + 1, n = community size;
+  * steps move to a uniform random INTRA-community neighbor; a revisited
+    vertex consumes the step without being recorded; a dead-end vertex
+    stalls the walk permanently (we break instead of spinning — identical
+    output, no wasted cycles).
+
+Skew guard (SURVEY.md §7.4 #3): LPA on power-law graphs can emit a giant
+community whose adjacency won't fit one task. ``max_walk_steps`` bounds the
+kernel loop; the adjacency memory bound itself should be handled upstream
+by splitting oversized labels (salting) before the walk — documented, not
+triggered at test scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.graph.algorithms import (
+    dense_rekey,
+    label_propagation,
+)
+from sna_pyspark_graphframes_spark.graph.build import (
+    adjacency,
+    induced_subgraph,
+    symmetrize,
+)
+
+
+def walk_length(n_nodes: int, cc: float, alpha: float) -> int:
+    """``int(n / (1 + alpha·cc)) + 1`` (``/root/reference/main.py:51-52``)."""
+    return int(n_nodes / (1.0 + alpha * cc)) + 1
+
+
+def _avg_clustering(adj: dict[int, set[int]]) -> float:
+    """Average local clustering coefficient of an in-memory undirected graph
+    (NetworkX ``average_clustering`` convention: cc=0 for degree<2),
+    replacing the kernel's NetworkX call (``/root/reference/main.py:80-81``)
+    with dependency-free triangle counting."""
+    if not adj:
+        return 0.0
+    total = 0.0
+    for v, nbrs in adj.items():
+        k = len(nbrs)
+        if k < 2:
+            continue
+        links = 0
+        nbrs_list = list(nbrs)
+        for i, u in enumerate(nbrs_list):
+            adj_u = adj[u]
+            for w in nbrs_list[i + 1 :]:
+                if w in adj_u:
+                    links += 1
+        total += 2.0 * links / (k * (k - 1))
+    return total / len(adj)
+
+
+def _walk_one_community(
+    ids: np.ndarray,
+    nbrs_col: list,
+    label: int,
+    alpha: float,
+    seed: int,
+    max_walk_steps: int,
+) -> list[int]:
+    vertices = [int(v) for v in ids]
+    vertex_set = set(vertices)
+
+    # cc over ALL incident edges (external endpoints included) — reference
+    # builds the nx.Graph before the intra-community filter.
+    full_adj: dict[int, set[int]] = {}
+    for v, nbrs in zip(vertices, nbrs_col):
+        for u in nbrs:
+            u = int(u)
+            full_adj.setdefault(v, set()).add(u)
+            full_adj.setdefault(u, set()).add(v)
+    cc = _avg_clustering(full_adj)
+
+    intra = {
+        v: [int(u) for u in nbrs if int(u) in vertex_set]
+        for v, nbrs in zip(vertices, nbrs_col)
+    }
+
+    rng = np.random.default_rng((seed * 1_000_003 + label) % (2**63))
+    start = int(rng.choice(vertices))
+    visited = [start]
+    steps = min(walk_length(len(vertices), cc, alpha), max_walk_steps)
+    for _ in range(1, steps):
+        nbrs = intra[start]
+        if not nbrs:
+            break  # dead-end: reference spins in place forever — same output
+        start = int(nbrs[rng.integers(0, len(nbrs))])
+        if start not in visited:
+            visited.append(start)
+    return visited
+
+
+def community_random_walk(
+    labeled_adjacency: DataFrame,
+    alpha: float = 2.0,
+    seed: int = 42,
+    max_walk_steps: int = 10_000_000,
+) -> DataFrame:
+    """Run one seeded random walk per community in parallel.
+
+    ``labeled_adjacency``: ``(id long, label long, nbrs array<long>)``.
+    Returns ``(id long, label long)`` — distinct vertices visited per
+    community. Grouped-map pandas UDF: one Arrow batch per community.
+    """
+    alpha_f = float(alpha)
+    seed_i = int(seed)
+    cap = int(max_walk_steps)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        label = int(pdf["label"].iloc[0])
+        visited = _walk_one_community(
+            pdf["id"].to_numpy(), list(pdf["nbrs"]), label, alpha_f, seed_i, cap
+        )
+        return pd.DataFrame({"id": visited, "label": [label] * len(visited)})
+
+    return labeled_adjacency.groupBy("label").applyInPandas(
+        kernel, schema="id long, label long"
+    )
+
+
+@dataclass(frozen=True)
+class SampleResult:
+    labels: DataFrame          # (id, label) dense communities
+    sampled_vertices: DataFrame  # (id)
+    sampled_edges: DataFrame     # (src, dst) induced subgraph
+
+
+def sample_graph(
+    edges: DataFrame,
+    alpha: float = 2.0,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> SampleResult:
+    """End-to-end community-based sample (paper Algorithm 1; defaults a=2,
+    maxIter=5 match ``/root/reference/main.py:119-120``)."""
+    sym = symmetrize(edges, dedup=True).cache()  # reused by LPA + adjacency
+    labels = dense_rekey(label_propagation(sym, max_iter=max_iter)).cache()
+    adj = adjacency(sym, directed=True)  # sym already both directions
+    labeled_adj = labels.join(adj, "id")
+    walks = community_random_walk(labeled_adj, alpha=alpha, seed=seed)
+    sampled_vertices = walks.select("id").distinct().cache()
+    sampled_edges = induced_subgraph(sym, sampled_vertices)
+    return SampleResult(labels, sampled_vertices, sampled_edges)
