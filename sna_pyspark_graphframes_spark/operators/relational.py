@@ -1,0 +1,89 @@
+"""Relational operator library over the star schema — the tabular substrate
+the reference's graph pipeline sits on (scan/project/filter/union/distinct/
+join/aggregate, SURVEY.md §2.1 #1-8) plus the standard OLAP shapes the
+engine exposes beyond it (windows, top-k — SURVEY.md §2.3 additions).
+
+Scale notes: dimension joins broadcast explicitly; aggregations rely on
+map-side partial aggregation; top-k per group uses a window over the group
+key (shuffle on the key, never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scan_project_filter(lineitem: DataFrame) -> DataFrame:
+    """Projection + predicate — both must reach the parquet scan
+    (PushedFilters / ReadSchema in the explain output)."""
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+        .filter((F.col("l_quantity") > 30) & (F.col("l_partkey") % 2 == 0))
+    )
+
+
+def revenue_per_nation(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Fact ⋈ two dims → agg. Dims broadcast — orders never shuffles for the
+    join; the only shuffle is the final groupBy on 25 nations."""
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def customer_order_left_join(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT outer equi-join + agg — the reference's endpoint-normalization
+    join shape (``/root/reference/main.py:33-37``) on relational data;
+    customers without orders surface with zero counts."""
+    joined = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+    )
+
+
+def top_order_per_customer(orders: DataFrame) -> DataFrame:
+    """Top-1-per-group via row_number window — partitioned by customer, so
+    the sort is per-group (no single-partition global window)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def order_priority_counts(orders: DataFrame) -> DataFrame:
+    """Filter + groupBy + post-agg predicate (HAVING)."""
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 10)
+    )
+
+
+def part_type_rollup(part: DataFrame) -> DataFrame:
+    """ROLLUP aggregate — multi-level totals in one pass (grouping-set
+    expansion happens inside the aggregate; one shuffle)."""
+    return (
+        part.rollup("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLE_SCHEMAS: dict[str, T.StructType] = {
@@ -121,7 +122,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     missing = set(schema.fieldNames()) - set(df.columns)
     if missing:
         raise ValueError(f"table {name!r} at {sf_dir} missing columns {sorted(missing)}")
-    return df.select(*schema.fieldNames())
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for field in schema.fields:
+        c = F.col(field.name)
+        # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf,
+        # see session.py) — convert to microsecond timestamps.
+        if isinstance(field.dataType, T.TimestampType) and isinstance(
+            actual.get(field.name), T.LongType
+        ):
+            c = F.timestamp_micros((c / 1000).cast("long")).alias(field.name)
+        cols.append(c)
+    return df.select(*cols)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -1,0 +1,183 @@
+"""Hand-computed golden values on the micro-graphs from FIXTURES.md §4 —
+the correctness contract for the non-SQL-expressible operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.graph import algorithms, build, metrics
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+TRI_PLUS_TAIL = [(1, 2), (2, 3), (1, 3), (3, 4)]
+TWO_CLIQUES_BRIDGE = (
+    [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    + [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    + [(4, 5)]
+)
+DISCONNECTED = [(1, 2), (3, 4)]
+STAR5 = [(0, i) for i in range(1, 6)]
+PATH4 = [(1, 2), (2, 3), (3, 4)]
+TWO_TRIANGLES = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+
+
+def as_map(df, key, val):
+    return {r[key]: r[val] for r in df.collect()}
+
+
+class TestDegreesAndTriangles:
+    def test_degrees(self, spark):
+        deg = as_map(metrics.degrees(edges_df(spark, TRI_PLUS_TAIL)), "id", "degree")
+        assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+
+    def test_triangles(self, spark):
+        tri = as_map(
+            metrics.triangles_per_vertex(edges_df(spark, TRI_PLUS_TAIL)),
+            "id",
+            "triangles",
+        )
+        assert tri == {1: 1, 2: 1, 3: 1}
+
+    def test_triangles_two_cliques(self, spark):
+        tri = metrics.triangles_per_vertex(edges_df(spark, TWO_CLIQUES_BRIDGE))
+        total = tri.agg(F.sum("triangles")).collect()[0][0]
+        assert total == 8 * 3  # 8 triangles, each credited to 3 corners
+
+    def test_local_clustering(self, spark):
+        cc = as_map(metrics.local_clustering(edges_df(spark, TRI_PLUS_TAIL)), "id", "cc")
+        assert cc[1] == pytest.approx(1.0)
+        assert cc[2] == pytest.approx(1.0)
+        assert cc[3] == pytest.approx(1 / 3)
+        assert cc[4] == pytest.approx(0.0)
+
+    def test_avg_clustering_and_transitivity(self, spark):
+        e = edges_df(spark, TRI_PLUS_TAIL)
+        assert metrics.average_clustering(e).collect()[0][0] == pytest.approx(
+            0.5833, abs=1e-4
+        )
+        assert metrics.transitivity(e).collect()[0][0] == pytest.approx(0.6, abs=1e-4)
+
+    def test_star_no_triangles(self, spark):
+        e = edges_df(spark, STAR5)
+        assert metrics.average_clustering(e).collect()[0][0] == 0.0
+        assert metrics.transitivity(e).collect()[0][0] == 0.0
+
+
+class TestConnectedComponents:
+    def test_disconnected(self, spark):
+        cc = as_map(
+            algorithms.connected_components(edges_df(spark, DISCONNECTED)),
+            "id",
+            "component",
+        )
+        assert cc == {1: 1, 2: 1, 3: 3, 4: 3}
+
+    def test_bridge_single_component(self, spark):
+        cc = algorithms.connected_components(edges_df(spark, TWO_CLIQUES_BRIDGE))
+        assert cc.select("component").distinct().count() == 1
+
+
+class TestLPA:
+    def test_two_triangles_converge(self, spark):
+        labels = algorithms.label_propagation(edges_df(spark, TWO_TRIANGLES), max_iter=4)
+        lab = as_map(labels, "id", "label")
+        assert len({lab[1], lab[2], lab[3]}) == 1
+        assert len({lab[4], lab[5], lab[6]}) == 1
+        assert lab[1] != lab[4]
+
+    def test_labels_are_vertex_ids(self, spark):
+        labels = algorithms.label_propagation(edges_df(spark, TWO_CLIQUES_BRIDGE), max_iter=5)
+        ids = {r.id for r in labels.collect()}
+        labs = {r.label for r in labels.collect()}
+        assert labs <= ids
+
+    def test_dense_rekey(self, spark):
+        labels = spark.createDataFrame(
+            [(1, 100), (2, 100), (3, 7), (4, 55)], "id long, label long"
+        )
+        out = as_map(algorithms.dense_rekey(labels), "id", "label")
+        assert out == {3: 0, 4: 1, 1: 2, 2: 2}
+
+
+class TestDistances:
+    def test_diameter_path(self, spark):
+        assert algorithms.diameter(edges_df(spark, PATH4)).collect()[0][0] == 3
+
+    def test_diameter_star(self, spark):
+        assert algorithms.diameter(edges_df(spark, STAR5)).collect()[0][0] == 2
+
+    def test_diameter_disconnected_max_over_components(self, spark):
+        assert algorithms.diameter(edges_df(spark, DISCONNECTED)).collect()[0][0] == 1
+
+    def test_closeness_star(self, spark):
+        c = as_map(algorithms.closeness_centrality(edges_df(spark, STAR5)), "id", "closeness")
+        assert c[0] == pytest.approx(1.0)
+        for leaf in range(1, 6):
+            assert c[leaf] == pytest.approx(5 / 9)  # (n-1)/sum_d = 5/9, connected
+
+    def test_closeness_path(self, spark):
+        c = as_map(algorithms.closeness_centrality(edges_df(spark, PATH4)), "id", "closeness")
+        assert c[1] == pytest.approx(0.5)
+        assert c[2] == pytest.approx(0.75)
+
+    def test_closeness_disconnected_wf(self, spark):
+        c = as_map(
+            algorithms.closeness_centrality(edges_df(spark, DISCONNECTED)),
+            "id",
+            "closeness",
+        )
+        # r=2, n=4: (r-1)/sum_d * (r-1)/(n-1) = 1/1 * 1/3
+        for v in (1, 2, 3, 4):
+            assert c[v] == pytest.approx(1 / 3)
+
+
+class TestBetweenness:
+    def test_path4(self, spark):
+        b = as_map(
+            algorithms.betweenness_centrality(edges_df(spark, PATH4)), "id", "betweenness"
+        )
+        assert b[1] == pytest.approx(0.0)
+        assert b[2] == pytest.approx(2 / 3)
+        assert b[3] == pytest.approx(2 / 3)
+        assert b[4] == pytest.approx(0.0)
+
+    def test_star5_center(self, spark):
+        b = as_map(
+            algorithms.betweenness_centrality(edges_df(spark, STAR5)), "id", "betweenness"
+        )
+        assert b[0] == pytest.approx(1.0)
+        for leaf in range(1, 6):
+            assert b[leaf] == pytest.approx(0.0)
+
+    def test_tri_plus_tail(self, spark):
+        b = as_map(
+            algorithms.betweenness_centrality(edges_df(spark, TRI_PLUS_TAIL)),
+            "id",
+            "betweenness",
+        )
+        # vertex 3 lies on (1,4) and (2,4) shortest paths → 2/((4-1)(4-2)/2)·…
+        assert b[3] == pytest.approx(2 / 3)
+        assert b[4] == pytest.approx(0.0)
+
+    def test_bridge_has_max_betweenness(self, spark):
+        b = as_map(
+            algorithms.betweenness_centrality(edges_df(spark, TWO_CLIQUES_BRIDGE)),
+            "id",
+            "betweenness",
+        )
+        top = max(b, key=b.get)
+        assert top in (4, 5)
+
+
+class TestInducedSubgraph:
+    def test_semi_join_equals_pair_filter(self, spark):
+        e = edges_df(spark, TWO_CLIQUES_BRIDGE)
+        s = spark.createDataFrame([(1,), (2,), (3,), (5,)], "id long")
+        got = {(r.src, r.dst) for r in build.induced_subgraph(e, s).collect()}
+        assert got == {(1, 2), (1, 3), (2, 3)}
