@@ -29,12 +29,22 @@ HEADLINE = [
     "adjacency",
     "dedup_exact",
     "minhash_near_dup",
+    "ngram_jaccard",
+    "simhash",
     "similarity_topk",
+    "ann_topk",
+    "embedding_near_dup",
     "token_count",
     "lang_id",
     "quality_score",
+    "doc_fingerprint",
     "event_tumbling_window",
+    "event_sliding_window",
+    "event_session_window",
     "event_sessionization",
+    "event_props_extract",
+    "stream_tumbling_window",
+    "multimodal_featurize",
     "connected_components_count",
     "lpa_community_count",
     "random_walk_sample",

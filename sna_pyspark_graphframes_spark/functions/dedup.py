@@ -1,0 +1,212 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup — the core of a training-data pipeline at scale.
+
+Portability-first design: the hash family is md5 (available and identical
+in Spark, DuckDB, and Python), and MinHash minimizes *hex-string* order —
+min over uniformly-distributed strings is exactly as valid as min over
+ints, and it makes every signature SQL-oracle-able byte-for-byte.
+
+Scale posture:
+  * exact dedup — one hash-aggregate on the digest (map-side combine).
+  * MinHash — shingle explode → per-doc signature agg → band-bucket
+    equi-join; never an all-pairs product. Bucket-join skew (a hot bucket)
+    is AQE-handled; band width tunes precision/recall.
+  * n-gram Jaccard — candidate pairs come from the shared-shingle
+    equi-join (inverted-index style), so cost is Σ(docs-per-shingle²) not
+    |docs|²; threshold filters before the final agg.
+  * SimHash — per-token hash bits aggregated by sign, one pass; near-dup =
+    signature band match (here: exact signature match or small hamming via
+    band join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.functions.text import fingerprint
+
+N_MINHASH = 8          # hash functions in the MinHash signature
+MINHASH_BANDS = 4      # bands of 2 → near-dup if any band collides
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per normalized-content fingerprint.
+
+    ``groupBy(digest).agg(min(id))`` — the canonical exact-dedup plan: one
+    shuffle on the 16-byte digest, no text comparison, no skew (digests are
+    uniform)."""
+    return (
+        docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
+    """Distinct k-word shingles per document: ``(doc_id, sh)``.
+
+    posexplode + lead-window keeps the construction expressible in ANSI SQL
+    (the oracle uses the identical lead() formulation)."""
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = words.select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.lead("w", i).over(w) if i else F.col("w") for i in range(k)]
+        ).alias("sh"),
+        *[F.lead("w", i).over(w).alias(f"_w{i}") for i in range(1, k)],
+    )
+    cond = F.lit(True)
+    for i in range(1, k):
+        cond = cond & F.col(f"_w{i}").isNotNull()
+    return sh.filter(cond).select("doc_id", "sh").distinct()
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """Per-doc MinHash signature: ``sig_i = min(md5(i || '|' || sh))``.
+
+    One aggregate computes all signature positions (n_hashes min() columns);
+    md5 hex strings are uniform, so string-min is a valid minhash and is
+    bit-identical across Spark/DuckDB/Python."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"sig{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(doc_a, doc_b)``: some LSH band collides.
+
+    Band r = concat of its signature positions; per-band equi-join on the
+    band key (inverted index — never all-pairs), union, distinct."""
+    sigs = minhash_signatures(word_shingles(docs, text_col), n_hashes).cache()
+    rows_per_band = n_hashes // bands
+    pair_dfs = []
+    for b in range(bands):
+        cols = [f"sig{b * rows_per_band + r}" for r in range(rows_per_band)]
+        banded = sigs.select("doc_id", F.concat_ws("|", *cols).alias("band_key"))
+        a = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
+        bb = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
+        pair_dfs.append(
+            a.join(bb, "band_key").filter(F.col("doc_a") < F.col("doc_b")).select(
+                "doc_a", "doc_b"
+            )
+        )
+    out = pair_dfs[0]
+    for p in pair_dfs[1:]:
+        out = out.union(p)
+    return out.distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
+    ``(doc_a, doc_b, jaccard)`` with jaccard ≥ threshold.
+
+    Inverted-index join: intersection sizes from the shared-shingle
+    equi-join, union sizes from per-doc shingle counts — |A∪B| =
+    |A|+|B|−|A∩B|. Candidate generation cost is Σ per-shingle df² — for
+    heavy shingles, MinHash banding above is the scale path."""
+    sh = word_shingles(docs, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-doc SimHash fingerprint ``(doc_id, simhash)`` over word tokens.
+
+    Bit b of token t = parity of hex digit b of md5(t); the document bit is
+    the sign of Σ(±1 weighted by token count). ``bits`` ≤ 32 (md5 hex
+    digits). One explode + one aggregate — a single shuffle; the per-bit
+    sums are plain conditional sums, all codegen.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+    )
+    h = F.md5(F.col("w"))
+    bit_cols = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(h, b + 1, 1), 16, 10).cast("int") % 2 == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = words.groupBy("doc_id").agg(*bit_cols)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Groups of documents sharing an identical SimHash — the coarse
+    near-dup bucket (hamming-distance banding refines it at scale)."""
+    s = simhash(docs, text_col, bits)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ``(id_a, id_b, cos)`` with cos ≥
+    threshold. Brute-force blocked cross-join — exact; the LSH-bucketed
+    variant in ``similarity.py`` is the scale path. Dot products stay in
+    codegen via zip_with/aggregate (no Python)."""
+    v = embeddings.select(
+        F.col(id_col), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (na * nb), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

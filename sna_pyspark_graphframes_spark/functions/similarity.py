@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns: exact brute-force cosine top-k
+(the baseline) and an LSH-bucketed approximate variant (the scale path).
+
+Everything stays in built-in array expressions (zip_with / aggregate /
+transform) — JVM-side, no Python in the hot loop. Top-k per query uses a
+window over the query key, so the sort is per-group, never global.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``(query_id, neighbor_id, cos, rank)``; self-matches excluded.
+    Brute-force: |Q|×|C| pairs — right for reranking or small query sets;
+    at 100 TB, generate candidates with ``lsh_buckets`` first and rerank
+    the bucket mates with this exact scorer.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col("embedding").cast("array<double>").alias("vq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("vc"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("vq", "vc") / (_norm("vq") * _norm("vc")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from a hash-based PRNG
+    (no numpy on the executors — planes are plan literals, broadcast free)."""
+    planes = []
+    state = seed & 0x7FFFFFFF
+    for p in range(n_planes):
+        vec = []
+        for d in range(dim):
+            state = (1103515245 * state + 12345 + 31 * p + d) & 0x7FFFFFFF
+            vec.append((state / 0x7FFFFFFF) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        planes.append([x / n for x in vec])
+    return planes
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) bucket id per vector.
+
+    ``(id, bucket)`` where bucket = sign-bit string over ``n_planes``
+    hyperplanes. Vectors in the same bucket are ANN candidates: the
+    candidate join is an equi-join on ``bucket`` — shuffle on a short key,
+    never a cross-join. Expected bucket occupancy |N|/2^n_planes controls
+    the recall/cost trade-off.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    bits = []
+    for plane in _hyperplanes(dim, n_planes, seed):
+        proj = F.aggregate(
+            F.zip_with("v", F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return v.select("id", F.concat(*bits).alias("bucket"))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine rerank within LSH buckets.
+
+    ``(query_id, neighbor_id, cos, rank)`` — candidates limited to bucket
+    mates, so cost is Σ bucket² instead of N². Recall improves with fewer
+    planes or multi-probe (future work: union over ±1-bit probes)."""
+    b = lsh_buckets(embeddings, dim, n_planes, seed, id_col).cache()
+    v = embeddings.select(
+        F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    bv = b.join(v, "id")
+    a = bv.select(F.col("id").alias("query_id"), F.col("v").alias("vq"), "bucket")
+    c = bv.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vc"), "bucket")
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("vq", "vc") / (_norm("vq") * _norm("vc")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

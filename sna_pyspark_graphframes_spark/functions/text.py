@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines —
+tokenization, token counting, language ID, quality scoring, fingerprinting.
+
+All pure built-in expressions (``pyspark.sql.functions`` — JVM-side,
+whole-stage codegen); no Python UDFs anywhere in this module, so these run
+at full scan speed over 100 TB of documents. Each has an exact SQL twin in
+``registry.py`` for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token regex: letter runs, digit runs, or single punctuation marks.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately small and inline — at scale you'd broadcast a real
+# lexicon table; the operator shape (per-language regexp counts + argmax)
+# is the same.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish token count via ``TOKEN_RE`` (regexp_extract_all + size)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def word_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def _stopword_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram heuristic's signal)."""
+    return {
+        lang: F.size(
+            F.regexp_extract_all(F.lower(col), F.lit(_stopword_pattern(sw)), F.lit(0))
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language = argmax of stopword hits; deterministic tie-break
+    by language code order; 'und' (undetermined) when no stopword hits.
+
+    Expressed as greatest-of-structs so the whole argmax stays in codegen:
+    max of (score, neg-ordered code) structs.
+    """
+    scores = lang_scores(col)
+    structs = [
+        F.struct(
+            sc.alias("score"),
+            F.lit(-i).alias("ord"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, sc) in enumerate(sorted(scores.items()))
+    ]
+    best = F.greatest(*structs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features per document: char length, word count, mean
+    word length, punctuation ratio, stopword ratio, and a composite score.
+
+    Mirrors the standard pretraining-data quality filters (length bounds,
+    symbol-to-word ratio, stopword presence) as pure column expressions.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    words = tokens(c)
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    all_sw = [w for sws in LANG_STOPWORDS.values() for w in sws]
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(_stopword_pattern(all_sw)), F.lit(0))
+    )
+    mean_wl = F.round(
+        F.when(n_words > 0, (F.length(F.regexp_replace(c, r"\s+", "")) / n_words)).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    )
+    punct_ratio = F.round(
+        F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 4
+    )
+    stop_ratio = F.round(
+        F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)), 4
+    )
+    quality = F.round(
+        F.when(
+            (n_words >= 5) & (n_words <= 100000) & (mean_wl >= 2) & (mean_wl <= 12),
+            1.0 - punct_ratio,
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased text.
+
+    (A content-defined rolling hash is the streaming variant; for whole-doc
+    identity the normalized digest is the standard exact-dup key.)
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))

@@ -470,6 +470,424 @@ def q_random_walk_sample(spark, sf_dir):
     return res.sampled_edges
 
 
+# ---------------------------------------------------------------------------
+# Text analysis (functions/text.py) — all JVM-side expressions
+# ---------------------------------------------------------------------------
+
+from sna_pyspark_graphframes_spark.functions import (  # noqa: E402
+    dedup as fdedup,
+    multimodal as fmm,
+    similarity as fsim,
+    text as ftext,
+)
+from sna_pyspark_graphframes_spark.streaming import windows as swin  # noqa: E402
+
+
+@register(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ftext.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def _lang_sql() -> str:
+    import re as _re
+
+    cols = []
+    for lang, sws in sorted(ftext.LANG_STOPWORDS.items()):
+        pat = r"\b(" + "|".join(_re.escape(w) for w in sws) + r")\b"
+        cols.append(f"LEN(regexp_extract_all(lower(text), '{pat}')) AS {lang}")
+    return f"""
+    WITH s AS (SELECT doc_id, {', '.join(cols)} FROM documents)
+    SELECT doc_id,
+           CASE WHEN GREATEST(de, en, es, fr) = 0 THEN 'und'
+                WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                WHEN en >= es AND en >= fr THEN 'en'
+                WHEN es >= fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """
+
+
+@register("lang_id", _lang_sql())
+def q_lang_id(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ftext.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _quality_sql() -> str:
+    all_sw = [w for sws in ftext.LANG_STOPWORDS.values() for w in sws]
+    sw_pat = r"\b(" + "|".join(all_sw) + r")\b"
+    return rf"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS INT) AS n_chars,
+               CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS INT) AS n_words,
+               CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS INT) AS n_punct,
+               CAST(LEN(regexp_extract_all(lower(text), '{sw_pat}')) AS INT) AS n_stop,
+               CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS INT) AS n_nonspace
+        FROM documents
+    ), g AS (
+        SELECT doc_id, n_chars, n_words,
+               ROUND(CASE WHEN n_words > 0 THEN n_nonspace * 1.0 / n_words ELSE 0.0 END, 4) AS mean_word_len,
+               ROUND(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+               ROUND(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END, 4) AS stopword_ratio
+        FROM f
+    )
+    SELECT doc_id, n_chars, n_words, mean_word_len, punct_ratio, stopword_ratio,
+           ROUND(CASE WHEN n_words >= 5 AND n_words <= 100000
+                       AND mean_word_len >= 2 AND mean_word_len <= 12
+                      THEN 1.0 - punct_ratio ELSE 0.0 END, 4) AS quality
+    FROM g
+    """
+
+
+@register("quality_score", _quality_sql())
+def q_quality_score(spark, sf_dir):
+    out = ftext.quality_features(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_words").cast("int").alias("n_words"),
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ftext.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (functions/dedup.py)
+# ---------------------------------------------------------------------------
+
+FP_SQL = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+SHINGLES_SQL = r"""
+    WITH words AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w,
+               GENERATE_SUBSCRIPTS(string_split_regex(TRIM(LOWER(text)), '\s+'), 1) AS pos
+        FROM documents
+    ), big AS (
+        SELECT doc_id, w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM words
+    )
+    SELECT DISTINCT doc_id, sh FROM big WHERE sh IS NOT NULL
+"""
+
+_SIG_COLS = ", ".join(
+    f"MIN(md5('{i}|' || sh)) AS sig{i}" for i in range(fdedup.N_MINHASH)
+)
+SIGS_SQL = f"""
+    WITH sh AS ({SHINGLES_SQL})
+    SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {FP_SQL} AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return fdedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("minhash_signatures", SIGS_SQL)
+def q_minhash_signatures(spark, sf_dir):
+    return fdedup.minhash_signatures(
+        fdedup.word_shingles(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    rows = fdedup.N_MINHASH // fdedup.MINHASH_BANDS
+    band_exprs = []
+    for b in range(fdedup.MINHASH_BANDS):
+        cols = [f"sig{b * rows + r}" for r in range(rows)]
+        band_exprs.append(" || '|' || ".join(cols) + f" AS b{b}")
+    unions = "\n        UNION\n".join(
+        f"""        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c ON a.b{b} = c.b{b} AND a.doc_id < c.doc_id"""
+        for b in range(fdedup.MINHASH_BANDS)
+    )
+    return f"""
+    WITH sigs AS ({SIGS_SQL}),
+    bands AS (SELECT doc_id, {', '.join(band_exprs)} FROM sigs)
+{unions}
+    """
+
+
+@register("minhash_near_dup", _minhash_pairs_sql())
+def q_minhash_near_dup(spark, sf_dir):
+    return fdedup.minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard",
+    f"""
+    WITH sh_all AS ({SHINGLES_SQL}),
+    sh AS (SELECT * FROM sh_all WHERE doc_id % 20 = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return fdedup.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN STRPOS('13579bdf', SUBSTR(md5(w), {b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return rf"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+    ), sums AS (SELECT doc_id, {bit_sums} FROM words GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register("simhash", _simhash_sql())
+def q_simhash(spark, sf_dir):
+    return fdedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_groups",
+    f"""
+    WITH s AS ({_simhash_sql()})
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM s GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+)
+def q_simhash_groups(spark, sf_dir):
+    return fdedup.simhash_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return fdedup.embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (functions/similarity.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk",
+    """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 100
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return fsim.cosine_topk(emb.filter(F.col("vec_id") < 100), emb, k=5)
+
+
+@register("ann_topk", None)
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return fsim.ann_topk(emb, dim=dim, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Event windows / streaming (streaming/windows.py, streaming/stream.py)
+# ---------------------------------------------------------------------------
+
+TUMBLING_SQL = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+"""
+
+SESSION_WINDOW_SQL = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS ns,
+               event_id
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("event_tumbling_window", TUMBLING_SQL)
+def q_event_tumbling(spark, sf_dir):
+    return swin.tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "event_sliding_window",
+    """
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+    )
+    SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY 1
+    """,
+)
+def q_event_sliding(spark, sf_dir):
+    return swin.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+@register("event_session_window", SESSION_WINDOW_SQL)
+def q_event_session_window(spark, sf_dir):
+    return swin.session_windows(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "event_sessionization",
+    """
+    WITH o AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+    )
+    SELECT event_id, user_id,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM o
+    """,
+)
+def q_event_sessionization(spark, sf_dir):
+    return swin.sessionize(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "event_props_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+    """,
+)
+def q_event_props(spark, sf_dir):
+    return swin.extract_props(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "late_data_filter",
+    """
+    SELECT event_id, ts FROM events
+    WHERE EPOCH(ts) >= (SELECT MAX(EPOCH(ts)) FROM events) - 3600
+    """,
+)
+def q_late_data_filter(spark, sf_dir):
+    return swin.late_data_filter(_t(spark, sf_dir, "events"))
+
+
+@register("stream_tumbling_window", TUMBLING_SQL)
+def q_stream_tumbling(spark, sf_dir):
+    """True Structured Streaming run (availableNow trigger, memory sink) —
+    hash-compared against the same DuckDB oracle as the batch form, which
+    is exactly the batch-equivalence guarantee."""
+    from sna_pyspark_graphframes_spark.streaming.stream import stream_tumbling_counts
+
+    return stream_tumbling_counts(spark, sf_dir)
+
+
+@register("stream_session_window", SESSION_WINDOW_SQL)
+def q_stream_session(spark, sf_dir):
+    from sna_pyspark_graphframes_spark.streaming.stream import stream_session_windows
+
+    return stream_session_windows(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (functions/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_digest",
+    """
+    SELECT doc_id AS media_id, md5(text) AS digest,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_digest(spark, sf_dir):
+    media = fmm.documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = fmm.featurize(media)
+    return feats.select("media_id", "digest", "n_bytes")
+
+
+@register("multimodal_featurize", None)
+def q_multimodal_featurize(spark, sf_dir):
+    media = fmm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return fmm.featurize(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -110,6 +110,15 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def nanos_to_micros_ts(c: F.Column) -> F.Column:
+    """Exact nanosecond-long → microsecond timestamp (floor, matching the
+    DuckDB/Arrow parquet readers' ns→us truncation). The division runs in
+    DECIMAL, not DOUBLE: epoch nanos (~1.7e18) exceed double's 53-bit
+    mantissa, so ``(c/1000).cast("long")`` is off by up to ±128 ns."""
+    base = ((c - c % 1000).cast("decimal(20,0)") / 1000).cast("long")
+    return F.timestamp_micros(base)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema.
 
@@ -131,7 +140,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(field.dataType, T.TimestampType) and isinstance(
             actual.get(field.name), T.LongType
         ):
-            c = F.timestamp_micros((c / 1000).cast("long")).alias(field.name)
+            c = nanos_to_micros_ts(c).alias(field.name)
         cols.append(c)
     return df.select(*cols)
 

@@ -1,0 +1,86 @@
+"""Structured Streaming versions of the event-window operators.
+
+``read_event_stream`` treats the testdata events parquet as a file-source
+stream (schema declared, no inference — required by streaming sources
+anyway); queries run with the ``availableNow`` trigger into a memory sink,
+which is exactly the batch-equivalence contract Structured Streaming
+guarantees (same expressions → same results, incrementally).
+
+Watermarks bound state: aggregations drop window state older than the
+watermark, so a continuous run holds O(active windows × keys) state, not
+history. ``foreachBatch``/kafka sinks replace the memory sink in
+production; the memory sink here keeps tests hermetic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ts arrives as long nanos (see sources/tables.py nanosAsLong note)
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from sna_pyspark_graphframes_spark.sources.tables import nanos_to_micros_ts
+
+    return raw.withColumn("ts", nanos_to_micros_ts(F.col("ts")))
+
+
+def run_to_memory(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming DataFrame with availableNow into a memory sink;
+    return the materialized result as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_tumbling_counts(
+    spark: SparkSession, sf_dir: str, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of ``windows.tumbling_counts`` with a watermark."""
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return run_to_memory(agg, spark)
+
+
+def stream_session_windows(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of ``windows.session_windows`` — session_window state
+    is merged incrementally and evicted past the watermark."""
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n", "total_value")
+    )
+    return run_to_memory(agg, spark)

@@ -1,0 +1,121 @@
+"""Event-time windowing over the ``events`` table — tumbling, sliding, and
+session windows, plus sessionization and JSON prop extraction.
+
+Batch and streaming share the same expressions: ``F.window`` /
+``F.session_window`` work identically on a static DataFrame and a
+``readStream`` source, so each batch operator here has a streaming twin in
+``streaming/stream.py`` (watermark + availableNow trigger). The batch forms
+are DuckDB-oracle-able (registry.py); the streaming forms are asserted
+equal to batch in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-window, per-type aggregates over fixed windows.
+    ``(window_start, event_type, n, total_value)``."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Overlapping windows — each event lands in width/slide windows.
+    ``(window_start, n, total_value)``."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with inactivity gap — ``session_window``
+    merges events whose gaps are < gap into one window.
+    ``(user_id, session_start, n, total_value)``."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Assign a per-user session index via gaps-and-islands (lag + running
+    sum) — the window-function formulation of sessionization, exactly
+    SQL-expressible. ``(event_id, user_id, session_idx)``.
+
+    Scale: both windows partition by ``user_id`` — per-user sort, shuffle on
+    user_id only; no global ordering anywhere.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    with_flag = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"))
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return with_flag.select(
+        "event_id",
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+
+
+def extract_props(events: DataFrame) -> DataFrame:
+    """JSON prop extraction from the ``props`` string column —
+    ``get_json_object`` is codegen'd JVM-side (no Python).
+    ``(event_id, k)``."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def late_data_filter(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Batch simulation of watermark semantics: drop events older than
+    (max event time − delay) — what a streaming watermark admits in steady
+    state. ``(event_id, ts)`` of admitted events.
+
+    The scalar max is computed distributively and broadcast via a cross
+    join of a 1-row frame (no collect, no single-partition window).
+    """
+    delay_s = {"1 hour": 3600, "30 minutes": 1800, "15 minutes": 900}.get(
+        watermark_delay, 3600
+    )
+    mx = events.agg(F.max("ts").alias("max_ts"))
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("ts").cast("double")
+            >= F.col("max_ts").cast("double") - F.lit(float(delay_s))
+        )
+        .select("event_id", "ts")
+    )

@@ -1,0 +1,128 @@
+"""Unit tests for text / dedup / similarity / multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.functions import (
+    dedup as fdedup,
+    multimodal as fmm,
+    similarity as fsim,
+    text as ftext,
+)
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestText:
+    def test_lang_id(self, spark):
+        df = docs_df(
+            spark,
+            [
+                "the cat and the dog of the house",
+                "el perro y la casa de que y",
+                "der hund und die katze ist das",
+                "xyzzy qwerty",
+            ],
+        )
+        out = {r.doc_id: r.lang for r in df.select(
+            "doc_id", ftext.lang_id(F.col("text")).alias("lang")).collect()}
+        assert out == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+    def test_token_count(self, spark):
+        df = docs_df(spark, ["hello, world! 42"])
+        n = df.select(ftext.token_count(F.col("text")).alias("n")).collect()[0].n
+        assert n == 5  # hello , world ! 42
+
+    def test_fingerprint_normalizes_whitespace_case(self, spark):
+        df = docs_df(spark, ["Hello  World", "hello world", "other"])
+        fps = [r.fp for r in df.select(ftext.fingerprint(F.col("text")).alias("fp")).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark):
+        df = docs_df(spark, ["same text here", "Same  Text here", "unique one"])
+        out = fdedup.exact_dedup(df)
+        groups = {r.keep_doc_id: r.n_dups for r in out.collect()}
+        assert groups == {0: 2, 2: 1}
+
+    def test_minhash_identical_docs_collide(self, spark):
+        df = docs_df(
+            spark,
+            ["a b c d e f g h", "a b c d e f g h", "z y x w v u t s"],
+        )
+        pairs = {(r.doc_a, r.doc_b) for r in fdedup.minhash_near_dup_pairs(df).collect()}
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs
+
+    def test_ngram_jaccard_values(self, spark):
+        df = docs_df(spark, ["a b c d", "a b c d", "a b x y"])
+        out = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in fdedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+        }
+        assert out[(0, 1)] == pytest.approx(1.0)
+        # shingles: {ab,bc,cd} vs {ab,bx,xy}: inter=1 union=5
+        assert out[(0, 2)] == pytest.approx(0.2)
+
+    def test_simhash_identical(self, spark):
+        df = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta eps"])
+        s = {r.doc_id: r.simhash for r in fdedup.simhash(df).collect()}
+        assert s[0] == s[1]
+        groups = fdedup.simhash_dup_groups(df).collect()
+        assert len(groups) == 1 and groups[0].n_docs == 2
+
+
+class TestSimilarity:
+    def test_cosine_topk_exact(self, spark):
+        vecs = [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = fsim.cosine_topk(df.filter(F.col("vec_id") == 0), df, k=2)
+        rows = sorted((r.rank, r.neighbor_id) for r in out.collect())
+        assert rows == [(1, 3), (2, 1)]  # 3 is closer to [1,0] than 1
+
+    def test_ann_topk_runs_and_ranks(self, spark):
+        vecs = [(i, [float(i % 5), float((i * 7) % 3), 1.0]) for i in range(40)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = fsim.ann_topk(df, dim=3, k=3, n_planes=2)
+        rows = out.collect()
+        assert len(rows) > 0
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.cos))
+        for q, rs in by_q.items():
+            rs.sort()
+            coss = [c for _, c in rs]
+            assert coss == sorted(coss, reverse=True)
+
+
+class TestMultimodal:
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            fmm.decode_stub(b"bytes", "image")
+
+    def test_featurize_deterministic(self, spark):
+        df = docs_df(spark, ["payload one", "payload two"])
+        media = fmm.documents_as_media(
+            df.withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text"))
+        )
+        out1 = {r.media_id: (r.digest, tuple(r.feature)) for r in fmm.featurize(media).collect()}
+        out2 = {r.media_id: (r.digest, tuple(r.feature)) for r in fmm.featurize(media).collect()}
+        assert out1 == out2
+        assert all(len(v[1]) == 8 for v in out1.values())
+        import hashlib
+
+        assert out1[0][0] == hashlib.md5(b"payload one").hexdigest()
