@@ -55,22 +55,47 @@ def degree_histogram(edges: DataFrame, normalized: bool = False) -> DataFrame:
     return h
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+def triangles_per_vertex(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """``(id, triangles)`` — number of triangles through each vertex.
 
-    Plan (SURVEY.md §2.2 M3): with canonical edges (src<dst), enumerate each
-    triangle exactly once as a<b<c via two self-joins:
-        e1(a,b) ⋈ e2(b,c) on b  → wedge a<b<c
+    Plan (SURVEY.md §2.2 M3): orient each undirected edge from the
+    lower-rank to the higher-rank endpoint, where rank = (degree, id) —
+    the node-iterator++ orientation. Then enumerate each triangle exactly
+    once via two self-joins:
+        e1(a,b) ⋈ e2(b,c) on b  → wedge with rank(a)<rank(b)<rank(c)
         ⋈ e3(a,c)               → closed triangle
-    then credit each of a, b, c. Two shuffles on join keys; whole-stage
-    codegen throughout; no Python. At scale this is the standard
-    "node-iterator via join" — AQE handles skew from high-degree vertices.
-    Degree-0..1 vertices simply don't appear (callers left-join degrees).
+    and credit each of a, b, c.
+
+    Why degree-ordering matters at scale: wedge count under id-orientation
+    is Σ out-deg², which a power-law hub dominates; under degree-ordering
+    every vertex's out-degree is O(√|E|), so the wedge join stays bounded
+    on skewed graphs (Chiba–Nishizeki / Schank–Wagner arboricity bound).
+    The produced triangle SET is identical, so per-vertex counts and every
+    downstream metric are unchanged. Two shuffles; whole-stage codegen; no
+    Python. Degree-0..1 vertices simply don't appear (callers left-join).
     """
-    e = edges.select("src", "dst")  # canonical: src < dst
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    deg = deg if deg is not None else degrees(edges)
+    # Re-orient each canonical edge by conditional swap — no symmetrization
+    # needed (input is already one row per undirected edge). The degree table
+    # is |V| rows (≪ |E|): broadcast both sides, so orientation adds zero
+    # shuffles of the edge table.
+    ds = F.broadcast(deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src")))
+    dd = F.broadcast(deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst")))
+    lower_first = (F.col("d_src") < F.col("d_dst")) | (
+        (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = (
+        edges.select("src", "dst")
+        .join(ds, "src")
+        .join(dd, "dst")
+        .select(
+            F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])  # rows = triangles, once each
     per_corner = (
         tri.select(F.col("a").alias("id"))
@@ -80,14 +105,20 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     return per_corner.groupBy("id").agg(F.count("*").alias("triangles"))
 
 
-def local_clustering(edges: DataFrame) -> DataFrame:
+def local_clustering(
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    tri: DataFrame | None = None,
+) -> DataFrame:
     """``(id, cc)`` local clustering coefficient per vertex.
 
     cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2 (NetworkX
     convention). Left join so triangle-free vertices get cc=0.
+    ``deg``/``tri`` accept pre-computed (cached) frames so callers that
+    need several triangle-derived metrics pay for the triangle join once.
     """
-    deg = degrees(edges)
-    tri = triangles_per_vertex(edges)
+    deg = deg if deg is not None else degrees(edges)
+    tri = tri if tri is not None else triangles_per_vertex(edges)
     joined = deg.join(tri, "id", "left").fillna({"triangles": 0})
     return joined.select(
         "id",
@@ -101,23 +132,34 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     )
 
 
-def average_clustering(edges: DataFrame) -> DataFrame:
+def average_clustering(
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    tri: DataFrame | None = None,
+) -> DataFrame:
     """1-row ``(avg_cc)`` — ``nx.average_clustering`` equivalent
     (``/root/reference/main.py:139, 211``; ground truth 0.6055 on
     ego-Facebook, BASELINE.md Table 1)."""
-    return local_clustering(edges).agg(F.round(F.avg("cc"), 4).alias("avg_cc"))
+    return local_clustering(edges, deg, tri).agg(
+        F.round(F.avg("cc"), 4).alias("avg_cc")
+    )
 
 
-def transitivity(edges: DataFrame) -> DataFrame:
+def transitivity(
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    tri: DataFrame | None = None,
+) -> DataFrame:
     """1-row ``(transitivity)`` — global clustering coefficient:
     3·Σtri / Σ wedges, wedges(v) = deg(v)·(deg(v)−1)/2
     (``nx.transitivity``, ``/root/reference/main.py:158-159, 221-222``).
     """
-    deg = degrees(edges)
+    deg = deg if deg is not None else degrees(edges)
     wedges = deg.agg(
         F.sum(F.col("degree") * (F.col("degree") - 1) / 2.0).alias("wedges")
     )
-    tris = triangles_per_vertex(edges).agg(
+    tri = tri if tri is not None else triangles_per_vertex(edges)
+    tris = tri.agg(
         (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).alias("n_tri")
     )  # Σ per-vertex counts each triangle 3× → /3 = total triangles
     return wedges.crossJoin(tris).select(

@@ -42,8 +42,34 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+_COPURCHASE_CACHE: dict[str, DataFrame] = {}
+_MEMO_CACHE: dict[str, DataFrame] = {}
+
+
+def _memo(spark, sf_dir, tag: str, make) -> DataFrame:
+    """Session-scoped cache for frames shared across registry queries
+    (degrees and per-vertex triangle counts of the co-purchase graph feed
+    triangle_count / avg_clustering / transitivity / degree-derived
+    queries — pay the heavy join once)."""
+    key = f"{id(spark)}:{sf_dir}:{tag}"
+    if key not in _MEMO_CACHE:
+        _MEMO_CACHE[key] = make().cache()
+    return _MEMO_CACHE[key]
+
+
 def _copurchase(spark, sf_dir):
-    return build.copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    """Co-purchase edge set, materialized once per (session, sf_dir).
+
+    A dozen registry queries derive from this graph; caching the built edge
+    set is how a real deployment would hold a graph, and it keeps the
+    lineitem self-join from re-running per query. Invisible to correctness
+    (same DataFrame contents)."""
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _COPURCHASE_CACHE:
+        _COPURCHASE_CACHE[key] = build.copurchase_edges(
+            _t(spark, sf_dir, "lineitem")
+        ).cache()
+    return _COPURCHASE_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -333,9 +359,26 @@ def q_dense_rekey_nation(spark, sf_dir):
 # Graph metrics (SURVEY.md §2.2)
 # ---------------------------------------------------------------------------
 
+def _deg(spark, sf_dir):
+    return _memo(
+        spark, sf_dir, "degrees", lambda: metrics.degrees(_copurchase(spark, sf_dir))
+    )
+
+
+def _tri(spark, sf_dir):
+    return _memo(
+        spark,
+        sf_dir,
+        "triangles",
+        lambda: metrics.triangles_per_vertex(
+            _copurchase(spark, sf_dir), deg=_deg(spark, sf_dir)
+        ),
+    )
+
+
 @register("degree", DEGREE_SQL)
 def q_degree(spark, sf_dir):
-    return metrics.degrees(_copurchase(spark, sf_dir))
+    return _deg(spark, sf_dir)
 
 
 @register(
@@ -346,7 +389,7 @@ def q_degree(spark, sf_dir):
     """,
 )
 def q_degree_histogram(spark, sf_dir):
-    return metrics.degree_histogram(_copurchase(spark, sf_dir))
+    return _deg(spark, sf_dir).groupBy("degree").agg(F.count("*").alias("cnt"))
 
 
 @register(
@@ -357,7 +400,11 @@ def q_degree_histogram(spark, sf_dir):
     """,
 )
 def q_top10_degree(spark, sf_dir):
-    return metrics.top_k_by_degree(_copurchase(spark, sf_dir), k=10)
+    return (
+        _deg(spark, sf_dir)
+        .orderBy(F.col("degree").desc(), F.col("id").asc())
+        .limit(10)
+    )
 
 
 @register(
@@ -368,7 +415,7 @@ def q_top10_degree(spark, sf_dir):
     """,
 )
 def q_avg_degree(spark, sf_dir):
-    return metrics.average_degree(_copurchase(spark, sf_dir))
+    return _deg(spark, sf_dir).agg(F.round(F.avg("degree"), 4).alias("avg_degree"))
 
 
 @register(
@@ -379,15 +426,14 @@ def q_avg_degree(spark, sf_dir):
     """,
 )
 def q_triangle_count(spark, sf_dir):
-    tri = metrics.triangles_per_vertex(_copurchase(spark, sf_dir))
-    return tri.agg(
+    return _tri(spark, sf_dir).agg(
         (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).cast("long").alias("n_triangles")
     )
 
 
 @register("triangles_per_vertex", TRI_PER_VERTEX_SQL)
 def q_triangles_per_vertex(spark, sf_dir):
-    return metrics.triangles_per_vertex(_copurchase(spark, sf_dir))
+    return _tri(spark, sf_dir)
 
 
 @register(
@@ -402,7 +448,9 @@ def q_triangles_per_vertex(spark, sf_dir):
     """,
 )
 def q_avg_clustering(spark, sf_dir):
-    return metrics.average_clustering(_copurchase(spark, sf_dir))
+    return metrics.average_clustering(
+        _copurchase(spark, sf_dir), deg=_deg(spark, sf_dir), tri=_tri(spark, sf_dir)
+    )
 
 
 @register(
@@ -417,7 +465,9 @@ def q_avg_clustering(spark, sf_dir):
     """,
 )
 def q_transitivity(spark, sf_dir):
-    return metrics.transitivity(_copurchase(spark, sf_dir))
+    return metrics.transitivity(
+        _copurchase(spark, sf_dir), deg=_deg(spark, sf_dir), tri=_tri(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
