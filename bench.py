@@ -44,6 +44,7 @@ HEADLINE = [
     "event_sessionization",
     "event_props_extract",
     "stream_tumbling_window",
+    "stream_stateful_totals",
     "multimodal_featurize",
     "connected_components_count",
     "lpa_community_count",

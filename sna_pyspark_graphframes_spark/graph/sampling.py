@@ -152,6 +152,38 @@ def community_random_walk(
     )
 
 
+def split_oversized_communities(
+    labels: DataFrame, max_size: int, seed: int = 42
+) -> DataFrame:
+    """Skew guard (SURVEY.md §7.4 #3): split communities larger than
+    ``max_size`` into salted sub-labels so no single ``applyInPandas`` group
+    exceeds the bound.
+
+    Sub-label = ``label * SALT_SPACE + (hash(id, seed) % n_splits)`` —
+    deterministic per (id, label, seed), independent of task placement.
+    Each sub-community then gets its own walk, which bounds both kernel
+    memory and wall-clock; the union of walks still covers the original
+    community (more, shorter walks — the paper's one-walk-per-community
+    becomes k walks for giant communities, a deliberate scale divergence).
+    """
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n"))
+    salted = (
+        labels.join(F.broadcast(sizes), "label")
+        .withColumn(
+            "n_splits", F.ceil(F.col("n") / F.lit(max_size)).cast("long")
+        )
+        .withColumn(
+            "sub",
+            F.pmod(F.hash(F.col("id"), F.lit(seed)), F.col("n_splits")).cast("long"),
+        )
+        .select(
+            "id",
+            (F.col("label") * F.lit(1_000_000) + F.col("sub")).alias("label"),
+        )
+    )
+    return salted
+
+
 @dataclass(frozen=True)
 class SampleResult:
     labels: DataFrame          # (id, label) dense communities
@@ -164,11 +196,19 @@ def sample_graph(
     alpha: float = 2.0,
     max_iter: int = 5,
     seed: int = 42,
+    max_community_size: int | None = None,
 ) -> SampleResult:
     """End-to-end community-based sample (paper Algorithm 1; defaults a=2,
-    maxIter=5 match ``/root/reference/main.py:119-120``)."""
+    maxIter=5 match ``/root/reference/main.py:119-120``).
+
+    ``max_community_size`` enables the oversized-community split (one walk
+    per sub-community) — set it on power-law graphs where LPA emits a giant
+    label."""
     sym = symmetrize(edges, dedup=True).cache()  # reused by LPA + adjacency
-    labels = dense_rekey(label_propagation(sym, max_iter=max_iter)).cache()
+    labels = label_propagation(sym, max_iter=max_iter)
+    if max_community_size is not None:
+        labels = split_oversized_communities(labels, max_community_size, seed)
+    labels = dense_rekey(labels).cache()
     adj = adjacency(sym, directed=True)  # sym already both directions
     labeled_adj = labels.join(adj, "id")
     walks = community_random_walk(labeled_adj, alpha=alpha, seed=seed)

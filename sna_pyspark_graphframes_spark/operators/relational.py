@@ -87,3 +87,73 @@ def part_type_rollup(part: DataFrame) -> DataFrame:
             F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
         )
     )
+
+
+def part_brand_size_cube(part: DataFrame) -> DataFrame:
+    """CUBE aggregate — all grouping-set combinations in one pass."""
+    return part.cube("p_brand", "p_size").agg(F.count("*").alias("n_parts"))
+
+
+def orders_status_pivot(orders: DataFrame) -> DataFrame:
+    """PIVOT: order counts per priority × status. Status domain is declared
+    (pivot with explicit values avoids the extra distinct-scan pass)."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def customers_with_and_without_orders(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """INTERSECT/EXCEPT set ops: customers that do vs. don't have orders,
+    tagged — exercises semi/anti-join set semantics as SQL set operators."""
+    custs = customer.select(F.col("c_custkey").alias("k"))
+    with_orders = custs.intersect(orders.select(F.col("o_custkey").alias("k")))
+    without = custs.exceptAll(orders.select(F.col("o_custkey").alias("k")).distinct())
+    return with_orders.withColumn("has_orders", F.lit(1)).unionByName(
+        without.withColumn("has_orders", F.lit(0))
+    )
+
+
+def orders_per_month(orders: DataFrame) -> DataFrame:
+    """Date/time functions: truncate to month, extract year, count."""
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+
+
+def part_name_tokens(part: DataFrame) -> DataFrame:
+    """String functions: lower/split/explode token pipeline over part names
+    (the same shape as the documents token pipeline, on a dimension)."""
+    return (
+        part.select(
+            F.explode(F.split(F.lower("p_name"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def price_math(part: DataFrame) -> DataFrame:
+    """Math scalar functions — log/sqrt/pow/abs/ceil/floor in one projection."""
+    p = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.round(F.log(p), 4).alias("log_price"),
+        F.round(F.sqrt(p), 4).alias("sqrt_price"),
+        F.round(F.pow(p, 2.0), 2).alias("price_sq"),
+        F.ceil(p).cast("long").alias("price_ceil"),
+        F.floor(p).cast("long").alias("price_floor"),
+    )

@@ -232,6 +232,94 @@ def q_part_type_rollup(spark, sf_dir):
     return relational.part_type_rollup(_t(spark, sf_dir, "part"))
 
 
+@register(
+    "part_brand_size_cube",
+    """
+    SELECT p_brand, p_size, COUNT(*) AS n_parts
+    FROM part GROUP BY CUBE (p_brand, p_size)
+    """,
+)
+def q_part_cube(spark, sf_dir):
+    return relational.part_brand_size_cube(_t(spark, sf_dir, "part"))
+
+
+@register(
+    "orders_status_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_orders_pivot(spark, sf_dir):
+    return relational.orders_status_pivot(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "customers_order_setops",
+    """
+    SELECT k, 1 AS has_orders FROM (
+        SELECT c_custkey AS k FROM customer
+        INTERSECT
+        SELECT o_custkey AS k FROM orders
+    )
+    UNION ALL
+    SELECT k, 0 AS has_orders FROM (
+        SELECT c_custkey AS k FROM customer
+        EXCEPT ALL
+        SELECT DISTINCT o_custkey AS k FROM orders
+    )
+    """,
+)
+def q_customers_setops(spark, sf_dir):
+    return relational.customers_with_and_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "orders_per_month",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_orders_per_month(spark, sf_dir):
+    return relational.orders_per_month(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "part_name_tokens",
+    """
+    SELECT token, COUNT(*) AS n FROM (
+        SELECT UNNEST(string_split(LOWER(p_name), ' ')) AS token FROM part
+    ) GROUP BY token
+    """,
+)
+def q_part_name_tokens(spark, sf_dir):
+    return relational.part_name_tokens(_t(spark, sf_dir, "part"))
+
+
+@register(
+    "price_math",
+    """
+    SELECT p_partkey,
+           ROUND(LN(p_retailprice), 4) AS log_price,
+           ROUND(SQRT(p_retailprice), 4) AS sqrt_price,
+           ROUND(POW(p_retailprice, 2.0), 2) AS price_sq,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor
+    FROM part
+    """,
+)
+def q_price_math(spark, sf_dir):
+    return relational.price_math(_t(spark, sf_dir, "part"))
+
+
 # ---------------------------------------------------------------------------
 # Graph construction (SURVEY.md §2.1 #1-8, #15-17, #25-26)
 # ---------------------------------------------------------------------------
@@ -512,6 +600,21 @@ def q_avg_closeness_small(spark, sf_dir):
 @register("avg_betweenness_small", None)
 def q_avg_betweenness_small(spark, sf_dir):
     return algorithms.average_betweenness(_small_copurchase(spark, sf_dir))
+
+
+@register("betweenness_sampled", None)
+def q_betweenness_sampled(spark, sf_dir):
+    """Sampled-source Brandes (K=16 deterministic sources, n/K
+    extrapolation) — the scale path for betweenness (SURVEY.md §2.2 M5)."""
+    e = _small_copurchase(spark, sf_dir)
+    sources = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .limit(16)
+    )
+    return algorithms.betweenness_centrality(e, sources=sources)
 
 
 @register("random_walk_sample", None)
@@ -912,6 +1015,40 @@ def q_stream_session(spark, sf_dir):
     from sna_pyspark_graphframes_spark.streaming.stream import stream_session_windows
 
     return stream_session_windows(spark, sf_dir)
+
+
+@register(
+    "stream_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals accumulated in GroupState across micro-batches; availableNow over
+    a finite source must equal the batch aggregate — checked against the
+    DuckDB oracle."""
+    from sna_pyspark_graphframes_spark.streaming.stateful import (
+        stream_user_running_totals,
+    )
+
+    return stream_user_running_totals(spark, sf_dir)
+
+
+@register("random_walk_sample_capped", None)
+def q_random_walk_capped(spark, sf_dir):
+    """Skew-guarded sampler: communities split at 500 vertices (salted
+    sub-labels), exercising the giant-community path end-to-end."""
+    res = sampling.sample_graph(
+        _copurchase(spark, sf_dir),
+        alpha=2.0,
+        max_iter=5,
+        seed=42,
+        max_community_size=500,
+    )
+    return res.sampled_edges
 
 
 # ---------------------------------------------------------------------------

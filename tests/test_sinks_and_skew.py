@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.graph import build, sampling
+from sna_pyspark_graphframes_spark.sources import load_table
+from sna_pyspark_graphframes_spark.sources.sinks import (
+    read_back,
+    write_csv,
+    write_parquet,
+)
+
+
+def test_parquet_roundtrip_partitioned(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/orders_out"
+        write_parquet(orders, path, partition_by=["o_orderstatus"])
+        back = read_back(spark, path)
+        assert back.count() == orders.count()
+        assert set(back.columns) == set(orders.columns)
+        # partition pruning: reading one status scans only that partition
+        one = back.filter(F.col("o_orderstatus") == "F")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert one.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_csv_roundtrip(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/nation_csv"
+        write_csv(nation, path)
+        back = spark.read.csv(path, header=True, inferSchema=True)
+        assert back.count() == nation.count()
+
+
+def test_split_oversized_communities(spark, sf_dir):
+    edges = build.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    from sna_pyspark_graphframes_spark.graph.algorithms import label_propagation
+
+    labels = label_propagation(edges, max_iter=3)
+    capped = sampling.split_oversized_communities(labels, max_size=50)
+    sizes = capped.groupBy("label").agg(F.count("*").alias("n"))
+    # expected bound: ceil-split keeps E[size] ≤ max; hash salting can
+    # overshoot slightly — assert no group more than 2× the cap
+    assert sizes.agg(F.max("n")).collect()[0][0] <= 100
+    # same vertex set, deterministic
+    assert capped.select("id").distinct().count() == labels.select("id").distinct().count()
+    again = sampling.split_oversized_communities(labels, max_size=50)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_capped_sample_invariants(spark, sf_dir):
+    edges = build.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    res = sampling.sample_graph(
+        edges, alpha=2.0, max_iter=3, seed=9, max_community_size=100
+    )
+    assert res.sampled_vertices.count() > 0
+    # induced edges still exact
+    sym = build.symmetrize(edges, dedup=True)
+    s = {r.id for r in res.sampled_vertices.collect()}
+    expected = {(r.src, r.dst) for r in sym.collect() if r.src in s and r.dst in s}
+    got = {(r.src, r.dst) for r in res.sampled_edges.collect()}
+    assert got == expected

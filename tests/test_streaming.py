@@ -1,0 +1,56 @@
+"""Streaming twins must equal their batch forms (Structured Streaming's
+batch-equivalence contract), including the custom stateful operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.sources import load_table
+from sna_pyspark_graphframes_spark.streaming import windows as swin
+from sna_pyspark_graphframes_spark.streaming.stream import (
+    stream_session_windows,
+    stream_tumbling_counts,
+)
+from sna_pyspark_graphframes_spark.streaming.stateful import (
+    stream_user_running_totals,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    batch = swin.tumbling_counts(load_table(spark, sf_dir, "events"))
+    stream = stream_tumbling_counts(spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "total_value"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    batch = swin.session_windows(load_table(spark, sf_dir, "events"))
+    stream = stream_session_windows(spark, sf_dir)
+    cols = ["user_id", "session_start", "n", "total_value"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_stateful_running_totals_equal_batch_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    stream = stream_user_running_totals(spark, sf_dir)
+    cols = ["user_id", "n_events", "total_value", "last_ts"]
+    assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_late_data_filter_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    admitted = swin.late_data_filter(ev, "1 hour")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    rows = admitted.collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert (mx - r.ts).total_seconds() <= 3600
