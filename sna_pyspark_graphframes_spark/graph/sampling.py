@@ -19,9 +19,10 @@ unseeded ``np.random`` — SURVEY.md §2.5 #5 — is replaced by an explicit
 seed).
 
 Walk-kernel semantics preserved from ``/root/reference/main.py:55-105``:
-  * community cc = average clustering over the graph of ALL edges incident
-    to community members (external endpoints included — the reference
-    builds ``nx.Graph(edges_list)`` before intra-community filtering);
+  * community cc modulates walk length (computed distributively by the
+    triangle pass and averaged per community — see
+    ``community_random_walk`` for the estimator note; the reference runs
+    NetworkX inside the kernel, its hot spot);
   * walk length = int(n / (1 + alpha·cc)) + 1, n = community size;
   * steps move to a uniform random INTRA-community neighbor; a revisited
     vertex consumes the step without being recorded; a dead-end vertex
@@ -61,29 +62,6 @@ def walk_length(n_nodes: int, cc: float, alpha: float) -> int:
     return int(n_nodes / (1.0 + alpha * cc)) + 1
 
 
-def _avg_clustering(adj: dict[int, set[int]]) -> float:
-    """Average local clustering coefficient of an in-memory undirected graph
-    (NetworkX ``average_clustering`` convention: cc=0 for degree<2),
-    replacing the kernel's NetworkX call (``/root/reference/main.py:80-81``)
-    with dependency-free triangle counting."""
-    if not adj:
-        return 0.0
-    total = 0.0
-    for v, nbrs in adj.items():
-        k = len(nbrs)
-        if k < 2:
-            continue
-        links = 0
-        nbrs_list = list(nbrs)
-        for i, u in enumerate(nbrs_list):
-            adj_u = adj[u]
-            for w in nbrs_list[i + 1 :]:
-                if w in adj_u:
-                    links += 1
-        total += 2.0 * links / (k * (k - 1))
-    return total / len(adj)
-
-
 def _walk_one_community(
     ids: np.ndarray,
     nbrs_col: list,
@@ -91,19 +69,10 @@ def _walk_one_community(
     alpha: float,
     seed: int,
     max_walk_steps: int,
+    cc: float,
 ) -> list[int]:
     vertices = [int(v) for v in ids]
     vertex_set = set(vertices)
-
-    # cc over ALL incident edges (external endpoints included) — reference
-    # builds the nx.Graph before the intra-community filter.
-    full_adj: dict[int, set[int]] = {}
-    for v, nbrs in zip(vertices, nbrs_col):
-        for u in nbrs:
-            u = int(u)
-            full_adj.setdefault(v, set()).add(u)
-            full_adj.setdefault(u, set()).add(v)
-    cc = _avg_clustering(full_adj)
 
     intra = {
         v: [int(u) for u in nbrs if int(u) in vertex_set]
@@ -132,7 +101,22 @@ def community_random_walk(
 ) -> DataFrame:
     """Run one seeded random walk per community in parallel.
 
-    ``labeled_adjacency``: ``(id long, label long, nbrs array<long>)``.
+    ``labeled_adjacency``: ``(id long, label long, nbrs array<long>,
+    cc double)`` — ``cc`` is the vertex's local clustering coefficient,
+    computed DISTRIBUTIVELY by the triangle-join pass (``metrics.
+    local_clustering``) and averaged per community inside the kernel.
+
+    The reference computes the community cc inside the Python kernel with
+    NetworkX over all incident edges (``/root/reference/main.py:80-81``) —
+    O(Σ deg²) per community in Python, the sampler's hot spot. Pre-computing
+    cc JVM-side (the alternative SURVEY.md §2.1 #21 names) makes the kernel
+    O(walk length); divergence: cc here is each member's global clustering
+    averaged over the community, rather than clustering within the
+    incident-edge subgraph — same quantity the paper describes ("community's
+    average clustering coefficient"), slightly different estimator; it only
+    modulates walk LENGTH, and the sampler's correctness contract is the
+    invariant set (FIXTURES.md §5), which is estimator-independent.
+
     Returns ``(id long, label long)`` — distinct vertices visited per
     community. Grouped-map pandas UDF: one Arrow batch per community.
     """
@@ -142,8 +126,9 @@ def community_random_walk(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         label = int(pdf["label"].iloc[0])
+        cc = float(pdf["cc"].mean()) if len(pdf) else 0.0
         visited = _walk_one_community(
-            pdf["id"].to_numpy(), list(pdf["nbrs"]), label, alpha_f, seed_i, cap
+            pdf["id"].to_numpy(), list(pdf["nbrs"]), label, alpha_f, seed_i, cap, cc
         )
         return pd.DataFrame({"id": visited, "label": [label] * len(visited)})
 
@@ -197,21 +182,42 @@ def sample_graph(
     max_iter: int = 5,
     seed: int = 42,
     max_community_size: int | None = None,
+    vertex_cc: DataFrame | None = None,
 ) -> SampleResult:
     """End-to-end community-based sample (paper Algorithm 1; defaults a=2,
     maxIter=5 match ``/root/reference/main.py:119-120``).
 
     ``max_community_size`` enables the oversized-community split (one walk
     per sub-community) — set it on power-law graphs where LPA emits a giant
-    label."""
+    label. ``vertex_cc`` ``(id, cc)`` lets callers reuse an
+    already-computed clustering frame (the triangle pass is the costliest
+    input; engines that already materialized per-vertex triangles — see
+    ``registry._tri`` — should pass it)."""
+    from sna_pyspark_graphframes_spark.graph.build import canonical_edges
+    from sna_pyspark_graphframes_spark.graph.metrics import local_clustering
+
     sym = symmetrize(edges, dedup=True).cache()  # reused by LPA + adjacency
     labels = label_propagation(sym, max_iter=max_iter)
     if max_community_size is not None:
         labels = split_oversized_communities(labels, max_community_size, seed)
     labels = dense_rekey(labels).cache()
     adj = adjacency(sym, directed=True)  # sym already both directions
-    labeled_adj = labels.join(adj, "id")
+    cc = (
+        vertex_cc
+        if vertex_cc is not None
+        else local_clustering(canonical_edges(sym))  # distributed triangle pass
+    )
+    labeled_adj = (
+        labels.join(adj, "id")
+        .join(cc, "id", "left")
+        .fillna({"cc": 0.0})
+    )
     walks = community_random_walk(labeled_adj, alpha=alpha, seed=seed)
-    sampled_vertices = walks.select("id").distinct().cache()
+    # eager materialization: the walk lineage (LPA + triangle pass + Arrow
+    # kernel) must run exactly ONCE — a lazy .cache() would re-execute it
+    # for each of the induced-subgraph semi-joins before the cache fills
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+    sampled_vertices = checkpointed(walks.select("id").distinct())
     sampled_edges = induced_subgraph(sym, sampled_vertices)
     return SampleResult(labels, sampled_vertices, sampled_edges)

@@ -617,9 +617,26 @@ def q_betweenness_sampled(spark, sf_dir):
     return algorithms.betweenness_centrality(e, sources=sources)
 
 
+def _vertex_cc(spark, sf_dir):
+    return _memo(
+        spark,
+        sf_dir,
+        "vertex_cc",
+        lambda: metrics.local_clustering(
+            _copurchase(spark, sf_dir), deg=_deg(spark, sf_dir), tri=_tri(spark, sf_dir)
+        ),
+    )
+
+
 @register("random_walk_sample", None)
 def q_random_walk_sample(spark, sf_dir):
-    res = sampling.sample_graph(_copurchase(spark, sf_dir), alpha=2.0, max_iter=5, seed=42)
+    res = sampling.sample_graph(
+        _copurchase(spark, sf_dir),
+        alpha=2.0,
+        max_iter=5,
+        seed=42,
+        vertex_cc=_vertex_cc(spark, sf_dir),
+    )
     return res.sampled_edges
 
 
@@ -1047,6 +1064,7 @@ def q_random_walk_capped(spark, sf_dir):
         max_iter=5,
         seed=42,
         max_community_size=500,
+        vertex_cc=_vertex_cc(spark, sf_dir),
     )
     return res.sampled_edges
 
