@@ -54,12 +54,12 @@ def normalize_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     (``/root/reference/main.py:33-37``). The vertex table is the small side —
     broadcast it so the fact table never shuffles.
     """
-    v = F.broadcast(vertices.select(F.col("id")))
-    e = edges
-    e = e.join(v, e.src == v.id, "left").drop(v.id)
-    v2 = F.broadcast(vertices.select(F.col("id")))
-    e = e.join(v2, e.dst == v2.id, "left").drop(v2.id)
-    return e
+    cols = edges.columns
+    v = vertices.select(F.col("id").alias("__vsrc"))
+    v2 = vertices.select(F.col("id").alias("__vdst"))
+    e = edges.join(F.broadcast(v), edges.src == F.col("__vsrc"), "left")
+    e = e.join(F.broadcast(v2), e.dst == F.col("__vdst"), "left")
+    return e.select(*cols)
 
 
 def adjacency(edges: DataFrame, directed: bool = False) -> DataFrame:

@@ -570,6 +570,32 @@ def _small_copurchase(spark, sf_dir):
     return e.filter((F.col("src") < 100) & (F.col("dst") < 100))
 
 
+# Recursive-CTE oracles for the iterative algorithms: DuckDB can compute
+# reachability/BFS closures on the small deterministic subgraph, turning
+# these from rows-only checks into full value checks.
+# sibling-CTE prefix (DuckDB rejects WITH nested inside a CTE body when the
+# inner WITH feeds a set operation — keep everything at one level)
+_SMALL_CTES = f"""
+    e0 AS ({COPURCHASE_EDGES_SQL}),
+    sym AS (
+        SELECT src, dst FROM e0 WHERE src < 100 AND dst < 100
+        UNION
+        SELECT dst, src FROM e0 WHERE src < 100 AND dst < 100
+    ),
+    v AS (SELECT DISTINCT src AS id FROM sym)
+"""
+
+_SMALL_BFS_CTES = f"""{_SMALL_CTES},
+    bfs(src, id, d) AS (
+        SELECT id, id, 0 FROM v
+        UNION
+        SELECT b.src, s.dst, b.d + 1 FROM bfs b JOIN sym s ON s.src = b.id
+        WHERE b.d < 40
+    ),
+    dist AS (SELECT src, id, MIN(d) AS d FROM bfs GROUP BY src, id)
+"""
+
+
 @register("connected_components", None)
 def q_connected_components(spark, sf_dir):
     return algorithms.connected_components(_copurchase(spark, sf_dir))
@@ -587,12 +613,49 @@ def q_lpa_count(spark, sf_dir):
     return algorithms.community_count(labels)
 
 
-@register("diameter_small", None)
+@register(
+    "connected_components_small",
+    f"""
+    WITH RECURSIVE {_SMALL_CTES},
+    reach(id, comp) AS (
+        SELECT id, id FROM v
+        UNION
+        SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+    )
+    SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def q_cc_small(spark, sf_dir):
+    return algorithms.connected_components(_small_copurchase(spark, sf_dir))
+
+
+@register(
+    "diameter_small",
+    f"""
+    WITH RECURSIVE {_SMALL_BFS_CTES}
+    SELECT MAX(d) AS diameter FROM dist
+    """,
+)
 def q_diameter_small(spark, sf_dir):
     return algorithms.diameter(_small_copurchase(spark, sf_dir))
 
 
-@register("avg_closeness_small", None)
+@register(
+    "avg_closeness_small",
+    f"""
+    WITH RECURSIVE {_SMALL_BFS_CTES},
+    n_total AS (SELECT COUNT(DISTINCT src) AS n FROM dist),
+    per_v AS (
+        SELECT src AS id, COUNT(*) AS r, SUM(d) AS total_dist
+        FROM dist GROUP BY src
+    )
+    SELECT ROUND(AVG(
+        CASE WHEN total_dist > 0 AND n > 1
+             THEN ((r - 1.0) / total_dist) * ((r - 1.0) / (n - 1.0))
+             ELSE 0.0 END), 4) AS avg_closeness
+    FROM per_v, n_total
+    """,
+)
 def q_avg_closeness_small(spark, sf_dir):
     return algorithms.average_closeness(_small_copurchase(spark, sf_dir))
 
