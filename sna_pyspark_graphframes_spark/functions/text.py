@@ -121,6 +121,33 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Tiny sentiment lexicon (tokens ⋈ lexicon pattern, cf. the EDBT-2016 Spark
+# sentiment paper noted in PAPERS.md). At scale this is a broadcast join
+# against a real lexicon table; the regexp-count form below is the
+# fused-expression equivalent for short lexicons.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 1, "great": 1, "fast": 1, "small": 1, "best": 1,
+    "bad": -1, "slow": -1, "worst": -1, "error": -1, "fail": -1,
+}
+
+
+def sentiment(col: Column) -> Column:
+    """Lexicon sentiment score in [-1, 1]: (pos_hits − neg_hits) / tokens,
+    0 for empty docs. Pure codegen expressions (regexp counts)."""
+    pos = [w for w, s in SENTIMENT_LEXICON.items() if s > 0]
+    neg = [w for w, s in SENTIMENT_LEXICON.items() if s < 0]
+    n_pos = F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(_stopword_pattern(pos)), F.lit(0))
+    )
+    n_neg = F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(_stopword_pattern(neg)), F.lit(0))
+    )
+    n_tok = F.size(tokens(col))
+    return F.round(
+        F.when(n_tok > 0, (n_pos - n_neg) / n_tok).otherwise(F.lit(0.0)), 4
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized, lowercased text.
 

@@ -224,6 +224,25 @@ def diameter(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     )
 
 
+def diameter_double_sweep(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """1-row ``(diameter_lb)`` — double-sweep LOWER BOUND on the diameter:
+    BFS from an arbitrary vertex, then BFS from the farthest vertex found;
+    the second eccentricity lower-bounds the diameter (exact on trees,
+    typically tight on small-world graphs). Two BFS runs instead of |V| —
+    the all-pairs-free scale path for M6 (SURVEY.md §2.2 M6); the exact
+    ``diameter`` stays for fixture-scale verification."""
+    sym = _sym(edges)
+    start = sym.agg(F.min("src").alias("id")).select("id")
+    d1 = multi_source_bfs(edges, start, max_iter=max_iter)
+    far = (
+        d1.orderBy(F.col("dist").desc(), F.col("id").asc())
+        .limit(1)
+        .select("id")
+    )
+    d2 = multi_source_bfs(edges, far, max_iter=max_iter)
+    return d2.agg(F.max("dist").alias("diameter_lb"))
+
+
 def closeness_centrality(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     """``(id, closeness)`` with the Wasserman–Faust component correction —
     exactly NetworkX ``closeness_centrality(wf_improved=True)``

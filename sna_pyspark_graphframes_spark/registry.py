@@ -629,6 +629,13 @@ def q_cc_small(spark, sf_dir):
     return algorithms.connected_components(_small_copurchase(spark, sf_dir))
 
 
+@register("diameter_double_sweep_small", None)
+def q_diameter_double_sweep(spark, sf_dir):
+    """Scale-path diameter lower bound (2 BFS runs, no all-pairs);
+    rows-only — tests assert lb ≤ exact and equality on fixtures."""
+    return algorithms.diameter_double_sweep(_small_copurchase(spark, sf_dir))
+
+
 @register(
     "diameter_small",
     f"""
@@ -794,6 +801,29 @@ def q_quality_score(spark, sf_dir):
         "punct_ratio",
         "stopword_ratio",
         "quality",
+    )
+
+
+def _sentiment_sql() -> str:
+    pos = [w for w, s in ftext.SENTIMENT_LEXICON.items() if s > 0]
+    neg = [w for w, s in ftext.SENTIMENT_LEXICON.items() if s < 0]
+    pp = r"\b(" + "|".join(pos) + r")\b"
+    np_ = r"\b(" + "|".join(neg) + r")\b"
+    return rf"""
+    SELECT doc_id, ROUND(
+        CASE WHEN LEN(string_split_regex(TRIM(text), '\s+')) > 0
+             THEN (LEN(regexp_extract_all(lower(text), '{pp}'))
+                   - LEN(regexp_extract_all(lower(text), '{np_}'))) * 1.0
+                  / LEN(string_split_regex(TRIM(text), '\s+'))
+             ELSE 0.0 END, 4) AS sentiment
+    FROM documents
+    """
+
+
+@register("doc_sentiment", _sentiment_sql())
+def q_doc_sentiment(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ftext.sentiment(F.col("text")).alias("sentiment")
     )
 
 

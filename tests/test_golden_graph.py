@@ -181,3 +181,26 @@ class TestInducedSubgraph:
         s = spark.createDataFrame([(1,), (2,), (3,), (5,)], "id long")
         got = {(r.src, r.dst) for r in build.induced_subgraph(e, s).collect()}
         assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+class TestDoubleSweep:
+    def test_exact_on_path(self, spark):
+        from sna_pyspark_graphframes_spark.graph.algorithms import (
+            diameter,
+            diameter_double_sweep,
+        )
+
+        e = edges_df(spark, PATH4)
+        assert diameter_double_sweep(e).collect()[0][0] == 3
+
+    def test_lower_bound_on_cliques(self, spark):
+        from sna_pyspark_graphframes_spark.graph.algorithms import (
+            diameter,
+            diameter_double_sweep,
+        )
+
+        e = edges_df(spark, TWO_CLIQUES_BRIDGE)
+        lb = diameter_double_sweep(e).collect()[0][0]
+        exact = diameter(e).collect()[0][0]
+        assert lb <= exact
+        assert lb >= 1
