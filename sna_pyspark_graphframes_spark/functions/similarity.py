@@ -115,27 +115,58 @@ def ann_topk(
     n_planes: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank within LSH buckets.
 
     ``(query_id, neighbor_id, cos, rank)`` — candidates limited to bucket
-    mates, so cost is Σ bucket² instead of N². Recall improves with fewer
-    planes or multi-probe (future work: union over ±1-bit probes)."""
+    mates, so cost is Σ bucket² instead of N².
+
+    ``probes`` enables multi-probe: each query additionally searches the
+    ``probes`` nearest buckets obtained by flipping one sign bit (buckets
+    differing in 1 bit are the most likely homes of near neighbors that
+    fell on the other side of one hyperplane). probes=n_planes searches all
+    Hamming-1 neighbors — recall rises sharply for ~(probes+1)× candidate
+    cost, still nowhere near the N² brute force."""
     b = lsh_buckets(embeddings, dim, n_planes, seed, id_col).cache()
     v = embeddings.select(
         F.col(id_col).alias("id"), F.col("embedding").cast("array<double>").alias("v")
     )
     bv = b.join(v, "id")
-    a = bv.select(F.col("id").alias("query_id"), F.col("v").alias("vq"), "bucket")
+    if probes > 0:
+        # query-side probe buckets: base + 1-bit flips of the first `probes` bits
+        flips = [F.col("bucket")]
+        for i in range(min(probes, n_planes)):
+            flipped_bit = F.when(
+                F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            flips.append(
+                F.concat(
+                    F.substring("bucket", 1, i),
+                    flipped_bit,
+                    F.expr(f"substring(bucket, {i + 2})"),
+                )
+            )
+        a = (
+            bv.select(
+                F.col("id").alias("query_id"),
+                F.col("v").alias("vq"),
+                F.explode(F.array(*flips)).alias("bucket"),
+            )
+        )
+    else:
+        a = bv.select(F.col("id").alias("query_id"), F.col("v").alias("vq"), "bucket")
     c = bv.select(F.col("id").alias("neighbor_id"), F.col("v").alias("vc"), "bucket")
-    scored = (
+    pairs = (
         a.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot("vq", "vc") / (_norm("vq") * _norm("vc")), 4).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", "vq", "vc")
+        .dropDuplicates(["query_id", "neighbor_id"])  # collapse multi-probe hits
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot("vq", "vc") / (_norm("vq") * _norm("vc")), 4).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

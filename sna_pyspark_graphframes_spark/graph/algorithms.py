@@ -90,6 +90,74 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every strictly-larger neighbor of u re-points to the min
+    of u's closed neighborhood."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    joined = sym.join(m, "u").withColumn("m", F.least("mv", "u"))
+    return (
+        joined.filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every smaller-or-equal neighbor of u (parent pointers)
+    re-points to the min of that closed neighborhood."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("mv"))
+    joined = o.join(m, "u")
+    re_pointed = joined.filter(F.col("v") != F.col("mv")).select(
+        F.col("v").alias("u"), F.col("mv").alias("v")
+    )
+    parents = m.select("u", F.col("mv").alias("v"))
+    return (
+        re_pointed.union(parents).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def connected_components_twophase(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """``(id, component)`` via the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the documented scale path from SCALE.md: converges
+    in O(log²|V|) rounds INDEPENDENT of graph diameter, so a 100 TB
+    high-diameter graph (road networks, chains) finishes where min-label
+    propagation (O(diameter) rounds) would not.
+
+    Same output contract as ``connected_components``: component = min
+    vertex id of the component (the tests assert pairwise equality).
+    """
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = checkpointed(e)
+    vertices = e.select(F.col("u").alias("id")).union(
+        e.select(F.col("v").alias("id"))
+    ).distinct()
+    vertices = checkpointed(vertices)
+    for _ in range(max_iter):
+        e2 = checkpointed(_small_star(_large_star(e)))
+        # converged when the edge multiset is a fixed point
+        delta = e2.exceptAll(e).count() + e.exceptAll(e2).count()
+        e = e2
+        if delta == 0:
+            break
+    # final e maps child -> root; roots appear only on the right (or are
+    # isolated). component(id) = pointer if present else id itself.
+    pointers = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        vertices.join(pointers, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Label propagation (community detection)
 # ---------------------------------------------------------------------------

@@ -629,6 +629,24 @@ def q_cc_small(spark, sf_dir):
     return algorithms.connected_components(_small_copurchase(spark, sf_dir))
 
 
+@register(
+    "connected_components_twophase_small",
+    f"""
+    WITH RECURSIVE {_SMALL_CTES},
+    reach(id, comp) AS (
+        SELECT id, id FROM v
+        UNION
+        SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+    )
+    SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def q_cc_twophase_small(spark, sf_dir):
+    """Large-star/small-star CC (O(log²V) rounds, diameter-independent) —
+    same output contract, same reachability oracle."""
+    return algorithms.connected_components_twophase(_small_copurchase(spark, sf_dir))
+
+
 @register("diameter_double_sweep_small", None)
 def q_diameter_double_sweep(spark, sf_dir):
     """Scale-path diameter lower bound (2 BFS runs, no all-pairs);

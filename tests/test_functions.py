@@ -126,3 +126,29 @@ class TestMultimodal:
         import hashlib
 
         assert out1[0][0] == hashlib.md5(b"payload one").hexdigest()
+
+
+class TestMultiProbe:
+    def test_multiprobe_recall_at_least_single_probe(self, spark):
+        """Multi-probe candidates are a superset of single-probe → recall
+        vs brute force can only improve."""
+        import random
+
+        rng = random.Random(5)
+        vecs = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in fsim.cosine_topk(df, df, k=3).collect()
+        }
+
+        def recall(out):
+            got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+            return len(got & exact) / len(exact)
+
+        r0 = recall(fsim.ann_topk(df, dim=8, k=3, n_planes=4, probes=0))
+        r4 = recall(fsim.ann_topk(df, dim=8, k=3, n_planes=4, probes=4))
+        assert r4 >= r0
+        assert r4 > 0.5  # hamming-1 probing should recover most neighbors

@@ -204,3 +204,46 @@ class TestDoubleSweep:
         exact = diameter(e).collect()[0][0]
         assert lb <= exact
         assert lb >= 1
+
+
+class TestTwoPhaseCC:
+    def _check_equal(self, spark, pairs):
+        a = as_map(algorithms.connected_components(edges_df(spark, pairs)), "id", "component")
+        b = as_map(
+            algorithms.connected_components_twophase(edges_df(spark, pairs)),
+            "id",
+            "component",
+        )
+        assert a == b
+
+    def test_disconnected(self, spark):
+        self._check_equal(spark, DISCONNECTED)
+
+    def test_bridge(self, spark):
+        self._check_equal(spark, TWO_CLIQUES_BRIDGE)
+
+    def test_path(self, spark):
+        self._check_equal(spark, PATH4)
+
+    def test_random_graphs(self, spark):
+        import random
+
+        rng = random.Random(17)
+        for trial in range(3):
+            n = 30
+            pairs = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+            ]
+            pairs = [(a, b) for a, b in pairs if a != b]
+            self._check_equal(spark, pairs)
+
+    def test_long_chain_few_rounds(self, spark):
+        # 40-vertex path: diameter 39; two-phase must converge well within
+        # 15 rounds (O(log^2 n)) where min-label propagation needs ~40
+        chain = [(i, i + 1) for i in range(40)]
+        out = as_map(
+            algorithms.connected_components_twophase(edges_df(spark, chain), max_iter=15),
+            "id",
+            "component",
+        )
+        assert set(out.values()) == {0}
