@@ -49,6 +49,12 @@ HEADLINE = [
     "connected_components_count",
     "lpa_community_count",
     "random_walk_sample",
+    "price_quantiles",
+    "acctbal_stats",
+    "diameter_small",
+    "avg_closeness_small",
+    "betweenness_sampled",
+    "connected_components_twophase_small",
 ]
 
 

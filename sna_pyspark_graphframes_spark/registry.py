@@ -320,6 +320,65 @@ def q_price_math(spark, sf_dir):
     return relational.price_math(_t(spark, sf_dir, "part"))
 
 
+@register(
+    "price_quantiles",
+    """
+    SELECT p_brand,
+           ROUND(list_extract(quantile_cont(p_retailprice, [0.25, 0.5, 0.75]), 1), 4) AS q25,
+           ROUND(list_extract(quantile_cont(p_retailprice, [0.25, 0.5, 0.75]), 2), 4) AS q50,
+           ROUND(list_extract(quantile_cont(p_retailprice, [0.25, 0.5, 0.75]), 3), 4) AS q75
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_price_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` =
+    DuckDB ``quantile_cont``). At 100 TB swap to ``approx_percentile``
+    (t-digest sketch, one pass, mergeable) — same call shape."""
+    p = _t(spark, sf_dir, "part")
+    pct = F.percentile("p_retailprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return p.groupBy("p_brand").agg(
+        F.round(pct[0], 4).alias("q25"),
+        F.round(pct[1], 4).alias("q50"),
+        F.round(pct[2], 4).alias("q75"),
+    )
+
+
+@register(
+    "acctbal_stats",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(AVG(c_acctbal), 4) AS mean_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(MEDIAN(c_acctbal), 4) AS med_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_acctbal_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.median("c_acctbal"), 4).alias("med_bal"),
+    )
+
+
+@register("n_parts_approx", None)
+def q_n_parts_approx(spark, sf_dir):
+    """HLL++ sketch distinct count — the 100 TB path for cardinality
+    (mergeable, one pass, no exact-distinct shuffle). Rows-only: sketch
+    estimates are engine-specific by design; the exact twin is n_vertices."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph construction (SURVEY.md §2.1 #1-8, #15-17, #25-26)
 # ---------------------------------------------------------------------------

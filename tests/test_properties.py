@@ -1,0 +1,86 @@
+"""Property-based invariants (hypothesis) — SURVEY.md §5.2 #3.
+
+Few examples per property (each example runs Spark jobs); the properties
+themselves are the point: they hold for ANY graph, not just fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.graph import algorithms, build
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_symmetrize_properties(spark, pairs):
+    sym = build.symmetrize(_df(spark, pairs), dedup=True)
+    rows = {(r.src, r.dst) for r in sym.collect()}
+    assert all(a != b for a, b in rows)              # no self loops
+    assert all((b, a) in rows for a, b in rows)      # closed under reversal
+    covered = {tuple(sorted(p)) for p in pairs}
+    got = {tuple(sorted(p)) for p in rows}
+    assert got == covered                            # exactly the input edges
+
+
+@given(pairs=edge_lists, sample=st.sets(st.integers(0, 12), max_size=8))
+@settings(**SETTINGS)
+def test_induced_subgraph_equals_brute_force(spark, pairs, sample):
+    e = _df(spark, pairs)
+    s = spark.createDataFrame([(int(x),) for x in sample] or [(-1,)], "id long")
+    got = {(r.src, r.dst) for r in build.induced_subgraph(e, s).collect()}
+    expected = {(a, b) for a, b in set(pairs) if a in sample and b in sample}
+    assert got == expected
+
+
+@given(
+    labels=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-50, 50)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_dense_rekey_is_order_preserving_bijection(spark, labels):
+    df = spark.createDataFrame(
+        [(int(i), int(l)) for i, l in labels], "id long, label long"
+    )
+    out = {r.id: r.label for r in algorithms.dense_rekey(df).collect()}
+    orig = dict(labels)
+    # dense: exactly 0..k-1
+    k = len(set(orig.values()))
+    assert set(out.values()) == set(range(k))
+    # same grouping and same relative order
+    for i1, l1 in orig.items():
+        for i2, l2 in orig.items():
+            assert (out[i1] == out[i2]) == (l1 == l2)
+            assert (out[i1] < out[i2]) == (l1 < l2)
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_cc_simple_equals_twophase(spark, pairs):
+    e = _df(spark, pairs)
+    a = {r.id: r.component for r in algorithms.connected_components(e).collect()}
+    b = {
+        r.id: r.component
+        for r in algorithms.connected_components_twophase(e).collect()
+    }
+    assert a == b
