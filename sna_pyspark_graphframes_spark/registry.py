@@ -320,6 +320,69 @@ def q_price_math(spark, sf_dir):
     return relational.price_math(_t(spark, sf_dir, "part"))
 
 
+def _register_views(spark, sf_dir, names):
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+@register("sql_shipping_priority", _Q3_SQL)
+def q_sql_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped query through the SQL entry point (``spark.sql``) —
+    the engine's second API surface; byte-identical SQL runs on DuckDB as
+    the oracle. Catalyst plans it the same as the DataFrame form (broadcast
+    dims, partial aggs, TakeOrderedAndProject for the top-10)."""
+    _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_Q3_SQL)
+
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+"""
+
+
+@register("sql_exists_urgent_customers", _EXISTS_SQL)
+def q_sql_exists(spark, sf_dir):
+    """Correlated EXISTS subquery via spark.sql — Catalyst rewrites it to a
+    left-semi join (no per-row subquery execution)."""
+    _register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_EXISTS_SQL)
+
+
+@register(
+    "parts_never_ordered",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def q_parts_never_ordered(spark, sf_dir):
+    """Anti-join (NOT EXISTS): parts that never appear in lineitem."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(
+        li, p.p_partkey == li.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
 @register(
     "price_quantiles",
     """
