@@ -232,6 +232,77 @@ def dense_rekey(labels: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """``(id, pagerank)`` — power-iteration PageRank (= GraphFrames
+    ``g.pageRank(resetProbability=1-damping, maxIter=...)``, the other
+    headline API of the library the reference builds on).
+
+    pr(v) = (1-d)/N + d·(Σ_{u→v} pr(u)/outdeg(u) + dangling_mass/N)
+
+    Per iteration: one join (ranks onto edge src) + one sum aggregate on
+    dst + a 1-row dangling-mass aggregate broadcast back — all keyed
+    shuffles, checkpointed (SCALE.md iterative-loop hygiene). Undirected
+    mode symmetrizes first (each edge contributes both directions).
+    Ranks sum to 1 (probability form).
+    """
+    e = edges.select("src", "dst") if directed else _sym(edges)
+    e = checkpointed(e.filter(F.col("src") != F.col("dst")).distinct())
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    vertices = checkpointed(vertices)
+    n = vertices.count()
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    # dangling vertices (no out-edges) exist only in directed mode
+    base = vertices.join(out_deg, "id", "left").fillna({"out_deg": 0})
+    base = checkpointed(base)
+    ranks = base.withColumn("pr", F.lit(1.0 / n))
+    ranks = checkpointed(ranks)
+    # dangling vertices can only exist in directed mode — skip the
+    # per-iteration dangling-mass aggregate entirely for undirected graphs
+    has_danglings = directed and base.filter(F.col("out_deg") == 0).limit(1).count() > 0
+    for _ in range(max_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        updated = base.join(contribs, "id", "left")
+        if has_danglings:
+            dangling = ranks.filter(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+            )
+            updated = updated.crossJoin(F.broadcast(dangling))
+            dm = F.col("dm")
+        else:
+            dm = F.lit(0.0)
+        ranks = updated.select(
+            "id",
+            "out_deg",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * (F.coalesce("inflow", F.lit(0.0)) + dm / n)
+            ).alias("pr"),
+        )
+        ranks = checkpointed(ranks)
+    return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
 # Multi-source BFS / shortest-path distances
 # ---------------------------------------------------------------------------
 

@@ -812,6 +812,15 @@ def q_avg_betweenness_small(spark, sf_dir):
     return algorithms.average_betweenness(_small_copurchase(spark, sf_dir))
 
 
+@register("pagerank_top20", None)
+def q_pagerank(spark, sf_dir):
+    """PageRank over the co-purchase graph, top-20 by rank (deterministic
+    ties). Golden-tested against closed-form values; rows-only here
+    (fixed-point arithmetic isn't recursive-CTE-friendly)."""
+    pr = algorithms.pagerank(_copurchase(spark, sf_dir), max_iter=15)
+    return pr.orderBy(F.col("pagerank").desc(), F.col("id").asc()).limit(20)
+
+
 @register("betweenness_sampled", None)
 def q_betweenness_sampled(spark, sf_dir):
     """Sampled-source Brandes (K=16 deterministic sources, n/K

@@ -247,3 +247,33 @@ class TestTwoPhaseCC:
             "component",
         )
         assert set(out.values()) == {0}
+
+
+class TestPageRank:
+    def test_uniform_on_symmetric_regular(self, spark):
+        # triangle: every vertex identical → 1/3 each
+        pr = as_map(
+            algorithms.pagerank(edges_df(spark, [(1, 2), (2, 3), (1, 3)]), max_iter=30),
+            "id",
+            "pagerank",
+        )
+        for v in (1, 2, 3):
+            assert pr[v] == pytest.approx(1 / 3, abs=1e-4)
+
+    def test_star_closed_form(self, spark):
+        # undirected star5, d=0.85: solve c = 0.025 + 0.85·5·l,
+        # l = 0.025 + 0.17·c  →  c ≈ 0.472973, l ≈ 0.105405
+        pr = as_map(
+            algorithms.pagerank(edges_df(spark, STAR5), max_iter=60), "id", "pagerank"
+        )
+        assert pr[0] == pytest.approx(0.472973, abs=1e-3)
+        for leaf in range(1, 6):
+            assert pr[leaf] == pytest.approx(0.105405, abs=1e-3)
+
+    def test_sums_to_one_with_dangling(self, spark):
+        # directed chain 1→2→3: vertex 3 is dangling
+        pr = algorithms.pagerank(
+            edges_df(spark, [(1, 2), (2, 3)]), max_iter=40, directed=True
+        )
+        total = sum(r.pagerank for r in pr.collect())
+        assert total == pytest.approx(1.0, abs=1e-3)
