@@ -71,12 +71,19 @@ def _walk_one_community(
     max_walk_steps: int,
     cc: float,
 ) -> list[int]:
-    vertices = [int(v) for v in ids]
+    # SORT everything before any RNG draw: the Arrow batch's row order (and
+    # each nbrs array's order) depends on upstream partitioning — the seeded
+    # walk is placement-independent only over canonically-ordered inputs
+    # (FIXTURES.md §5 contract; caught by running under a different
+    # shuffle-partition count).
+    by_id = sorted(
+        (int(v), sorted(int(u) for u in nbrs)) for v, nbrs in zip(ids, nbrs_col)
+    )
+    vertices = [v for v, _ in by_id]
     vertex_set = set(vertices)
 
     intra = {
-        v: [int(u) for u in nbrs if int(u) in vertex_set]
-        for v, nbrs in zip(vertices, nbrs_col)
+        v: [u for u in nbrs if u in vertex_set] for v, nbrs in by_id
     }
 
     rng = np.random.default_rng((seed * 1_000_003 + label) % (2**63))

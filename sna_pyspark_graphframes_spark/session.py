@@ -12,6 +12,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Set the runtime-settable confs this engine REQUIRES on a session it
+    didn't build (e.g. the driver's own). Without these: events.parquet
+    (TIMESTAMP NANOS) fails to read, non-UTC sessions hash timestamps
+    differently from the DuckDB oracle, and pandas UDFs fall back to
+    pickled rows."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in some deployments; builder-config path covers it
+    return spark
+
+
 def get_spark(
     app_name: str = "sna_pyspark_graphframes_spark",
     master: str | None = None,

@@ -126,6 +126,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the declared columns (column pruning reaches the scan; stray extra
     columns in a future file version are ignored rather than breaking us).
     """
+    from sna_pyspark_graphframes_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)  # driver-provided sessions lack our builder confs
     schema = TABLE_SCHEMAS[name]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     missing = set(schema.fieldNames()) - set(df.columns)

@@ -34,6 +34,9 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sna_pyspark_graphframes_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
