@@ -812,6 +812,49 @@ def q_avg_betweenness_small(spark, sf_dir):
     return algorithms.average_betweenness(_small_copurchase(spark, sf_dir))
 
 
+@register(
+    "motif_triangles_small",
+    f"""
+    WITH {_SMALL_CTES},
+    ec AS (SELECT src, dst FROM e0 WHERE src < 100 AND dst < 100)
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM ec e1
+    JOIN ec e2 ON e1.dst = e2.src
+    JOIN ec e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def q_motif_triangles(spark, sf_dir):
+    from sna_pyspark_graphframes_spark.graph import motifs
+
+    return motifs.triangles(_small_copurchase(spark, sf_dir))
+
+
+@register(
+    "motif_open_wedges_small",
+    f"""
+    WITH {_SMALL_CTES},
+    ec AS (SELECT src, dst FROM e0 WHERE src < 100 AND dst < 100),
+    w AS (
+        SELECT w1.dst AS a, w1.src AS b, w2.dst AS c
+        FROM sym w1 JOIN sym w2 ON w1.src = w2.src AND w1.dst < w2.dst
+    )
+    SELECT a, b, c FROM w
+    WHERE NOT EXISTS (SELECT 1 FROM ec WHERE ec.src = w.a AND ec.dst = w.c)
+    """,
+)
+def q_motif_wedges(spark, sf_dir):
+    from sna_pyspark_graphframes_spark.graph import motifs
+
+    return motifs.wedges(_small_copurchase(spark, sf_dir), open_only=True)
+
+
+@register("motif_four_cycles_small", None)
+def q_motif_four_cycles(spark, sf_dir):
+    from sna_pyspark_graphframes_spark.graph import motifs
+
+    return motifs.four_cycles(_small_copurchase(spark, sf_dir))
+
+
 @register("pagerank_top20", None)
 def q_pagerank(spark, sf_dir):
     """PageRank over the co-purchase graph, top-20 by rank (deterministic

@@ -277,3 +277,41 @@ class TestPageRank:
         )
         total = sum(r.pagerank for r in pr.collect())
         assert total == pytest.approx(1.0, abs=1e-3)
+
+
+class TestMotifs:
+    def test_triangles_tuples(self, spark):
+        from sna_pyspark_graphframes_spark.graph import motifs
+
+        out = {tuple(r) for r in motifs.triangles(edges_df(spark, TRI_PLUS_TAIL)).collect()}
+        assert out == {(1, 2, 3)}
+
+    def test_open_wedges(self, spark):
+        from sna_pyspark_graphframes_spark.graph import motifs
+
+        # tri_plus_tail: wedges through 3: (1,3,4),(2,3,4); (1,3,2) is closed
+        out = {tuple(r) for r in motifs.wedges(edges_df(spark, TRI_PLUS_TAIL)).collect()}
+        assert out == {(1, 3, 4), (2, 3, 4)}
+
+    def test_wedges_count_matches_formula(self, spark):
+        from sna_pyspark_graphframes_spark.graph import motifs
+
+        e = edges_df(spark, TWO_CLIQUES_BRIDGE)
+        total = motifs.wedges(e, open_only=False).count()
+        # Σ deg(v)(deg(v)-1)/2: K4 degs 3,3,3,4(+bridge)... compute from engine
+        deg = metrics.degrees(e)
+        expected = deg.selectExpr("sum(degree*(degree-1)/2) s").collect()[0].s
+        assert total == int(expected)
+
+    def test_four_cycles_square(self, spark):
+        from sna_pyspark_graphframes_spark.graph import motifs
+
+        square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+        out = [tuple(r) for r in motifs.four_cycles(edges_df(spark, square)).collect()]
+        assert out == [(1, 2, 3, 4)]
+
+    def test_four_cycles_k4(self, spark):
+        from sna_pyspark_graphframes_spark.graph import motifs
+
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        assert motifs.four_cycles(edges_df(spark, k4)).count() == 3  # 3 cycles in K4
