@@ -231,6 +231,127 @@ def dense_rekey(labels: DataFrame) -> DataFrame:
     )
 
 
+def strongly_connected_components(
+    edges: DataFrame, max_iter: int = 30, max_hops: int = 1000
+) -> DataFrame:
+    """``(id, component)`` SCCs of a DIRECTED graph, component = min vertex
+    id of the SCC — the forward-backward coloring algorithm as DataFrame
+    loops (= GraphFrames ``stronglyConnectedComponents``; completes the
+    directed side of the component family):
+
+    repeat on the not-yet-assigned subgraph:
+      1. forward min-propagation to a fixed point: color(v) = min id that
+         reaches v along edge direction;
+      2. backward propagation WITHIN each color class from its pivot
+         (the vertex whose id equals its color): every vertex that can
+         reach its pivot inside the class is in the pivot's SCC;
+      3. assign those, drop them, repeat.
+
+    Each outer round settles ≥1 SCC per color class (expected O(log V)
+    rounds on random graphs — Blelloch et al.); inner loops are the usual
+    join+aggregate supersteps with checkpointing.
+
+    ``max_iter`` caps OUTER rounds only. The inner propagation loops must
+    reach their fixed point for correctness (a truncated forward pass can
+    leave a color class without a pivot; a truncated backward pass would
+    split an SCC), so they run to convergence under the generous
+    ``max_hops`` safety bound — one superstep per hop, so the bound is the
+    longest shortest-path inside any one color class, not graph size.
+    """
+    remaining = (
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    )
+    vertices = (
+        remaining.select(F.col("src").alias("id"))
+        .union(remaining.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    vertices = checkpointed(vertices)
+    remaining = checkpointed(remaining)
+    assigned = None  # DataFrame (id, component)
+    for _round in range(max_iter):
+        if vertices.isEmpty():
+            break
+        # --- 1. forward min-propagation to fixed point -------------------
+        colors = vertices.withColumn("color", F.col("id"))
+        colors = checkpointed(colors)
+        for _ in range(max_hops):
+            prop = (
+                remaining.join(
+                    colors.select(F.col("id").alias("src"), "color"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("color").alias("in_color"))
+            )
+            new_colors = (
+                colors.join(prop, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("color"), F.coalesce("in_color", F.col("color"))
+                    ).alias("color"),
+                )
+            )
+            new_colors = checkpointed(new_colors)
+            changed = (
+                new_colors.alias("n")
+                .join(colors.alias("o"), "id")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .count()
+            )
+            colors = new_colors
+            if changed == 0:
+                break
+        # --- 2. backward reach of each pivot within its color class ------
+        # edges inside one color class, reversed
+        ce = (
+            remaining.join(colors.select(F.col("id").alias("src"), "color"), "src")
+            .join(
+                colors.select(
+                    F.col("id").alias("dst"), F.col("color").alias("c2")
+                ),
+                "dst",
+            )
+            .filter(F.col("color") == F.col("c2"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"), "color")
+        )
+        ce = checkpointed(ce)
+        reached = colors.filter(F.col("id") == F.col("color")).select(
+            "id", "color"
+        )  # pivots
+        reached = checkpointed(reached)
+        frontier = reached
+        for _ in range(max_hops):
+            nxt = (
+                frontier.join(ce.withColumnRenamed("src", "id"), ["id", "color"])
+                .select(F.col("dst").alias("id"), "color")
+                .distinct()
+                .join(reached, ["id", "color"], "left_anti")
+            )
+            nxt = checkpointed(nxt)
+            if nxt.isEmpty():
+                break
+            reached = checkpointed(reached.unionByName(nxt))
+            frontier = nxt
+        scc = reached.select("id", F.col("color").alias("component"))
+        assigned = scc if assigned is None else assigned.unionByName(scc)
+        assigned = checkpointed(assigned)
+        # --- 3. drop settled vertices ------------------------------------
+        vertices = checkpointed(
+            vertices.join(scc.select("id"), "id", "left_anti")
+        )
+        remaining = checkpointed(
+            remaining.join(
+                scc.select(F.col("id").alias("src")), "src", "left_anti"
+            ).join(scc.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+        )
+    if assigned is None:
+        return vertices.withColumn("component", F.col("id"))
+    leftovers = vertices.withColumn("component", F.col("id"))
+    return assigned.unionByName(leftovers)
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------

@@ -535,6 +535,39 @@ def q_induced_subgraph(spark, sf_dir):
     return build.induced_subgraph(_copurchase(spark, sf_dir), parts)
 
 
+@register(
+    "json_roundtrip",
+    "SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink → source roundtrip with a declared read schema (no
+    inference pass): events written as JSON and re-read must hash-match the
+    original parquet — proves the third source format (parquet/CSV/JSON)
+    losslessly, including microsecond timestamps."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tag = hashlib.md5(f"json:{sf_dir}".encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_json_{tag}"
+    ev.write.mode("overwrite").json(path, timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(
+        path, timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    )
+
+
 @register("edge_file_roundtrip", COPURCHASE_EDGES_SQL)
 def q_edge_file_roundtrip(spark, sf_dir):
     """Write the co-purchase edges in the reference's space-delimited format
@@ -853,6 +886,48 @@ def q_motif_four_cycles(spark, sf_dir):
     from sna_pyspark_graphframes_spark.graph import motifs
 
     return motifs.four_cycles(_small_copurchase(spark, sf_dir))
+
+
+@register(
+    "scc_order_rings",
+    """
+    SELECT o_orderkey AS id,
+           MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+    FROM orders
+    QUALIFY COUNT(*) OVER (PARTITION BY o_custkey) >= 2
+    """,
+)
+def q_scc_order_rings(spark, sf_dir):
+    """Strongly connected components on a directed graph with known SCC
+    structure: each customer's orders linked in a ring (o1→o2→…→on→o1).
+    Every ring is exactly one SCC with component = min order key — which the
+    oracle states directly as a window MIN, making the full SCC output
+    value-checked."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("src"),
+            F.lead("o_orderkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .select("src", "dst")
+    )
+    wrap = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderkey").alias("src"),
+            F.min("o_orderkey").alias("dst"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    ring = chain.unionByName(wrap)
+    return algorithms.strongly_connected_components(ring)
 
 
 @register("pagerank_top20", None)

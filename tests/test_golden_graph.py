@@ -315,3 +315,36 @@ class TestMotifs:
 
         k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
         assert motifs.four_cycles(edges_df(spark, k4)).count() == 3  # 3 cycles in K4
+
+
+class TestSCC:
+    def _scc(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+        )
+        out = algorithms.strongly_connected_components(df)
+        m = as_map(out, "id", "component")
+        inv = {}
+        for k, v in m.items():
+            inv.setdefault(v, set()).add(k)
+        return sorted(map(frozenset, inv.values()), key=min)
+
+    def test_cycle_is_one_scc(self, spark):
+        assert self._scc(spark, [(1, 2), (2, 3), (3, 1)]) == [frozenset({1, 2, 3})]
+
+    def test_dag_all_singletons(self, spark):
+        assert self._scc(spark, [(1, 2), (2, 3), (1, 3)]) == [
+            frozenset({1}),
+            frozenset({2}),
+            frozenset({3}),
+        ]
+
+    def test_two_cycles_linked(self, spark):
+        # cycle {1,2,3} -> cycle {4,5} via edge 3->4: two SCCs
+        pairs = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4)]
+        assert self._scc(spark, pairs) == [frozenset({1, 2, 3}), frozenset({4, 5})]
+
+    def test_mixed(self, spark):
+        # self-contained figure-8 through 3: 1->2->3->1 and 3->4->5->3 is ONE scc
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)]
+        assert self._scc(spark, pairs) == [frozenset({1, 2, 3, 4, 5})]
