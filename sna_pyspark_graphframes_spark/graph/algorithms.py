@@ -353,6 +353,120 @@ def strongly_connected_components(
 
 
 # ---------------------------------------------------------------------------
+# Weighted shortest paths
+# ---------------------------------------------------------------------------
+
+def weighted_sssp(
+    edges: DataFrame, source: int, max_iter: int = 64
+) -> DataFrame:
+    """``(id, dist)`` — minimum path weight from ``source`` to every
+    reachable vertex, over a DIRECTED weighted edge set ``(src, dst,
+    weight)`` with non-negative weights (symmetrize-with-weight first for
+    undirected). Distributed Bellman-Ford: each round relaxes every edge
+    whose src is settled so far (join + min-aggregate), stopping at the
+    first round that improves nothing — ≤ longest-shortest-path-hops
+    rounds, each one keyed shuffle, checkpointed.
+
+    The frontier IS the dist table (no separate visited set): min() over
+    the union of old dists and new candidates is idempotent, so
+    re-relaxation is wasted work but never wrong — the fixed point is the
+    true distance (standard Bellman-Ford argument).
+    """
+    e = checkpointed(edges.select("src", "dst", "weight"))
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double")
+    dist = checkpointed(dist)
+    for _ in range(max_iter):
+        cand = (
+            e.join(dist.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("dist"))
+        )
+        new_dist = (
+            dist.unionByName(cand).groupBy("id").agg(F.min("dist").alias("dist"))
+        )
+        new_dist = checkpointed(new_dist)
+        improved = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "id", "left")
+            .filter(
+                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if improved == 0:
+            break
+    return dist.select("id", F.round(F.col("dist"), 4).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """Edges of the k-core: the maximal subgraph where every vertex has
+    degree ≥ k (undirected; canonical input). Iterative peeling — each
+    round drops all vertices below k at once, so rounds ≤ the peeling
+    depth, not |V|. Per round: one degree aggregate + two semi-joins,
+    checkpointed."""
+    e = checkpointed(edges.select("src", "dst"))
+    for _ in range(max_iter):
+        deg = (
+            _sym(e)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        n_before = deg.count()
+        n_keep = keep.count()
+        if n_keep == n_before:
+            break
+        e = checkpointed(
+            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        if n_keep == 0:
+            break
+    return e
+
+
+def core_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
+    """``(id, core)`` — each vertex's core number (max k such that it is in
+    the k-core; = ``nx.core_number``). Peels k = 1, 2, … until the graph
+    empties: vertices present in the (k)-core but not the (k+1)-core get
+    core k. O(degeneracy) outer rounds — social graphs have small
+    degeneracy relative to max degree, so this terminates in tens of
+    rounds even when hubs have millions of neighbors."""
+    current = checkpointed(edges.select("src", "dst"))
+    result = None
+    for k in range(1, max_k + 1):
+        nxt = k_core(current, k + 1)
+        cur_v = (
+            current.select(F.col("src").alias("id"))
+            .union(current.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        nxt_v = (
+            nxt.select(F.col("src").alias("id"))
+            .union(nxt.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        dropped = cur_v.join(nxt_v, "id", "left_anti").withColumn(
+            "core", F.lit(k)
+        )
+        result = dropped if result is None else result.unionByName(dropped)
+        result = checkpointed(result)
+        current = nxt
+        if current.isEmpty():
+            break
+    if result is None:
+        return edges.sparkSession.createDataFrame([], "id long, core int")
+    return result
+
+
+# ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
 
@@ -417,6 +531,79 @@ def pagerank(
             (
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping) * (F.coalesce("inflow", F.lit(0.0)) + dm / n)
+            ).alias("pr"),
+        )
+        ranks = checkpointed(ranks)
+    return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[int],
+    damping: float = 0.85,
+    max_iter: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """``(id, pagerank)`` — PageRank personalized to ``sources``
+    (= GraphFrames ``parallelPersonalizedPageRank`` for one source set):
+    the teleport distribution is uniform over ``sources`` instead of all
+    vertices, and dangling mass returns to the sources. Ranks are the
+    stationary random-walk-with-restart distribution and sum to 1.
+
+    Same loop/shuffle structure as :func:`pagerank`; the reset vector is a
+    broadcast-joined 0/1-weight column instead of a constant.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    e = edges.select("src", "dst") if directed else _sym(edges)
+    e = checkpointed(e.filter(F.col("src") != F.col("dst")).distinct())
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    src_df = e.sparkSession.createDataFrame(
+        [(int(s),) for s in set(sources)], "id long"
+    ).withColumn("r", F.lit(1.0 / len(set(sources))))
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    base = (
+        vertices.join(F.broadcast(src_df), "id", "left")
+        .fillna({"r": 0.0})
+        .join(out_deg, "id", "left")
+        .fillna({"out_deg": 0})
+    )
+    base = checkpointed(base)
+    ranks = base.withColumn("pr", F.col("r"))
+    ranks = checkpointed(ranks)
+    has_danglings = (
+        directed and base.filter(F.col("out_deg") == 0).limit(1).count() > 0
+    )
+    for _ in range(max_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        updated = base.join(contribs, "id", "left")
+        if has_danglings:
+            dangling = ranks.filter(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+            )
+            updated = updated.crossJoin(F.broadcast(dangling))
+            dm = F.col("dm")
+        else:
+            dm = F.lit(0.0)
+        ranks = updated.select(
+            "id",
+            "r",
+            "out_deg",
+            (
+                (F.lit(1.0 - damping) + F.lit(damping) * dm) * F.col("r")
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
             ).alias("pr"),
         )
         ranks = checkpointed(ranks)

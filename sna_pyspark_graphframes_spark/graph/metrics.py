@@ -178,3 +178,48 @@ def top_k_by_degree(edges: DataFrame, k: int = 10) -> DataFrame:
     — per-partition heaps then a driver merge of k·P rows, no full sort.
     """
     return degrees(edges).orderBy(F.col("degree").desc(), F.col("id").asc()).limit(k)
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """``(id, out_degree)`` of a DIRECTED edge set (= GraphFrames
+    ``g.outDegrees``). Vertices with no out-edges are absent, matching
+    GraphFrames."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    """``(id, in_degree)`` of a DIRECTED edge set (= GraphFrames
+    ``g.inDegrees``)."""
+    return edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_degree")
+    )
+
+
+def in_out_degrees(edges: DataFrame) -> DataFrame:
+    """``(id, out_degree, in_degree)`` — both directions in one aggregate
+    (a tagged union instead of a full outer join: one shuffle, no join)."""
+    tagged = edges.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i")).unionAll(
+        edges.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    )
+    return tagged.groupBy("id").agg(
+        F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree")
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """1-row ``(assortativity)`` — Pearson correlation of endpoint degrees
+    over the symmetrized edge list (``nx.degree_assortativity_coefficient``
+    on an undirected graph). Two broadcast-able degree joins + one corr
+    aggregate; corr is scale-invariant so sample-vs-population variance
+    cancels and any engine's ``corr`` matches."""
+    s = symmetrize(edges, dedup=True)
+    deg = degrees(edges)
+    ds = deg.select(F.col("id").alias("src"), F.col("degree").alias("dsrc"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddst"))
+    return (
+        s.join(ds, "src")
+        .join(dd, "dst")
+        .agg(F.round(F.corr("dsrc", "ddst"), 4).alias("assortativity"))
+    )

@@ -1,0 +1,169 @@
+"""Temporal join operators Spark lacks as built-ins — as-of join and
+time-range join — expressed as compositions of existing DataFrame ops
+(the build brief's "custom operators" path (a): no UDF, no mapPartitions).
+
+These are the workhorses of event/feature pipelines (point-in-time-correct
+feature lookup, attribution windows). The reference has no temporal data at
+all; these extend the engine the same way §2.4's dedup/similarity ops do.
+
+Scale notes:
+  * ``asof_join`` is the sort-based formulation: tag both inputs, union,
+    ONE shuffle on the key, and a running ``last(..., ignorenulls=True)``
+    window carries the most recent right-side row forward. No per-row range
+    probe, no range join, no UDF — cost is a single sort per key group,
+    which is the lower bound for as-of semantics. Skewed keys are split by
+    AQE the same as any keyed shuffle.
+  * ``time_range_join`` turns the inequality join into an equi-join on
+    (key, time-bucket): each left row lands in one bucket, each right row
+    is replicated to the few buckets its window can overlap, then the exact
+    range predicate filters. Catalyst would otherwise plan key-equi + range
+    filter fine, but bucketing bounds the per-match fan-out explicitly and
+    keeps the join a hash join even when one side's windows are huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "right_",
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach the LATEST right row with the same ``on``
+    key and ``right.ts <= left.ts`` (``< `` when ``strict``) — i.e. DuckDB /
+    pandas ``merge_asof`` backward semantics, left-outer (unmatched left
+    rows keep NULLs).
+
+    Output = all left columns + the chosen ``right_cols`` renamed with
+    ``prefix``. Ties on the right timestamp resolve to the row latest in
+    ``(ts, right-side order of right_cols values)`` — callers wanting full
+    determinism under duplicate timestamps should include a unique id in
+    ``right_cols`` (it participates in the carried struct's ordering).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    # tag: right rows sort BEFORE left rows at the same timestamp so an
+    # equal-ts right row is visible to the left row (<=); strict flips that.
+    right_tag, left_tag = (0, 1) if not strict else (2, 1)
+    carried = F.struct(
+        F.col(right_ts).alias("__ats"), *[F.col(c) for c in right_cols]
+    )
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_tag).alias("__tag"),
+        carried.alias("__carry"),
+        F.lit(None).cast(left.select(lrow.alias("x")).schema["x"].dataType).alias(
+            "__lrow"
+        ),
+    )
+    l = left.select(
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_tag).alias("__tag"),
+        F.lit(None).cast(r.schema["__carry"].dataType).alias("__carry"),
+        lrow.alias("__lrow"),
+        F.col(on).alias("__k"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag", "__carry")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # left rows ride the same single shuffle as right rows (their full row
+    # packed in __lrow) — no id-keyed join back, one sort total.
+    out = (
+        r.unionByName(l)
+        .withColumn("__best", F.last("__carry", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == left_tag)
+        .select("__lrow.*", "__best")
+    )
+    for c in right_cols:
+        out = out.withColumn(prefix + c, F.col(f"__best.{c}"))
+    return out.withColumn(prefix + right_ts, F.col("__best.__ats")).drop("__best")
+
+
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    lower_s: int,
+    upper_s: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Inner join of right rows whose ``right_ts`` falls in
+    ``(left_ts + lower_s, left_ts + upper_s]`` seconds for the same ``on``
+    key.
+
+    Implemented as an equi-join on (key, time bucket): each RIGHT row maps
+    to its single ``bucket_s``-wide epoch bucket; each LEFT row's window is
+    expanded to the bucket indices it can overlap with ``sequence()`` +
+    ``explode`` (window span / bucket width + 1 candidates — choose
+    ``bucket_s`` ≈ window width so that's ~2). The exact microsecond-epoch
+    predicate filters after the hash join.
+    """
+    b_us = int(bucket_s) * 1_000_000
+    lo_us = int(lower_s) * 1_000_000
+    hi_us = int(upper_s) * 1_000_000
+    lm = F.unix_micros(F.col(left_ts))
+    rm = F.unix_micros(F.col(right_ts))
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((lm + F.lit(lo_us)) / F.lit(b_us)),
+                F.floor((lm + F.lit(hi_us)) / F.lit(b_us)),
+            )
+        ),
+    )
+    rb = right.withColumn("__bucket", F.floor(rm / F.lit(b_us)))
+    # dataset aliases: left and right are often derived from the SAME
+    # source frame (self-range-join) — qualified refs keep Spark's
+    # ambiguous-self-join check satisfied.
+    L, R = lb.alias("__L"), rb.alias("__R")
+    lts = F.unix_micros(F.col(f"__L.{left_ts}"))
+    rts = F.unix_micros(F.col(f"__R.{right_ts}"))
+    joined = L.join(
+        R,
+        (F.col("__L.__bucket") == F.col("__R.__bucket"))
+        & (F.col(f"__L.{on}") == F.col(f"__R.{on}"))
+        & (rts > lts + F.lit(lo_us))
+        & (rts <= lts + F.lit(hi_us)),
+    )
+    keep = [F.col(f"__L.{c}") for c in left.columns] + [
+        F.col(f"__R.{c}") for c in right.columns if c != on
+    ]
+    return joined.select(*keep)
+
+
+def attribution_counts(
+    purchases: DataFrame,
+    events: DataFrame,
+    horizon_s: int = 3600,
+) -> DataFrame:
+    """Per purchase event: how many same-user events of each type follow
+    within ``horizon_s`` seconds — the classic attribution-window rollup,
+    built on ``time_range_join``. Returns ``(event_id, user_id, ts,
+    followup_type, followups)``."""
+    f = time_range_join(
+        purchases.select("event_id", "user_id", "ts"),
+        events.select("user_id", F.col("ts").alias("fts"), "event_type"),
+        on="user_id",
+        lower_s=0,
+        upper_s=horizon_s,
+        left_ts="ts",
+        right_ts="fts",
+    )
+    return f.groupBy(
+        "event_id", "user_id", "ts", F.col("event_type").alias("followup_type")
+    ).agg(F.count("*").alias("followups"))

@@ -17,8 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sna_pyspark_graphframes_spark.sources import load_table, read_edge_list, write_edge_list
-from sna_pyspark_graphframes_spark.graph import algorithms, build, metrics, sampling
-from sna_pyspark_graphframes_spark.operators import relational
+from sna_pyspark_graphframes_spark.graph import (
+    algorithms,
+    build,
+    messages,
+    metrics,
+    sampling,
+)
+from sna_pyspark_graphframes_spark.operators import relational, temporal
 
 
 @dataclass(frozen=True)
@@ -930,6 +936,161 @@ def q_scc_order_rings(spark, sf_dir):
     return algorithms.strongly_connected_components(ring)
 
 
+@register(
+    "link_prediction_small",
+    f"""
+    WITH {_SMALL_CTES},
+    deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+    w AS (
+        SELECT s1.dst AS a, s2.dst AS b, d.degree AS dz
+        FROM sym s1
+        JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+        JOIN deg d ON d.id = s1.src
+    ),
+    ps AS (SELECT a, b, COUNT(*) AS cn, SUM(1.0 / LN(dz)) AS aa
+           FROM w GROUP BY a, b),
+    nonadj AS (
+        SELECT ps.* FROM ps
+        WHERE NOT EXISTS (SELECT 1 FROM sym
+                          WHERE sym.src = ps.a AND sym.dst = ps.b)
+    )
+    SELECT n.a, n.b, n.cn,
+           ROUND(n.cn * 1.0 / (da.degree + db.degree - n.cn), 4) AS jaccard,
+           ROUND(n.aa, 4) AS adamic_adar
+    FROM nonadj n
+    JOIN deg da ON da.id = n.a
+    JOIN deg db ON db.id = n.b
+    """,
+)
+def q_link_prediction(spark, sf_dir):
+    """Link prediction (common neighbors / Jaccard / Adamic-Adar) for every
+    non-adjacent pair of the small co-purchase subgraph — the full score
+    table hash-matches a DuckDB wedge-join twin."""
+    from sna_pyspark_graphframes_spark.graph import linkpred
+
+    return linkpred.link_scores(_small_copurchase(spark, sf_dir))
+
+
+@register(
+    "weighted_sssp_small",
+    f"""
+    WITH RECURSIVE {_SMALL_CTES},
+    we AS (SELECT src, dst, ((src + dst) % 5) + 1.0 AS w FROM sym),
+    walk(id, d) AS (
+        SELECT (SELECT MIN(src) FROM sym), 0.0
+        UNION
+        SELECT we.dst, walk.d + we.w
+        FROM walk JOIN we ON we.src = walk.id
+        WHERE walk.d < 200
+    )
+    SELECT id, ROUND(MIN(d), 4) AS dist FROM walk GROUP BY id
+    """,
+)
+def q_weighted_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (distributed Bellman-Ford) on
+    the small co-purchase subgraph with deterministic synthetic weights
+    ((src+dst)%5+1) — full distance table hash-matches a bounded
+    recursive-CTE oracle."""
+    sym = build.symmetrize(_small_copurchase(spark, sf_dir))
+    we = sym.withColumn(
+        "weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    src = sym.agg(F.min("src")).collect()[0][0]
+    return algorithms.weighted_sssp(we, int(src))
+
+
+@register(
+    "in_out_degree",
+    f"""
+    WITH e AS ({COPURCHASE_EDGES_SQL}),
+    t AS (SELECT src AS id, 1 AS o, 0 AS i FROM e
+          UNION ALL
+          SELECT dst AS id, 0 AS o, 1 AS i FROM e)
+    SELECT id, CAST(SUM(o) AS BIGINT) AS out_degree,
+           CAST(SUM(i) AS BIGINT) AS in_degree
+    FROM t GROUP BY id
+    """,
+)
+def q_in_out_degree(spark, sf_dir):
+    """Directed in/out degree over the canonically-oriented co-purchase
+    edges (= GraphFrames inDegrees/outDegrees, as one tagged-union
+    aggregate — no join)."""
+    return metrics.in_out_degrees(_copurchase(spark, sf_dir))
+
+
+@register(
+    "degree_assortativity",
+    f"""
+    WITH deg AS ({DEGREE_SQL}), sym AS ({SYM_SQL})
+    SELECT ROUND(CORR(ds.degree, dd.degree), 4) AS assortativity
+    FROM sym
+    JOIN deg ds ON ds.id = sym.src
+    JOIN deg dd ON dd.id = sym.dst
+    """,
+)
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Pearson correlation of endpoint degrees over
+    the symmetrized edge list) of the co-purchase graph."""
+    return metrics.degree_assortativity(_copurchase(spark, sf_dir))
+
+
+@register(
+    "aggmsg_neighbor_price",
+    f"""
+    WITH {_SMALL_CTES}
+    SELECT s.dst AS id,
+           ROUND(SUM(p.p_retailprice), 2) AS nbr_price_sum,
+           COUNT(*) AS nbr_cnt
+    FROM sym s JOIN part p ON p.p_partkey = s.src
+    GROUP BY s.dst
+    """,
+)
+def q_aggmsg_neighbor_price(spark, sf_dir):
+    """The aggregate_messages primitive (= GraphFrames AggregateMessages)
+    driven end-to-end: each part receives its co-purchase neighbors' retail
+    prices and aggregates them — triplet join + keyed aggregate,
+    value-checked."""
+    sym = build.symmetrize(_small_copurchase(spark, sf_dir))
+    verts = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("id"), F.col("p_retailprice").alias("price"))
+    )
+    out = messages.aggregate_messages(
+        sym,
+        verts,
+        to_dst=F.col("src_price"),
+        agg={
+            "nbr_price_sum": F.round(F.sum("msg"), 2),
+            "nbr_cnt": F.count("msg"),
+        },
+    )
+    return out
+
+
+@register("ppr_top20", None)
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from a fixed source
+    part, top-20 by rank — deterministic fixed-iteration power method
+    (value-level correctness in tests/test_golden_graph.py::TestPPR)."""
+    e = _copurchase(spark, sf_dir)
+    src = e.agg(F.min("src")).collect()[0][0]
+    pr = algorithms.personalized_pagerank(e, [int(src)], max_iter=20)
+    return pr.orderBy(F.col("pagerank").desc(), F.col("id").asc()).limit(20)
+
+
+@register("k_core_small", None)
+def q_k_core(spark, sf_dir):
+    """2-core of the small co-purchase subgraph (iterative peeling;
+    value-level correctness in tests/test_golden_graph.py::TestKCore)."""
+    return algorithms.k_core(_small_copurchase(spark, sf_dir), k=2)
+
+
+@register("core_numbers_small", None)
+def q_core_numbers(spark, sf_dir):
+    """Core number per vertex of the small co-purchase subgraph."""
+    return algorithms.core_numbers(_small_copurchase(spark, sf_dir))
+
+
 @register("pagerank_top20", None)
 def q_pagerank(spark, sf_dir):
     """PageRank over the co-purchase graph, top-20 by rank (deterministic
@@ -1377,6 +1538,65 @@ def q_late_data_filter(spark, sf_dir):
     return swin.late_data_filter(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "asof_click_purchase",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           p.event_id AS purchase_event_id,
+           p.value AS purchase_value,
+           p.ts AS purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q_asof_click_purchase(spark, sf_dir):
+    """As-of join: every click annotated with the user's latest prior
+    purchase (point-in-time-correct feature lookup). Hash-matched against
+    DuckDB's native ASOF JOIN — the whole sort-based implementation
+    (operators/temporal.asof_join) is value-checked, NULLs included."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return temporal.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols=["event_id", "value"],
+        prefix="purchase_",
+    )
+
+
+@register(
+    "range_join_attribution",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           e.event_type AS followup_type,
+           COUNT(*) AS followups
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts, e.event_type
+    """,
+)
+def q_range_join_attribution(spark, sf_dir):
+    """Time-range join: per purchase, count same-user events of each type in
+    the following hour (attribution window). The bucketed equi-join
+    implementation is hash-matched against DuckDB's plain inequality
+    join."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return temporal.attribution_counts(purchases, ev, horizon_s=3600)
+
+
 @register("stream_tumbling_window", TUMBLING_SQL)
 def q_stream_tumbling(spark, sf_dir):
     """True Structured Streaming run (availableNow trigger, memory sink) —
@@ -1392,6 +1612,72 @@ def q_stream_session(spark, sf_dir):
     from sna_pyspark_graphframes_spark.streaming.stream import stream_session_windows
 
     return stream_session_windows(spark, sf_dir)
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts <= c.ts AND p.ts > c.ts - INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (clicks × same-user purchases
+    within the preceding hour) — the streaming result hash-matches the
+    batch SQL join, which is the state-bounded-join equivalence claim."""
+    from sna_pyspark_graphframes_spark.streaming.stream import (
+        stream_stream_click_purchase,
+    )
+
+    return stream_stream_click_purchase(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_keys(spark, sf_dir):
+    """dropDuplicatesWithinWatermark on (user_id, event_type), key columns
+    only — one survivor per key regardless of arrival order, so a plain
+    DISTINCT oracles it."""
+    from sna_pyspark_graphframes_spark.streaming.stream import stream_dedup_keys
+
+    return stream_dedup_keys(spark, sf_dir)
+
+
+@register(
+    "orc_roundtrip",
+    "SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink → source roundtrip (fourth format: parquet/CSV/JSON/ORC)
+    with a declared read schema; must hash-match the original parquet."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tag = hashlib.md5(f"orc:{sf_dir}".encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_orc_{tag}"
+    ev.write.mode("overwrite").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).orc(path)
 
 
 @register(

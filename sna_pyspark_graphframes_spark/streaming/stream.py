@@ -47,14 +47,17 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", nanos_to_micros_ts(F.col("ts")))
 
 
-def run_to_memory(result: DataFrame, spark: SparkSession) -> DataFrame:
+def run_to_memory(
+    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory sink;
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame. ``append`` mode is
+    required for stream-stream joins and dedup (no result rewriting)."""
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -73,6 +76,58 @@ def stream_tumbling_counts(
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
     return run_to_memory(agg, spark)
+
+
+def stream_stream_click_purchase(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases in the preceding hour. Both sides watermarked and the join
+    condition time-bounded in BOTH directions — that's what lets the join
+    state be evicted (unbounded conditions would accumulate both streams
+    forever). Inner-join matches emit as they arrive, so availableNow over
+    a finite source equals the batch join exactly."""
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") > F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+    return run_to_memory(joined, spark, output_mode="append")
+
+
+def stream_dedup_keys(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup (``dropDuplicatesWithinWatermark``) on
+    (user_id, event_type): exactly one survivor per key. Projecting only
+    the key columns makes the result arrival-order-independent, so the
+    batch oracle is a plain DISTINCT."""
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    out = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(out, spark, output_mode="append")
 
 
 def stream_session_windows(

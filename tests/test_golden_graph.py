@@ -348,3 +348,143 @@ class TestSCC:
         # self-contained figure-8 through 3: 1->2->3->1 and 3->4->5->3 is ONE scc
         pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)]
         assert self._scc(spark, pairs) == [frozenset({1, 2, 3, 4, 5})]
+
+
+class TestLinkPrediction:
+    def _scores(self, spark, pairs):
+        from sna_pyspark_graphframes_spark.graph import linkpred
+
+        out = linkpred.link_scores(edges_df(spark, pairs))
+        return {
+            (r["a"], r["b"]): (r["cn"], r["jaccard"], r["adamic_adar"])
+            for r in out.collect()
+        }
+
+    def test_path_endpoints(self, spark):
+        # 1-2-3: only candidate (1,3); cn=1, J=1/(1+1-1)=1, AA=1/ln2
+        assert self._scores(spark, [(1, 2), (2, 3)]) == {
+            (1, 3): (1, 1.0, 1.4427)
+        }
+
+    def test_k4_minus_edge(self, spark):
+        # K4 without (3,4): candidate (3,4) via z in {1,2} (deg 3 each)
+        pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+        assert self._scores(spark, pairs) == {(3, 4): (2, 1.0, 1.8205)}
+
+    def test_adjacent_pairs_excluded(self, spark):
+        # triangle: every pair adjacent -> no candidates
+        assert self._scores(spark, [(1, 2), (2, 3), (1, 3)]) == {}
+
+
+class TestKCore:
+    def test_triangle_with_tail(self, spark):
+        # triangle {1,2,3} + tail 3-4: 2-core = the triangle, tail peeled
+        e = edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        core2 = sorted(
+            (r["src"], r["dst"]) for r in algorithms.k_core(e, 2).collect()
+        )
+        assert core2 == [(1, 2), (1, 3), (2, 3)]
+        cores = as_map(algorithms.core_numbers(e), "id", "core")
+        assert cores == {1: 2, 2: 2, 3: 2, 4: 1}
+
+    def test_k4(self, spark):
+        k4 = edges_df(spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)])
+        assert algorithms.k_core(k4, 3).count() == 6
+        assert algorithms.k_core(k4, 4).isEmpty()
+        assert as_map(algorithms.core_numbers(k4), "id", "core") == {
+            1: 3, 2: 3, 3: 3, 4: 3,
+        }
+
+    def test_path_all_core1(self, spark):
+        e = edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+        assert algorithms.k_core(e, 2).isEmpty()
+        assert as_map(algorithms.core_numbers(e), "id", "core") == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+        }
+
+
+class TestPPR:
+    def test_two_node_closed_form(self, spark):
+        # source {1} on edge 1-2: p1 = 0.15 + 0.85*p2, p2 = 0.85*p1 —
+        # replicate the same 20-step recurrence locally
+        p1, p2 = 1.0, 0.0
+        for _ in range(20):
+            p1, p2 = 0.15 + 0.85 * p2, 0.85 * p1
+        got = as_map(
+            algorithms.personalized_pagerank(edges_df(spark, [(1, 2)]), [1]),
+            "id", "pagerank",
+        )
+        assert got == {1: round(p1, 6), 2: round(p2, 6)}
+
+    def test_path_matches_local_power_iteration(self, spark):
+        # path 1-2-3-4-5, source 1 — independent local power iteration.
+        # (note p2 > p1: the degree-1 source exports ALL its mass each step
+        # and only the 0.15 restart returns, so its neighbor outranks it)
+        adj = {1: [2], 2: [1, 3], 3: [2, 4], 4: [3, 5], 5: [4]}
+        r = {v: (1.0 if v == 1 else 0.0) for v in adj}
+        p = dict(r)
+        for _ in range(20):
+            new = {v: 0.15 * r[v] for v in adj}
+            for v, nbrs in adj.items():
+                for nb in nbrs:
+                    new[nb] += 0.85 * p[v] / len(nbrs)
+            p = new
+        e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        got = as_map(algorithms.personalized_pagerank(e, [1]), "id", "pagerank")
+        assert got == {v: round(p[v], 6) for v in adj}
+        assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+class TestAggregateMessages:
+    def test_degree_via_messages(self, spark):
+        from sna_pyspark_graphframes_spark.graph import messages
+
+        e = edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        sym = build.symmetrize(e)
+        verts = sym.select(F.col("src").alias("id")).distinct().withColumn(
+            "one", F.lit(1)
+        )
+        out = messages.aggregate_messages(
+            sym, verts, to_dst=F.col("src_one"), agg={"deg": F.sum("msg")}
+        )
+        assert as_map(out, "id", "deg") == as_map(
+            metrics.degrees(e), "id", "degree"
+        )
+
+    def test_to_src_and_to_dst_both(self, spark):
+        from sna_pyspark_graphframes_spark.graph import messages
+
+        # directed 1->2, 1->3: with both directions every vertex counts its
+        # incident edges (undirected degree) without symmetrizing
+        e = edges_df(spark, [(1, 2), (1, 3)])
+        verts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        out = messages.aggregate_messages(
+            e, verts, to_dst=F.lit(1), to_src=F.lit(1),
+            agg={"deg": F.sum("msg")},
+        )
+        assert as_map(out, "id", "deg") == {1: 2, 2: 1, 3: 1}
+
+
+class TestAssortativity:
+    def test_star_is_minus_one(self, spark):
+        star = edges_df(spark, [(1, 2), (1, 3), (1, 4)])
+        row = metrics.degree_assortativity(star).collect()[0]
+        assert row["assortativity"] == -1.0
+
+
+class TestWeightedSSSP:
+    def test_weighted_shortcut(self, spark):
+        # 1->2 w=10 direct, but 1->3->2 w=1+2=3; 1->4 unreachable backward
+        e = spark.createDataFrame(
+            [(1, 2, 10.0), (1, 3, 1.0), (3, 2, 2.0), (4, 1, 5.0)],
+            "src long, dst long, weight double",
+        )
+        got = as_map(algorithms.weighted_sssp(e, 1), "id", "dist")
+        assert got == {1: 0.0, 2: 3.0, 3: 1.0}
+
+    def test_matches_unweighted_bfs_when_unit(self, spark):
+        pairs = [(1, 2), (2, 3), (3, 4), (1, 4)]
+        sym = build.symmetrize(edges_df(spark, pairs))
+        unit = sym.withColumn("weight", F.lit(1.0))
+        got = as_map(algorithms.weighted_sssp(unit, 1), "id", "dist")
+        assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 1.0}

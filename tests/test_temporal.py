@@ -1,0 +1,99 @@
+"""Golden tests for the temporal join operators (as-of, time-range) on
+hand-computed fixtures — boundary semantics (<= vs <, window endpoints) and
+NULL behavior are the things the sf-scale oracle can't isolate."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.operators import temporal
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+LEFT = [
+    (1, 10, "2024-01-01T10:00:00", 0.0),  # after p100, before p101
+    (2, 10, "2024-01-01T12:00:00", 0.0),  # exactly at p101 (<= includes it)
+    (3, 10, "2024-01-01T08:00:00", 0.0),  # before any purchase -> NULL
+    (4, 20, "2024-01-01T10:00:00", 0.0),  # user with no purchases -> NULL
+]
+RIGHT = [
+    (100, 10, "2024-01-01T09:00:00", 5.0),
+    (101, 10, "2024-01-01T12:00:00", 7.0),
+]
+
+
+class TestAsofJoin:
+    def _run(self, spark, strict=False):
+        left = _events(spark, [(a, b, ts(c), d) for a, b, c, d in LEFT])
+        right = _events(spark, [(a, b, ts(c), d) for a, b, c, d in RIGHT])
+        out = temporal.asof_join(
+            left.select("event_id", "user_id", "ts"),
+            right.select("user_id", "ts", "event_id", "value"),
+            on="user_id",
+            right_cols=["event_id", "value"],
+            prefix="p_",
+            strict=strict,
+        )
+        return {r["event_id"]: r["p_event_id"] for r in out.collect()}
+
+    def test_backward_inclusive(self, spark):
+        assert self._run(spark) == {1: 100, 2: 101, 3: None, 4: None}
+
+    def test_strict_excludes_equal_ts(self, spark):
+        assert self._run(spark, strict=True) == {1: 100, 2: 100, 3: None, 4: None}
+
+    def test_left_columns_preserved(self, spark):
+        left = _events(spark, [(a, b, ts(c), d) for a, b, c, d in LEFT])
+        right = _events(spark, [(a, b, ts(c), d) for a, b, c, d in RIGHT])
+        out = temporal.asof_join(
+            left, right, on="user_id", right_cols=["event_id"], prefix="p_"
+        )
+        assert set(out.columns) == {
+            "event_id", "user_id", "ts", "value", "p_event_id", "p_ts",
+        }
+        assert out.count() == len(LEFT)
+
+
+class TestTimeRangeJoin:
+    def test_window_endpoints_and_bucket_crossing(self, spark):
+        # left at 10:00, window (10:00, 11:00]; right rows straddle the
+        # 1-hour bucket boundary — 10:30 (same bucket) and 11:00 (next
+        # bucket, still inside the window), 10:00 (excluded: strict lower),
+        # 11:00:01 (excluded: above upper)
+        left = _events(spark, [(1, 10, ts("2024-01-01T10:00:00"), 0.0)])
+        right = _events(
+            spark,
+            [
+                (200, 10, ts("2024-01-01T10:00:00"), 0.0),
+                (201, 10, ts("2024-01-01T10:30:00"), 0.0),
+                (202, 10, ts("2024-01-01T11:00:00"), 0.0),
+                (203, 10, ts("2024-01-01T11:00:01"), 0.0),
+                (204, 99, ts("2024-01-01T10:30:00"), 0.0),  # other key
+            ],
+        )
+        out = temporal.time_range_join(
+            left.select("event_id", "user_id", "ts"),
+            right.select(
+                "user_id",
+                F.col("ts").alias("fts"),
+                F.col("event_id").alias("fid"),
+            ),
+            on="user_id",
+            lower_s=0,
+            upper_s=3600,
+            left_ts="ts",
+            right_ts="fts",
+        )
+        got = sorted(r["fid"] for r in out.collect())
+        assert got == [201, 202]
