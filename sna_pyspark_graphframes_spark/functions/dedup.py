@@ -187,26 +187,91 @@ def simhash_dup_groups(docs: DataFrame, text_col: str = "text", bits: int = 16) 
     )
 
 
+def _cos(va: str, vb: str):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(va, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(vb, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x)
+    )
+    return dot / (na * nb)
+
+
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    n_planes: int = 6,
+    seed: int = 42,
+    brute_force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ``(id_a, id_b, cos)`` with cos ≥
-    threshold. Brute-force blocked cross-join — exact; the LSH-bucketed
-    variant in ``similarity.py`` is the scale path. Dot products stay in
-    codegen via zip_with/aggregate (no Python)."""
+    threshold.
+
+    Default path (the one a 100 TB run takes): random-hyperplane LSH
+    candidate generation — each vector lands in a sign-bit bucket
+    (``similarity.lsh_buckets``), one side additionally probes every 1-bit
+    flip of its bucket, candidates are bucket-mate equi-join pairs, and the
+    exact cosine rerank keeps only true matches. Cost is Σ bucket², never
+    |N|²; probing all Hamming-1 buckets makes a miss require the pair to
+    disagree on ≥ 2 of ``n_planes`` hyperplanes (vanishing for true
+    near-dups at cos ≥ 0.95, and impossible for exact/scaled duplicates).
+    The rerank is exact, so false positives are impossible at any setting.
+
+    ``brute_force=True`` is the all-pairs exact scorer — the test oracle
+    (and DuckDB-twin semantics); quadratic, never the production path.
+    Dot products stay in codegen via zip_with/aggregate (no Python).
+    """
     v = embeddings.select(
         F.col(id_col), F.col("embedding").cast("array<double>").alias("v")
     )
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    if brute_force:
+        a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(_cos("va", "vb"), 4).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+
+    from sna_pyspark_graphframes_spark.functions import similarity
+
+    if dim is None:
+        # one-row driver action to infer the vector width (plan literal only)
+        dim = len(embeddings.select("embedding").head()[0])
+    buckets = similarity.lsh_buckets(
+        embeddings, dim=dim, n_planes=n_planes, seed=seed, id_col=id_col
     )
-    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
-    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    bv = buckets.join(v.withColumnRenamed(id_col, "id"), "id")
+    # probe side: own bucket + every 1-bit flip (Hamming-1 neighborhood)
+    flips = [F.col("bucket")]
+    for i in range(n_planes):
+        flipped = F.when(
+            F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        flips.append(
+            F.concat(
+                F.substring("bucket", 1, i),
+                flipped,
+                F.expr(f"substring(bucket, {i + 2})"),
+            )
+        )
+    a = bv.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.explode(F.array(*flips)).alias("bucket"),
+    )
+    b = bv.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     return (
-        a.crossJoin(b)
+        a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot / (na * nb), 4).alias("cos"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])  # collapse multi-probe hits
+        .select("id_a", "id_b", F.round(_cos("va", "vb"), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sna_pyspark_graphframes_spark.graph.build import symmetrize
-from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+from sna_pyspark_graphframes_spark.plans.iterate import cadence, checkpointed
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -188,7 +188,8 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
         .withColumn("label", F.col("id"))
     )
     labels = checkpointed(labels)
-    for _ in range(max_iter):
+    ckpt = cadence(3)  # no per-round action → checkpoint every 3rd superstep
+    for it in range(max_iter):
         nbr_labels = sym.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "label")
@@ -199,7 +200,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
         )
-        labels = checkpointed(labels)
+        labels = ckpt(labels, force=it == max_iter - 1)
     return labels
 
 
@@ -506,7 +507,11 @@ def pagerank(
     # dangling vertices can only exist in directed mode — skip the
     # per-iteration dangling-mass aggregate entirely for undirected graphs
     has_danglings = directed and base.filter(F.col("out_deg") == 0).limit(1).count() > 0
-    for _ in range(max_iter):
+    # the dangling-mass branch runs a per-round 1-row aggregate (an action
+    # over the current ranks) — cadence would recompute skipped supersteps;
+    # without danglings the loop is action-free and every 3rd suffices
+    ckpt = cadence(1 if has_danglings else 3)
+    for it in range(max_iter):
         contribs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
@@ -533,7 +538,7 @@ def pagerank(
                 + F.lit(damping) * (F.coalesce("inflow", F.lit(0.0)) + dm / n)
             ).alias("pr"),
         )
-        ranks = checkpointed(ranks)
+        ranks = ckpt(ranks, force=it == max_iter - 1)
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
@@ -578,7 +583,8 @@ def personalized_pagerank(
     has_danglings = (
         directed and base.filter(F.col("out_deg") == 0).limit(1).count() > 0
     )
-    for _ in range(max_iter):
+    ckpt = cadence(1 if has_danglings else 3)  # see pagerank()
+    for it in range(max_iter):
         contribs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
@@ -606,7 +612,7 @@ def personalized_pagerank(
                 + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
             ).alias("pr"),
         )
-        ranks = checkpointed(ranks)
+        ranks = ckpt(ranks, force=it == max_iter - 1)
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
@@ -649,6 +655,56 @@ def multi_source_bfs(
         settled = checkpointed(settled.unionByName(new_frontier))
         frontier = new_frontier
     return settled
+
+
+def bfs(
+    edges: DataFrame,
+    vertices: DataFrame,
+    from_expr,
+    to_expr,
+    edge_filter=None,
+    max_path_length: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Predicate-endpoint BFS — ``(id, dist)``: the shortest hop distance
+    from *any* vertex satisfying ``from_expr`` to each vertex satisfying
+    ``to_expr``, traversing only edges that pass ``edge_filter``.
+
+    This is GraphFrames ``g.bfs(fromExpr, toExpr, edgeFilter,
+    maxPathLength)`` (the last unported API of the library the reference
+    builds on), re-expressed as a set-source frontier expansion: the whole
+    from-set advances as ONE frontier (distances collapse to the set
+    minimum), so cost is one BFS regardless of how many vertices match
+    ``from_expr`` — not |sources| BFS runs like ``multi_source_bfs``.
+
+    ``vertices``: DataFrame with ``id`` + attribute columns referenced by
+    the predicate expressions (SQL strings or Columns). ``edge_filter`` is
+    applied to the input edge rows BEFORE symmetrization, matching
+    GraphFrames' per-traversed-edge semantics for symmetric predicates.
+    Per round: one equi-join + one anti-join, both keyed shuffles; rounds
+    ≤ ``max_path_length``.
+    """
+    e = edges.select("src", "dst")
+    if edge_filter is not None:
+        e = e.filter(edge_filter)
+    sym = checkpointed(e if directed else _sym(e))
+    sources = vertices.filter(from_expr).select("id").distinct()
+    settled = checkpointed(sources.withColumn("dist", F.lit(0)))
+    frontier = settled
+    for depth in range(1, max_path_length + 1):
+        expanded = (
+            frontier.join(sym, frontier.id == sym.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .withColumn("dist", F.lit(depth))
+        )
+        new_frontier = checkpointed(expanded.join(settled, "id", "left_anti"))
+        if new_frontier.isEmpty():
+            break
+        settled = checkpointed(settled.unionByName(new_frontier))
+        frontier = new_frontier
+    targets = vertices.filter(to_expr).select("id")
+    return settled.join(targets, "id", "left_semi").select("id", "dist")
 
 
 def eccentricity(edges: DataFrame, max_iter: int = 64) -> DataFrame:

@@ -78,6 +78,34 @@ class TestDedup:
         groups = fdedup.simhash_dup_groups(df).collect()
         assert len(groups) == 1 and groups[0].n_docs == 2
 
+    def test_embedding_near_dup_lsh_finds_planted_pairs(self, spark):
+        """The LSH-bucketed path must find planted duplicates (identical
+        and scaled copies hash to the same bucket deterministically) and
+        must agree with the brute-force oracle on this corpus."""
+        import random
+
+        rng = random.Random(7)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+        # planted: 100 = copy of 0, 101 = scaled copy of 1 (cos exactly 1)
+        vecs.append((100, list(vecs[0][1])))
+        vecs.append((101, [2.0 * x for x in vecs[1][1]]))
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        lsh = {
+            (r.id_a, r.id_b): r.cos
+            for r in fdedup.embedding_near_dup_pairs(
+                df, threshold=0.95, dim=16
+            ).collect()
+        }
+        assert lsh[(0, 100)] == pytest.approx(1.0)
+        assert lsh[(1, 101)] == pytest.approx(1.0)
+        brute = {
+            (r.id_a, r.id_b): r.cos
+            for r in fdedup.embedding_near_dup_pairs(
+                df, threshold=0.95, brute_force=True
+            ).collect()
+        }
+        assert lsh == brute
+
 
 class TestSimilarity:
     def test_cosine_topk_exact(self, spark):
