@@ -1555,8 +1555,7 @@ def q_minhash_near_dup(spark, sf_dir):
 @register(
     "ngram_jaccard",
     f"""
-    WITH sh_all AS ({SHINGLES_SQL}),
-    sh AS (SELECT * FROM sh_all WHERE doc_id % 20 = 0),
+    WITH sh AS ({SHINGLES_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -1572,8 +1571,14 @@ def q_minhash_near_dup(spark, sf_dir):
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    return fdedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    # Full documents table: the testdata plants its near-dup pairs across
+    # the whole id range, so any id-sample makes the check vacuous (round-1
+    # registration sampled doc_id % 20 and matched on zero rows). The
+    # inverted-index join costs Σ df² over shingles — linear-ish here since
+    # non-planted shingles are ~unique; MinHash LSH is the heavy-df path.
+    return fdedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -1611,20 +1616,37 @@ def q_simhash_groups(spark, sf_dir):
 @register(
     "embedding_near_dup",
     """
+    WITH v AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings
+        WHERE vec_id % 40 = 0
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-    FROM embeddings a JOIN embeddings b
-      ON a.vec_id < b.vec_id AND a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
     """,
 )
 def q_embedding_near_dup(spark, sf_dir):
     # LSH-bucketed candidates + exact rerank (no cross join); the DuckDB
     # twin is the brute-force oracle — the rerank being exact keeps them
-    # value-identical (tests/test_functions.py plants duplicates to prove
-    # the candidate generation finds them).
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    return fdedup.embedding_near_dup_pairs(emb, threshold=0.9, dim=64)
+    # value-identical. The testdata's embeddings are near-orthogonal (max
+    # natural cos ≈ 0.46 at every SF), so both sides plant exact copies of
+    # every 40th vector under shifted ids: the expected output is exactly
+    # one cos=1.0 row per planted copy, value-checking bucket assignment,
+    # Hamming-1 probing, and the rerank — never vacuous.
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    return fdedup.embedding_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.9, dim=64
+    )
 
 
 # ---------------------------------------------------------------------------
