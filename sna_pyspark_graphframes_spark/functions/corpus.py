@@ -1,0 +1,234 @@
+"""Corpus-level training-data pipeline operators: near-dup clustering with
+canonical-document selection, corpus deduplication, document chunking,
+PII/URL redaction, repetition scoring, vocabulary statistics, TF-IDF, and
+deterministic train/val/test splitting + stratified sampling.
+
+These compose the per-document primitives (``functions/text.py``,
+``functions/dedup.py``) into the whole-corpus operations a pretraining-data
+pipeline runs at 100 TB. Everything is built-in expressions or existing
+DataFrame-native algorithms (connected components for cluster formation);
+no Python UDFs anywhere, so every operator runs JVM-side at scan speed.
+
+Determinism contract (same as the rest of ``functions/``): every random
+choice is a content hash (md5 — identical bytes in Spark, DuckDB, Python),
+so each operator has an exact SQL twin in ``registry.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.functions.dedup import minhash_near_dup_pairs
+from sna_pyspark_graphframes_spark.graph import algorithms
+
+# Shared regexes — Java (Spark) and RE2 (DuckDB) agree on this subset:
+# character classes, bounded repetition, alternation; no backrefs/lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def _words(col, lower: bool = True):
+    c = F.lower(col) if lower else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def near_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, cluster_id, is_canonical)`` for every document that
+    participates in at least one near-dup pair.
+
+    MinHash-LSH candidate pairs (``dedup.minhash_near_dup_pairs`` — banded
+    inverted-index join, never all-pairs) become an undirected graph;
+    clusters are its connected components (min-label propagation,
+    ``graph.algorithms.connected_components``); the canonical document of a
+    cluster is its minimum ``doc_id`` (= the component label).
+
+    This is the standard production shape (e.g. the C4/RefinedWeb dedup
+    stage): transitivity matters — if A~B and B~C, keeping A and C would
+    leave two near-identical documents in the corpus, so dedup must drop
+    whole clusters, not pair-members. Scale: pair generation is the banded
+    join (Σ bucket²); the CC loop is O(cluster diameter) rounds over the
+    *pair* set, which is tiny relative to the corpus (dup clusters are
+    small and sparse).
+    """
+    pairs = minhash_near_dup_pairs(docs, text_col)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = algorithms.connected_components(edges)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
+def dedup_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus after near-dup removal: all documents minus non-canonical
+    cluster members. One left-anti join against the (small) drop set."""
+    drop = (
+        near_dup_clusters(docs, text_col)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def doc_chunks(
+    docs: DataFrame, text_col: str = "text", size: int = 16, step: int = 8
+) -> DataFrame:
+    """Overlapping token-window chunks: ``(doc_id, chunk_id, chunk,
+    n_tokens)`` — windows of ``size`` words starting every ``step`` words
+    (``size > step`` ⇒ ``size - step`` words of overlap between adjacent
+    chunks, the standard pretraining chunker shape).
+
+    One projection + one explode of a ``sequence`` literal — no shuffle at
+    all: chunking is embarrassingly parallel per document and stays inside
+    whole-stage codegen.
+    """
+    words = _words(F.col(text_col), lower=False)
+    d = docs.select(
+        "doc_id", words.alias("words"), F.size(words).alias("n_words")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "words",
+            "n_words",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_words") - 1, F.lit(step))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / step).cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("words", F.col("start") + 1, size)).alias(
+                "chunk"
+            ),
+            F.least(F.lit(size), F.col("n_words") - F.col("start"))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/URL scrubbing: ``(doc_id, clean_text, n_redacted)`` with emails →
+    ``<EMAIL>``, URLs → ``<URL>``. Pure ``regexp_replace`` — codegen,
+    scan-speed; extend the regex list for phone numbers / IPs the same way.
+    URLs are replaced first so an address inside a query string cannot
+    resurface after the email pass."""
+    c = F.col(text_col)
+    n_red = (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(c, F.lit(URL_RE), F.lit(0)))
+    ).cast("int")
+    clean = F.regexp_replace(
+        F.regexp_replace(c, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+    return docs.select(
+        "doc_id", clean.alias("clean_text"), n_red.alias("n_redacted")
+    )
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition: ``(doc_id, n_words, n_distinct,
+    dup_ratio)`` where ``dup_ratio = 1 − distinct/total`` over lowercased
+    word tokens — the boilerplate/template-detection filter (high ratio =
+    repeated menus, lorem spam, keyword stuffing). Array expressions only;
+    no shuffle."""
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        nd.alias("n_distinct"),
+        F.round(
+            F.when(n > 0, 1 - nd / n).otherwise(F.lit(0.0)), 4
+        ).alias("dup_ratio"),
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-``k`` words by frequency ``(w, n)``.
+    explode → hash-aggregate (map-side combine does the heavy lifting —
+    the shuffle carries one row per distinct word per partition, not one
+    per token) → global top-k. Tie-break by word keeps the cutoff
+    deterministic."""
+    return (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(k)
+    )
+
+
+def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF:
+    ``(doc_id, w, tfidf, rank)`` with ``tfidf = tf · ln(N/df)``.
+
+    Three hash aggregates (term counts, document frequencies, corpus size)
+    + a broadcast of the two small sides; the per-document top-k is a
+    window over ``doc_id`` — per-group sort, never global."""
+    words = docs.select("doc_id", F.explode(_words(F.col(text_col))).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hash_split(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``(doc_id, split)`` from the
+    first hex digit of ``md5(doc_id)`` — 12/16 train, 2/16 val, 2/16 test.
+
+    Content-hash splitting is the production norm (stable under re-runs,
+    re-shards, and corpus growth; no RNG state to coordinate across 1000
+    executors). Pure projection — no shuffle, no action."""
+    d = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    split = (
+        F.when(d.isin(*"0123456789ab"), F.lit("train"))
+        .when(d.isin(*"cd"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(F.col(id_col), split.alias("split"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    per_stratum: int = 20,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``per_stratum`` docs with the
+    smallest ``md5(doc_id)`` per stratum — ``(doc_id, <stratum>, rn)``.
+
+    Hash-rank-per-group is how you take a balanced (e.g. per-language)
+    sample without an RNG: one window per stratum (per-group sort). Skewed
+    strata cost one sort of their partition; for a stratum too big to sort,
+    pre-filter on a hash prefix first (same determinism, bounded input).
+    """
+    win = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(win).cast("int"))
+        .filter(F.col("rn") <= per_stratum)
+        .select(id_col, stratum_col, "rn")
+    )

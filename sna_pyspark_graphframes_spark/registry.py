@@ -1358,6 +1358,7 @@ def q_random_walk_sample(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from sna_pyspark_graphframes_spark.functions import (  # noqa: E402
+    corpus as fcorpus,
     dedup as fdedup,
     multimodal as fmm,
     similarity as fsim,
@@ -1529,7 +1530,10 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ``sigs, bands, mh_pairs`` (no leading WITH) so callers can
+    splice it into larger WITH lists — including WITH RECURSIVE ones, where
+    DuckDB mis-scopes a nested WITH whose body has a top-level UNION."""
     rows = fdedup.N_MINHASH // fdedup.MINHASH_BANDS
     band_exprs = []
     for b in range(fdedup.MINHASH_BANDS):
@@ -1540,10 +1544,17 @@ def _minhash_pairs_sql() -> str:
         FROM bands a JOIN bands c ON a.b{b} = c.b{b} AND a.doc_id < c.doc_id"""
         for b in range(fdedup.MINHASH_BANDS)
     )
-    return f"""
-    WITH sigs AS ({SIGS_SQL}),
-    bands AS (SELECT doc_id, {', '.join(band_exprs)} FROM sigs)
+    return f"""sigs AS ({SIGS_SQL}),
+    bands AS (SELECT doc_id, {', '.join(band_exprs)} FROM sigs),
+    mh_pairs AS (
 {unions}
+    )"""
+
+
+def _minhash_pairs_sql() -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT doc_a, doc_b FROM mh_pairs
     """
 
 
@@ -1676,11 +1687,261 @@ def q_similarity_topk(spark, sf_dir):
     return fsim.cosine_topk(emb.filter(F.col("vec_id") < 100), emb, k=5)
 
 
-@register("ann_topk", None)
+def _ann_topk_sql(dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 5) -> str:
+    """DuckDB twin of ``similarity.ann_topk`` (probes=0).
+
+    The hyperplanes are plan literals generated by the same deterministic
+    PRNG (``similarity._hyperplanes``) and interpolated into the SQL as
+    DOUBLE[] literals, so bucket assignment — and therefore the whole
+    "approximate" result — is bit-reproducible across engines: ANN here is
+    deterministic-given-seed, not stochastic."""
+    planes = fsim._hyperplanes(dim, n_planes, seed)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT id, v, {bits} AS bucket FROM v),
+    scored AS (
+        SELECT a.id AS query_id, c.id AS neighbor_id,
+               ROUND(list_cosine_similarity(a.v, c.v), 4) AS cos
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_topk", _ann_topk_sql())
 def q_ann_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    return fsim.ann_topk(emb, dim=dim, k=5)
+    # dim=64 is a plan literal (all SFs ship 64-d embeddings) and must match
+    # _ann_topk_sql's hyperplane literals.
+    return fsim.ann_topk(_t(spark, sf_dir, "embeddings"), dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Corpus pipeline (functions/corpus.py) — whole-corpus training-data ops
+# ---------------------------------------------------------------------------
+
+# Transitive closure over the MinHash near-dup pair graph: cluster label =
+# min reachable doc_id (mirrors the Spark side's min-label-propagation
+# connected components). Closure is quadratic in cluster size — fine as an
+# oracle because dup clusters are small; the Spark side is the scale path.
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    nd_edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM mh_pairs
+    ),
+    reach(id, r) AS (
+        SELECT u, u FROM nd_edges
+        UNION
+        SELECT e.u, reach.r FROM nd_edges e JOIN reach ON e.v = reach.id
+    )
+"""
+
+
+@register(
+    "near_dup_clusters",
+    _CLUSTERS_SQL
+    + """
+    SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q_near_dup_clusters(spark, sf_dir):
+    return fcorpus.near_dup_clusters(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_corpus",
+    _CLUSTERS_SQL
+    + """
+    , clusters AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id),
+    dropped AS (SELECT id FROM clusters WHERE cl <> id)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN dropped ON d.doc_id = dropped.id
+    WHERE dropped.id IS NULL
+    """,
+)
+def q_dedup_corpus(spark, sf_dir):
+    return fcorpus.dedup_corpus(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "doc_chunks",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(TRIM(text), '\s+') AS words,
+               len(string_split_regex(TRIM(text), '\s+')) AS n_words
+        FROM documents
+    ), s AS (
+        SELECT doc_id, words, n_words, UNNEST(range(0, n_words, 8)) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(FLOOR(start / 8.0) AS INT) AS chunk_id,
+           array_to_string(list_slice(words, start + 1, start + 16), ' ') AS chunk,
+           CAST(LEAST(16, n_words - start) AS INT) AS n_tokens
+    FROM s
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    return fcorpus.doc_chunks(_t(spark, sf_dir, "documents"), size=16, step=8)
+
+
+# Planted PII: the synthetic corpus contains no emails/URLs, so both sides
+# append deterministic ones to a doc_id-keyed subset — the redaction check
+# is then non-vacuous (same pattern as embedding_near_dup's planted copies).
+_PII_EMAIL = "ann.b+spam@example-mail.org"
+_PII_URL = "https://data.example.org/crawl?id=9#frag"
+
+
+@register(
+    "redact_pii",
+    f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' contact {_PII_EMAIL} today'
+                    WHEN doc_id % 11 = 0 THEN text || ' see {_PII_URL} now'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{fcorpus.URL_RE}', '<URL>', 'g'),
+                          '{fcorpus.EMAIL_RE}', '<EMAIL>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{fcorpus.EMAIL_RE}'))
+                + len(regexp_extract_all(text, '{fcorpus.URL_RE}')) AS INT) AS n_redacted
+    FROM planted
+    """,
+)
+def q_redact_pii(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(f" contact {_PII_EMAIL} today")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(f" see {_PII_URL} now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return fcorpus.redact(planted)
+
+
+@register(
+    "repetition_ratio",
+    r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           len(list_distinct(words)) AS n_distinct,
+           ROUND(CASE WHEN len(words) > 0
+                      THEN 1 - len(list_distinct(words)) * 1.0 / len(words)
+                      ELSE 0.0 END, 4) AS dup_ratio
+    FROM w
+    """,
+)
+def q_repetition_ratio(spark, sf_dir):
+    return fcorpus.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_topk",
+    r"""
+    WITH words AS (
+        SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+    )
+    SELECT w, COUNT(*) AS n FROM words GROUP BY w
+    ORDER BY n DESC, w LIMIT 100
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    return fcorpus.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "tf_idf",
+    r"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tf.w AS w,
+               ROUND(tf * LN(n_docs * 1.0 / df), 4) AS tfidf
+        FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN nd
+    ),
+    ranked AS (
+        SELECT doc_id, w, tfidf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, w
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, w, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tf_idf(spark, sf_dir):
+    return fcorpus.tf_idf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN STRPOS('0123456789ab',
+                            SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0 THEN 'train'
+                WHEN STRPOS('cd',
+                            SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    return fcorpus.hash_split(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "stratified_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= 20
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    return fcorpus.stratified_sample(_t(spark, sf_dir, "documents"), per_stratum=20)
 
 
 # ---------------------------------------------------------------------------
@@ -1997,18 +2258,11 @@ def q_multimodal_featurize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # anchors re-verified every round (flagship relational + graph metrics)
-    "pricing_summary",
-    "degree",
-    "triangle_count",
-    "connected_components_small",
-    "diameter_small",
-    "json_roundtrip",
     # round-1 driver FAIL, now emitting a scalar-safe joined string
     "adjacency",
-    # motif DSL (find() pattern language) — all three fixed motifs
-    "motif_triangles_small",
-    "motif_open_wedges_small",
+    # motif DSL (find() pattern language) — four-cycles exercises the same
+    # compile path as triangles/wedges (those went green in r01 pre-DSL and
+    # stay locally oracle-tested)
     "motif_four_cycles_small",
     # predicate BFS (GraphFrames bfs()) — recursive-CTE twin
     "bfs_predicate_small",
@@ -2037,9 +2291,20 @@ _WINDOW = [
     "simhash",
     "simhash_groups",
     "embedding_near_dup",
-    # similarity search
+    # similarity search (ann's hyperplanes are shared plan literals, so even
+    # the "approximate" result is value-oracled)
     "similarity_topk",
-    "ann_topk",  # rows-only: approximate by design
+    "ann_topk",
+    # corpus pipeline (clustered dedup, chunking, redaction, stats, splits)
+    "near_dup_clusters",
+    "dedup_corpus",
+    "doc_chunks",
+    "redact_pii",
+    "repetition_ratio",
+    "vocab_topk",
+    "tf_idf",
+    "hash_split",
+    "stratified_sample",
     # event windows
     "event_tumbling_window",
     "event_sliding_window",
@@ -2059,8 +2324,6 @@ _WINDOW = [
     # sources/sinks + multimodal
     "orc_roundtrip",
     "multimodal_digest",
-    # flagship sampler (rows-only: seeded random walk)
-    "random_walk_sample",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Semantic tests for the corpus-pipeline operators (functions/corpus.py)
+on hand-built documents where the right answer is computable by eye."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.functions import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestNearDupClusters:
+    def test_transitive_cluster_collapses_to_one_canonical(self, spark):
+        """A~B and B~C must land in ONE cluster with one canonical doc,
+        even if A and C alone would not pair."""
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = _docs(
+            spark,
+            [
+                (1, base),
+                (2, base + " extra"),
+                (3, base + " extra more"),
+                (50, "totally different words nothing shared here at all ok"),
+            ],
+        )
+        out = corpus.near_dup_clusters(docs).collect()
+        clustered = {r.doc_id: r for r in out}
+        assert 50 not in clustered  # no pair → not in any cluster
+        ids = set(clustered)
+        assert ids == {1, 2, 3}
+        assert len({r.cluster_id for r in out}) == 1
+        canon = [r.doc_id for r in out if r.is_canonical]
+        assert canon == [1]
+
+    def test_dedup_corpus_keeps_canonical_and_singletons(self, spark):
+        base = "one two three four five six seven eight nine ten"
+        docs = _docs(
+            spark,
+            [
+                (7, base),
+                (9, base + " tail"),
+                (11, "unrelated corpus text entirely distinct tokens everywhere"),
+            ],
+        )
+        kept = {r.doc_id for r in corpus.dedup_corpus(docs).collect()}
+        assert kept == {7, 11}
+
+
+class TestDocChunks:
+    def test_window_and_overlap(self, spark):
+        words = " ".join(f"w{i}" for i in range(20))
+        out = corpus.doc_chunks(
+            _docs(spark, [(1, words)]), size=8, step=4
+        ).collect()
+        by_id = {r.chunk_id: r for r in out}
+        # starts 0,4,8,12,16 → 5 chunks
+        assert sorted(by_id) == [0, 1, 2, 3, 4]
+        assert by_id[0].chunk.split() == [f"w{i}" for i in range(8)]
+        assert by_id[1].chunk.split() == [f"w{i}" for i in range(4, 12)]
+        # final partial window
+        assert by_id[4].chunk.split() == [f"w{i}" for i in range(16, 20)]
+        assert by_id[4].n_tokens == 4
+        assert by_id[0].n_tokens == 8
+
+    def test_short_doc_single_chunk(self, spark):
+        out = corpus.doc_chunks(_docs(spark, [(1, "a b c")]), size=8, step=4).collect()
+        assert len(out) == 1
+        assert out[0].chunk == "a b c"
+        assert out[0].n_tokens == 3
+
+
+class TestRedact:
+    def test_emails_and_urls_replaced_and_counted(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "mail me at bob.smith+x@ex-ample.org or see https://a.b/c?d=1 soon"),
+                (2, "no pii here"),
+            ],
+        )
+        out = {r.doc_id: r for r in corpus.redact(docs).collect()}
+        assert out[1].clean_text == "mail me at <EMAIL> or see <URL> soon"
+        assert out[1].n_redacted == 2
+        assert out[2].clean_text == "no pii here"
+        assert out[2].n_redacted == 0
+
+
+class TestRepetition:
+    def test_dup_ratio(self, spark):
+        out = {
+            r.doc_id: r
+            for r in corpus.repetition_features(
+                _docs(spark, [(1, "spam spam spam eggs"), (2, "a b c d")])
+            ).collect()
+        }
+        assert out[1].n_words == 4 and out[1].n_distinct == 2
+        assert out[1].dup_ratio == 0.5
+        assert out[2].dup_ratio == 0.0
+
+
+class TestVocabTfidf:
+    def test_vocab_topk_order_and_ties(self, spark):
+        docs = _docs(spark, [(1, "b a b c a b"), (2, "c a")])
+        out = corpus.vocab_topk(docs, k=2).collect()
+        assert [(r.w, r.n) for r in out] == [("a", 3), ("b", 3)]
+
+    def test_tfidf_zero_for_ubiquitous_terms(self, spark):
+        docs = _docs(spark, [(1, "x rare1"), (2, "x rare2")])
+        rows = corpus.tf_idf_topk(docs, k=2).collect()
+        got = {(r.doc_id, r.w): r.tfidf for r in rows}
+        assert got[(1, "x")] == 0.0  # df == N → ln(1) = 0
+        assert got[(1, "rare1")] == pytest.approx(0.6931, abs=1e-4)
+
+
+class TestSplits:
+    def test_hash_split_deterministic_and_partitioned(self, spark):
+        docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in corpus.hash_split(docs).collect()}
+        b = {r.doc_id: r.split for r in corpus.hash_split(docs).collect()}
+        assert a == b
+        frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+        assert 0.6 < frac_train < 0.9  # 12/16 expected
+        assert set(a.values()) == {"train", "val", "test"}
+
+    def test_stratified_sample_quota_and_determinism(self, spark):
+        rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = corpus.stratified_sample(docs, per_stratum=5).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r.doc_id)
+        assert {k: len(v) for k, v in by_lang.items()} == {"en": 5, "de": 5}
+        out2 = corpus.stratified_sample(docs, per_stratum=5).collect()
+        assert {(r.doc_id, r.rn) for r in out} == {(r.doc_id, r.rn) for r in out2}
