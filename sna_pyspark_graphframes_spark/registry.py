@@ -1945,6 +1945,39 @@ def q_stratified_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# GraphFrames facade (graph/graphframe.py) — the migration API exercised
+# end-to-end: construct → filterVertices → dropIsolatedVertices → degrees
+# ---------------------------------------------------------------------------
+
+@register(
+    "graphframe_filter_degrees",
+    """
+    WITH e AS (
+        SELECT c_custkey AS src, CAST(n_nationkey AS BIGINT) + 1000000 AS dst
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    fe AS (SELECT src, dst FROM e WHERE src % 2 = 0 AND dst % 2 = 0),
+    ends AS (SELECT src AS id FROM fe UNION ALL SELECT dst AS id FROM fe)
+    SELECT id, CAST(COUNT(*) AS INT) AS degree FROM ends GROUP BY id
+    """,
+)
+def q_graphframe_filter_degrees(spark, sf_dir):
+    from sna_pyspark_graphframes_spark.graph.graphframe import GraphFrame
+    from sna_pyspark_graphframes_spark.graph.core import Graph
+
+    e = build.customer_nation_edges(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    )
+    g = Graph.from_edges(e)
+    return (
+        GraphFrame(g.vertices, g.edges)
+        .filterVertices("id % 2 = 0")
+        .dropIsolatedVertices()
+        .degrees
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event windows / streaming (streaming/windows.py, streaming/stream.py)
 # ---------------------------------------------------------------------------
 
