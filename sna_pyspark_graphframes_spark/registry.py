@@ -2316,9 +2316,12 @@ _WINDOW = [
     "quality_score",
     "doc_sentiment",
     "doc_fingerprint",
+    # GraphFrames migration facade, end-to-end (construct → filterVertices
+    # → dropIsolatedVertices → degrees); minhash_signatures moved out — it
+    # is an intermediate of minhash_near_dup, which stays
+    "graphframe_filter_degrees",
     # deduplication
     "dedup_exact",
-    "minhash_signatures",
     "minhash_near_dup",
     "ngram_jaccard",
     "simhash",
