@@ -24,7 +24,7 @@ from sna_pyspark_graphframes_spark.graph import (
     metrics,
     sampling,
 )
-from sna_pyspark_graphframes_spark.operators import relational, temporal
+from sna_pyspark_graphframes_spark.operators import relational, scale, temporal
 
 
 @dataclass(frozen=True)
@@ -2213,6 +2213,130 @@ def q_orc_roundtrip(spark, sf_dir):
         ]
     )
     return spark.read.schema(schema).orc(path)
+
+
+# ---------------------------------------------------------------------------
+# Skew- and layout-aware operators (operators/scale.py): salting for hot
+# keys, partition-pruned scans, bucketed exchange-free joins. The salt /
+# layout changes the physical plan only — every oracle is the plain query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_revenue_by_status",
+    """
+    SELECT l_linestatus, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           MAX(l_discount) AS max_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_salted_revenue_by_status(spark, sf_dir):
+    """lineitem has 2 statuses over ~600k rows/SF — the textbook hot-key
+    aggregation. Salted two-phase agg spreads each status over 32
+    reducers; identical values to the plain GROUP BY."""
+    out = scale.salted_agg(
+        _t(spark, sf_dir, "lineitem"),
+        keys=["l_linestatus"],
+        aggs={
+            "n_items": ("count", "*"),
+            "revenue": ("sum", "l_extendedprice"),
+            "max_disc": ("max", "l_discount"),
+        },
+        salt_src=["l_orderkey", "l_linenumber"],
+        buckets=32,
+    )
+    return out.select(
+        "l_linestatus",
+        "n_items",
+        F.round("revenue", 2).alias("revenue"),
+        "max_disc",
+    )
+
+
+@register(
+    "salted_segment_revenue",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_segment_revenue(spark, sf_dir):
+    """Skew-join salting demonstrated on orders⋈customer: customer rows
+    are replicated once per salt bucket so any hot o_custkey spreads over
+    16 tasks. (When the dim side fits a broadcast, prefer broadcast — this
+    is the too-big-to-broadcast shape.)"""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = scale.salted_join(orders, cust, on="custkey", salt_src=["o_orderkey"], buckets=16)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "partition_pruned_scan",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_partition_pruned_scan(spark, sf_dir):
+    """Hive-style partitioned layout: orders written partitionBy(priority),
+    read back with a partition predicate — the scan must list only the one
+    matching directory (asserted in tests/test_plans.py). At 100 TB this
+    is the difference between reading 20% and 100% of the table."""
+    import hashlib
+
+    from sna_pyspark_graphframes_spark.sources import sinks
+
+    tag = hashlib.md5(f"part:{sf_dir}".encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_part_{tag}"
+    sinks.write_parquet(_t(spark, sf_dir, "orders"), path, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "bucketed_colocated_join",
+    """
+    SELECT c_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_bucketed_colocated_join(spark, sf_dir):
+    """Both sides bucketed by the join key at write time → the join AND
+    the follow-up per-key aggregate run with zero Exchange (asserted in
+    tests/test_plans.py). The persistent co-located-join layout for fact
+    tables joined every day on the same key."""
+    import hashlib
+
+    tag = hashlib.md5(f"bkt:{sf_dir}".encode()).hexdigest()[:8]
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    scale.write_bucketed(cust, f"cust_bkt_{tag}", f"/tmp/spark_graft_bktc_{tag}", "c_custkey")
+    scale.write_bucketed(orders, f"ord_bkt_{tag}", f"/tmp/spark_graft_bkto_{tag}", "c_custkey")
+    j = scale.colocated_join(spark, f"cust_bkt_{tag}", f"ord_bkt_{tag}", "c_custkey")
+    return j.groupBy("c_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
 
 
 @register(
