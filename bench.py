@@ -6,10 +6,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
 import time
+
+# Single-JVM local mode: the heap is the whole "cluster"; headroom keeps
+# mid-run queries from degrading under GC pressure (must be set before the
+# JVM launches, i.e. before the session module builds one).
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
 import __spark_entry__ as entrymod
 from sna_pyspark_graphframes_spark.session import get_spark
@@ -79,6 +85,12 @@ def main() -> None:
         n = df.count()  # force full execution
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
+        # Release dropped python-side references so Spark's ContextCleaner
+        # can reap localCheckpoint blocks / per-query transient caches
+        # between measurements (deliberate cross-query memos stay held by
+        # the registry and are unaffected).
+        del df
+        gc.collect()
     total = round(time.perf_counter() - t_total0, 3)
 
     print(

