@@ -150,12 +150,10 @@ def user_session_edges(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
         a.join(b, "u")
         .filter(
             (F.col("src") < F.col("dst"))
-            & (
-                F.abs(
-                    F.col("ts_a").cast("double") - F.col("ts_b").cast("double")
-                )
-                < F.lit(float(gap_seconds))
-            )
+            # two-sided interval comparison = abs(ts_a - ts_b) < gap,
+            # valid for TIMESTAMP and TIMESTAMP_NTZ alike
+            & (F.col("ts_a") - F.col("ts_b") < F.expr(f"INTERVAL {int(gap_seconds)} SECONDS"))
+            & (F.col("ts_b") - F.col("ts_a") < F.expr(f"INTERVAL {int(gap_seconds)} SECONDS"))
         )
         .select("src", "dst")
     )

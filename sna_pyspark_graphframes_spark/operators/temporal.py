@@ -27,6 +27,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_us(c: Column) -> Column:
+    """Microsecond epoch of a timestamp column, TIMESTAMP_NTZ-safe:
+    ``unix_micros`` requires TIMESTAMP, so NTZ inputs are cast first (a
+    no-op cast for LTZ inputs). Both join sides go through the same
+    expression, so bucket assignment stays consistent regardless of
+    session timezone; the exact range predicate below is difference-based,
+    where any timezone offset cancels."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -115,8 +125,8 @@ def time_range_join(
     b_us = int(bucket_s) * 1_000_000
     lo_us = int(lower_s) * 1_000_000
     hi_us = int(upper_s) * 1_000_000
-    lm = F.unix_micros(F.col(left_ts))
-    rm = F.unix_micros(F.col(right_ts))
+    lm = _epoch_us(F.col(left_ts))
+    rm = _epoch_us(F.col(right_ts))
     lb = left.withColumn(
         "__bucket",
         F.explode(
@@ -131,8 +141,8 @@ def time_range_join(
     # source frame (self-range-join) — qualified refs keep Spark's
     # ambiguous-self-join check satisfied.
     L, R = lb.alias("__L"), rb.alias("__R")
-    lts = F.unix_micros(F.col(f"__L.{left_ts}"))
-    rts = F.unix_micros(F.col(f"__R.{right_ts}"))
+    lts = _epoch_us(F.col(f"__L.{left_ts}"))
+    rts = _epoch_us(F.col(f"__R.{right_ts}"))
     joined = L.join(
         R,
         (F.col("__L.__bucket") == F.col("__R.__bucket"))

@@ -137,15 +137,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     actual = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for field in schema.fields:
-        c = F.col(field.name)
-        # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf,
-        # see session.py) — convert to microsecond timestamps.
-        if isinstance(field.dataType, T.TimestampType) and isinstance(
-            actual.get(field.name), T.LongType
-        ):
-            c = nanos_to_micros_ts(c).alias(field.name)
+        c = normalize_ts(
+            F.col(field.name), field.dataType, actual.get(field.name)
+        ).alias(field.name)
         cols.append(c)
     return df.select(*cols)
+
+
+def normalize_ts(c: F.Column, declared: T.DataType, actual: T.DataType | None) -> F.Column:
+    """Normalize the on-disk timestamp encoding to the declared TIMESTAMP
+    type. Testdata has shipped ``ts`` three ways across driver versions:
+    TIMESTAMP(NANOS) (arrives as long under nanosAsLong), TIMESTAMP_NTZ
+    (micros, isAdjustedToUTC=false), and plain TIMESTAMP. All three must
+    read identically; session timezone is pinned to UTC (session.py) so the
+    NTZ→LTZ cast is value-preserving."""
+    if not isinstance(declared, T.TimestampType):
+        return c
+    if isinstance(actual, T.LongType):
+        return nanos_to_micros_ts(c)
+    if isinstance(actual, T.TimestampNTZType):
+        return c.cast("timestamp")
+    return c
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

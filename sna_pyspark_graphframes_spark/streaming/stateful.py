@@ -56,7 +56,10 @@ def _accumulate(
         n += len(pdf)
         total += float(pdf["value"].sum())
         if len(pdf):
-            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+            # pd.Timestamp.value is always ns-since-epoch regardless of the
+            # series' underlying resolution (ns vs us under Arrow), unlike
+            # astype("int64") which returns the raw resolution-dependent int
+            last_us = max(last_us, int(pd.Timestamp(pdf["ts"].max()).value // 1000))
     state.update((n, total, last_us))
     yield pd.DataFrame(
         {

@@ -14,37 +14,41 @@ production; the memory sink here keeps tests hermetic.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# ts arrives as long nanos (see sources/tables.py nanosAsLong note)
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. Streaming sources demand
+    a declared schema; we probe the file's actual schema with a batch
+    footer read (no data scan) rather than hard-coding the timestamp
+    encoding — testdata has shipped ``ts`` as nanos-long, TIMESTAMP_NTZ,
+    and TIMESTAMP across driver versions, and the stream must normalize all
+    three exactly like the batch path (sources/tables.normalize_ts)."""
     from sna_pyspark_graphframes_spark.session import ensure_session_confs
+    from sna_pyspark_graphframes_spark.sources.tables import (
+        TABLE_SCHEMAS,
+        normalize_ts,
+    )
 
     ensure_session_confs(spark)
+    on_disk = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(on_disk)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    from sna_pyspark_graphframes_spark.sources.tables import nanos_to_micros_ts
-
-    return raw.withColumn("ts", nanos_to_micros_ts(F.col("ts")))
+    actual = {f.name: f.dataType for f in on_disk.fields}
+    declared = TABLE_SCHEMAS["events"]
+    return raw.select(
+        *[
+            normalize_ts(F.col(f.name), f.dataType, actual.get(f.name)).alias(f.name)
+            for f in declared.fields
+        ]
+    )
 
 
 def run_to_memory(

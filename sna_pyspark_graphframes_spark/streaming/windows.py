@@ -67,16 +67,14 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     user_id only; no global ordering anywhere.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
+    # timestamp subtraction (interval arithmetic) instead of double casts:
+    # valid for TIMESTAMP and TIMESTAMP_NTZ alike, and timezone-independent.
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
     with_flag = events.select(
         "event_id",
         "user_id",
         "ts",
-        F.when(
-            (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"))
-            > gap_s,
-            1,
-        )
+        F.when((F.col("ts") - F.lag("ts").over(w)) > gap, 1)
         .otherwise(0)
         .alias("new_session"),
     )
@@ -114,8 +112,7 @@ def late_data_filter(events: DataFrame, watermark_delay: str = "1 hour") -> Data
     return (
         events.crossJoin(F.broadcast(mx))
         .filter(
-            F.col("ts").cast("double")
-            >= F.col("max_ts").cast("double") - F.lit(float(delay_s))
+            F.col("ts") >= F.col("max_ts") - F.expr(f"INTERVAL {delay_s} SECONDS")
         )
         .select("event_id", "ts")
     )
