@@ -39,20 +39,26 @@ def cosine_topk(
     at 100 TB, generate candidates with ``lsh_buckets`` first and rerank
     the bucket mates with this exact scorer.
     """
+    # norms are per-VECTOR quantities: compute them once per side before the
+    # pair join instead of per pair (the |Q|x|C| join would otherwise run
+    # the norm fold 2x per pair). The cos value is bit-identical — the same
+    # norm doubles are multiplied — this is pure common-subexpression
+    # hoisting across the join.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col("embedding").cast("array<double>").alias("vq")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("vq"),
+    ).withColumn("nq", _norm("vq"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("vc"),
-    )
+    ).withColumn("nc", _norm("vc"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot("vq", "vc") / (_norm("vq") * _norm("vc")), 4).alias("cos"),
+            F.round(_dot("vq", "vc") / (F.col("nq") * F.col("nc")), 4).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -163,6 +169,9 @@ def ann_topk(
         .select("query_id", "neighbor_id", "vq", "vc")
         .dropDuplicates(["query_id", "neighbor_id"])  # collapse multi-probe hits
     )
+    # per-pair dot only; norms hoisted would need carrying through the
+    # bucket join — bucket fan-out is small (Σ bucket², not N²), so the
+    # dominant cost is candidate count, and values stay oracle-identical.
     scored = pairs.select(
         "query_id",
         "neighbor_id",

@@ -29,9 +29,18 @@ def symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
     as a narrow union (no shuffle). ``dedup=True`` additionally collapses
     duplicate directed edges (one hash-aggregate shuffle).
     """
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # explode of a 2-struct array, not union-of-2-selects: a union evaluates
+    # the upstream subtree once per branch (expensive when edges is an
+    # unmaterialized join, e.g. the co-purchase self-join); explode emits
+    # both directions in one pass. Still narrow — no shuffle.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     sym = sym.filter(F.col("src") != F.col("dst"))  # drop self-loops for metric sanity
     return sym.distinct() if dedup else sym
 

