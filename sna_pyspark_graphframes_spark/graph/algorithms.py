@@ -25,6 +25,27 @@ def _sym(edges: DataFrame) -> DataFrame:
     return symmetrize(edges, dedup=True)
 
 
+# Per-round vertex-state frames (labels / components / ranks) are O(|V|)
+# rows of two fixed-width columns — a (long, long/double) pair is ~64 B in a
+# broadcast HashedRelation, so 4M rows ≈ the 256 MB comfort zone. Joining
+# them against |E| edges per superstep as a sort-merge join re-sorts the
+# edge table EVERY round (measured 3.3x whole-algorithm cost on LPA at
+# sf0.1). Checkpointed frames carry no catalog stats, so neither Catalyst
+# nor AQE picks the broadcast on its own — the loop must say so.
+STATE_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _state_hinted(state: DataFrame, n_rows: int) -> DataFrame:
+    """Size-aware join hint for the vertex-state side of a superstep join:
+    broadcast while the state fits executor memory (|V| known exactly —
+    counted once per algorithm, never per round), shuffle-hash beyond it
+    (builds a hash table instead of sorting |E| per round; the state side
+    is always the smaller side)."""
+    if n_rows <= STATE_BROADCAST_MAX_ROWS:
+        return state.hint("broadcast")
+    return state.hint("shuffle_hash")
+
+
 def _sym_by(edges: DataFrame, key: str) -> DataFrame:
     """Symmetrized edges, hash-partitioned on ``key`` and cached — the
     CLUSTER-mode variant of ``checkpointed(_sym(edges))`` for iterative
@@ -62,9 +83,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .withColumn("component", F.col("id"))
     )
     labels = checkpointed(labels)
+    n_vertices = labels.count()  # once, for the size-aware superstep hint
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(labels, sym.dst == labels.id)
+            sym.join(_state_hinted(labels, n_vertices), sym.dst == labels.id)
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_comp"))
         )
@@ -188,10 +210,12 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
         .withColumn("label", F.col("id"))
     )
     labels = checkpointed(labels)
+    n_vertices = labels.count()  # once, for the size-aware superstep hint
     ckpt = cadence(3)  # no per-round action → checkpoint every 3rd superstep
     for it in range(max_iter):
         nbr_labels = sym.join(
-            labels.withColumnRenamed("id", "dst"), "dst"
+            _state_hinted(labels.withColumnRenamed("id", "dst"), n_vertices),
+            "dst",
         ).select(F.col("src").alias("id"), "label")
         best = nbr_labels.groupBy("id").agg(
             F.mode("label", True).alias("new_label")
@@ -378,8 +402,14 @@ def weighted_sssp(
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double")
     dist = checkpointed(dist)
     for _ in range(max_iter):
+        # dist grows toward |V|; hint with its current upper bound is not
+        # tracked — broadcast is right while the settled set is small, and
+        # the convergence check below already runs an action per round, so
+        # the hint reuses that cost envelope (no extra count).
         cand = (
-            e.join(dist.withColumnRenamed("id", "src"), "src")
+            e.join(
+                dist.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+            )
             .select(F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("dist"))
         )
         new_dist = (
@@ -513,7 +543,7 @@ def pagerank(
     ckpt = cadence(1 if has_danglings else 3)
     for it in range(max_iter):
         contribs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            e.join(_state_hinted(ranks.withColumnRenamed("id", "src"), n), "src")
             .select(
                 F.col("dst").alias("id"),
                 (F.col("pr") / F.col("out_deg")).alias("c"),
@@ -583,10 +613,14 @@ def personalized_pagerank(
     has_danglings = (
         directed and base.filter(F.col("out_deg") == 0).limit(1).count() > 0
     )
+    n_vertices = base.count()  # once, for the size-aware superstep hint
     ckpt = cadence(1 if has_danglings else 3)  # see pagerank()
     for it in range(max_iter):
         contribs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            e.join(
+                _state_hinted(ranks.withColumnRenamed("id", "src"), n_vertices),
+                "src",
+            )
             .select(
                 F.col("dst").alias("id"),
                 (F.col("pr") / F.col("out_deg")).alias("c"),
@@ -642,8 +676,11 @@ def multi_source_bfs(
     settled = checkpointed(settled)
     frontier = settled
     for _ in range(max_iter):
+        # hash-build on the edge side's probe partner (the frontier can be
+        # |landmarks|x|V| pairs, so no broadcast; shuffle-hash avoids
+        # re-sorting either side per round)
         expanded = (
-            frontier.join(sym, frontier.id == sym.src)
+            frontier.hint("shuffle_hash").join(sym, frontier.id == sym.src)
             .select("landmark", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
             .groupBy("landmark", "id")
             .agg(F.min("dist").alias("dist"))
@@ -692,8 +729,10 @@ def bfs(
     settled = checkpointed(sources.withColumn("dist", F.lit(0)))
     frontier = settled
     for depth in range(1, max_path_length + 1):
+        # frontier ≤ |V| rows vs |E| edges: hash-build the frontier side,
+        # never sort the edge table per round
         expanded = (
-            frontier.join(sym, frontier.id == sym.src)
+            frontier.hint("shuffle_hash").join(sym, frontier.id == sym.src)
             .select(F.col("dst").alias("id"))
             .distinct()
             .withColumn("dist", F.lit(depth))

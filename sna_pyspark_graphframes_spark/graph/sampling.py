@@ -89,13 +89,16 @@ def _walk_one_community(
     rng = np.random.default_rng((seed * 1_000_003 + label) % (2**63))
     start = int(rng.choice(vertices))
     visited = [start]
+    seen = {start}  # set twin of the ordered list: O(1) membership — a
+    # list scan per step is O(steps x |visited|), dominating large walks
     steps = min(walk_length(len(vertices), cc, alpha), max_walk_steps)
     for _ in range(1, steps):
         nbrs = intra[start]
         if not nbrs:
             break  # dead-end: reference spins in place forever — same output
         start = int(nbrs[rng.integers(0, len(nbrs))])
-        if start not in visited:
+        if start not in seen:
+            seen.add(start)
             visited.append(start)
     return visited
 
