@@ -184,7 +184,9 @@ def connected_components_twophase(edges: DataFrame, max_iter: int = 50) -> DataF
 # Label propagation (community detection)
 # ---------------------------------------------------------------------------
 
-def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, max_iter: int = 5, assume_symmetric: bool = False
+) -> DataFrame:
     """Synchronous LPA: ``(id, label)`` after ``max_iter`` supersteps.
 
     Reference: ``graph.labelPropagation(maxIter)`` (GraphX Pregel under
@@ -196,6 +198,10 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
         §3.2 rebuild note);
       * isolated vertices keep their label.
 
+    ``assume_symmetric``: the input already contains both directions of
+    every edge (deduped) — skips the symmetrize+distinct pass (an |E|
+    explode + shuffle) that callers like the sampler have already paid.
+
     Per superstep: one join (labels onto edge dst) + ONE aggregate —
     ``mode(label, deterministic=True)`` is most-frequent-with-min-tie-break
     in a single typed aggregate (map-side partials buffer per-group
@@ -203,7 +209,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     (one fewer |E|-sized shuffle per superstep).
 
     """
-    sym = checkpointed(_sym(edges))
+    sym = edges if assume_symmetric else checkpointed(_sym(edges))
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

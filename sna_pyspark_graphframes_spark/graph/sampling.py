@@ -206,8 +206,12 @@ def sample_graph(
     from sna_pyspark_graphframes_spark.graph.build import canonical_edges
     from sna_pyspark_graphframes_spark.graph.metrics import local_clustering
 
-    sym = symmetrize(edges, dedup=True).cache()  # reused by LPA + adjacency
-    labels = label_propagation(sym, max_iter=max_iter)
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed as _ckpt
+
+    # checkpoint (not lazy cache): reused by LPA + adjacency + the induced
+    # subgraph, and the LPA loop assumes a materialized symmetric frame
+    sym = _ckpt(symmetrize(edges, dedup=True))
+    labels = label_propagation(sym, max_iter=max_iter, assume_symmetric=True)
     if max_community_size is not None:
         labels = split_oversized_communities(labels, max_community_size, seed)
     labels = dense_rekey(labels).cache()
