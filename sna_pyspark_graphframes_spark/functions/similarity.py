@@ -114,6 +114,102 @@ def lsh_buckets(
     return v.select("id", F.concat(*bits).alias("bucket"))
 
 
+def ivf_centroids(
+    embeddings: DataFrame, stride: int = 40, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF coarse quantizer: every ``stride``-th vector id is a centroid —
+    ``(centroid_id, cv)``. Deterministic and data-derived, so both engines
+    (Spark and the DuckDB oracle) build the identical codebook; a k-means
+    refinement is the production upgrade and swaps only this frame.
+
+    Centroid count ≈ N/stride; pick stride ≈ √N so assignment cost is
+    N·√N dot products and mean list length is √N."""
+    return embeddings.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    stride: int = 40,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, centroid_id, probe_rank)`` — each vector's ``n_probe``
+    nearest centroids by cosine (rank 1 = its home list).
+
+    The centroid table is tiny (N/stride rows) → broadcast; cost is a
+    codegen'd N×C score + a per-id top-n window (per-group sort, never
+    global). Cosine is rounded to 6 decimals BEFORE ranking so the
+    argmin tie-break (centroid_id asc) is reproducible across engines —
+    unrounded last-ulp differences would make list assignment itself
+    engine-dependent."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    scored = v.crossJoin(F.broadcast(ivf_centroids(embeddings, stride, id_col))).select(
+        "id",
+        "centroid_id",
+        F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("id", "centroid_id", "probe_rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    stride: int = 40,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: ``(query_id, neighbor_id, cos, rank)``.
+
+    Corpus vectors live in their single home list; each query probes its
+    ``n_probe`` nearest lists and exact-reranks the candidates. The
+    candidate join is an equi-join on ``centroid_id`` — cost is
+    Σ probe-list lengths (~n_probe·N/√N per query with stride ≈ √N),
+    never N². Complements ``ann_topk``: IVF partitions by data-derived
+    regions (adapts to clustered corpora), hyperplane LSH by fixed
+    random cuts (no training, streaming-friendly)."""
+    assign = ivf_assign(embeddings, stride, max(1, n_probe), id_col).cache()
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    corpus = (
+        assign.filter(F.col("probe_rank") == 1)
+        .join(v, "id")
+        .select(F.col("id").alias("neighbor_id"), "centroid_id", F.col("v").alias("vc"))
+    )
+    probes = assign.join(v, "id").select(
+        F.col("id").alias("query_id"), "centroid_id", F.col("v").alias("vq")
+    )
+    pairs = (
+        probes.join(corpus, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "vq", "vc")
+        .dropDuplicates(["query_id", "neighbor_id"])  # collapse multi-probe hits
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot("vq", "vc") / (_norm("vq") * _norm("vc")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_topk(
     embeddings: DataFrame,
     dim: int,

@@ -1728,6 +1728,56 @@ def q_ann_topk(spark, sf_dir):
     return fsim.ann_topk(_t(spark, sf_dir, "embeddings"), dim=64, k=5)
 
 
+def _ivf_topk_sql(stride: int = 40, n_probe: int = 2, k: int = 5) -> str:
+    """DuckDB twin of ``similarity.ivf_topk``. The codebook (every
+    stride-th vec_id) and the round-6-then-rank assignment are replicated
+    exactly, so list membership — and hence the approximate result set —
+    matches across engines."""
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id % {stride} = 0),
+    assign AS (
+        SELECT v.id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.id
+                   ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 6) DESC,
+                            c.centroid_id ASC
+               ) AS probe_rank
+        FROM v CROSS JOIN c
+    ),
+    corpus AS (SELECT id AS neighbor_id, centroid_id FROM assign WHERE probe_rank = 1),
+    probes AS (SELECT id AS query_id, centroid_id FROM assign WHERE probe_rank <= {n_probe}),
+    cand AS (
+        SELECT DISTINCT p.query_id, s.neighbor_id
+        FROM probes p JOIN corpus s USING (centroid_id)
+        WHERE p.query_id <> s.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+        FROM cand JOIN v a ON a.id = query_id JOIN v b ON b.id = neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ivf_topk", _ivf_topk_sql())
+def q_ivf_topk(spark, sf_dir):
+    """IVF-partitioned ANN (data-derived coarse quantizer + probe-2 exact
+    rerank) — the second scale path for similarity search next to the
+    hyperplane-LSH ``ann_topk``; candidate join is an equi-join on the
+    list id, never N²."""
+    return fsim.ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, stride=40, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Corpus pipeline (functions/corpus.py) — whole-corpus training-data ops
 # ---------------------------------------------------------------------------

@@ -120,6 +120,32 @@ class TestSimilarity:
         rows = sorted((r.rank, r.neighbor_id) for r in out.collect())
         assert rows == [(1, 3), (2, 1)]  # 3 is closer to [1,0] than 1
 
+    def test_ivf_topk_probe_recall(self, spark):
+        """IVF candidates with more probes are a superset → recall vs the
+        exact top-k can only improve; home-list assignment covers every
+        vector exactly once."""
+        import random
+
+        rng = random.Random(7)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        home = fsim.ivf_assign(df, stride=20, n_probe=1).collect()
+        assert len(home) == 120  # every vector lands in exactly one list
+        assert len({r.id for r in home}) == 120
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in fsim.cosine_topk(df, df, k=3).collect()
+        }
+
+        def recall(out):
+            got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+            return len(got & exact) / len(exact)
+
+        r1 = recall(fsim.ivf_topk(df, k=3, stride=20, n_probe=1))
+        r3 = recall(fsim.ivf_topk(df, k=3, stride=20, n_probe=3))
+        assert r3 >= r1
+        assert r3 > 0.4  # probing 3 of 6 lists recovers a solid fraction
+
     def test_ann_topk_runs_and_ranks(self, spark):
         vecs = [(i, [float(i % 5), float((i * 7) % 3), 1.0]) for i in range(40)]
         df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
