@@ -2237,6 +2237,23 @@ def q_stream_dedup_keys(spark, sf_dir):
 
 
 @register(
+    "stream_foreach_batch",
+    """
+    SELECT event_id, user_id, event_type, value FROM events WHERE value >= 50.0
+    """,
+)
+def q_stream_foreach_batch(spark, sf_dir):
+    """Streaming foreachBatch parquet sink (the production sink bridge:
+    arbitrary per-micro-batch batch writes) — files read back must equal
+    the batch filter exactly."""
+    from sna_pyspark_graphframes_spark.streaming.stream import (
+        stream_foreach_batch_filtered,
+    )
+
+    return stream_foreach_batch_filtered(spark, sf_dir)
+
+
+@register(
     "orc_roundtrip",
     "SELECT event_id, ts, user_id, event_type, value FROM events",
 )
@@ -2446,6 +2463,41 @@ def q_multimodal_digest(spark, sf_dir):
 def q_multimodal_featurize(spark, sf_dir):
     media = fmm.documents_as_media(_t(spark, sf_dir, "documents"))
     return fmm.featurize(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, CAST(n_chars * 10 AS BIGINT) // 1000)) AS i
+        FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ms,
+           md5(md5(text) || '|' || CAST(i AS VARCHAR)) AS frame_digest
+    FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: per-media fan-out to one row per
+    sampled frame happens inside the Arrow kernel; the deterministic
+    stand-in digests make the exact fan-out + values DuckDB-oracle-able."""
+    media = fmm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return fmm.sample_frames(media, fps=1.0)
+
+
+@register(
+    "multimodal_thumbnails",
+    """
+    SELECT doc_id AS media_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           md5(md5(text) || '|8x8') AS thumb_digest
+    FROM documents
+    """,
+)
+def q_multimodal_thumbnails(spark, sf_dir):
+    media = fmm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return fmm.resize_thumbnails(media, out_w=8, out_h=8)
 
 
 # ---------------------------------------------------------------------------

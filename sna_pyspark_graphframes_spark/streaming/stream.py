@@ -69,6 +69,49 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_foreach_batch_parquet(
+    result: DataFrame, spark: SparkSession, path: str
+) -> DataFrame:
+    """Execute a streaming DataFrame through a ``foreachBatch`` parquet
+    sink (the production sink shape: per-micro-batch arbitrary writes with
+    exactly-once via the checkpointed batch id), then read the files back.
+
+    ``foreachBatch`` hands each micro-batch to ordinary batch code — the
+    idiomatic bridge to any sink Structured Streaming lacks natively
+    (JDBC upserts, multi-table fan-out). Append-only here, so re-reading
+    the directory equals the batch result over a finite source."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(path + "_ckpt", ignore_errors=True)
+    return spark.read.schema(result.schema).parquet(path)
+
+
+def stream_foreach_batch_filtered(
+    spark: SparkSession, sf_dir: str, min_value: float = 50.0
+) -> DataFrame:
+    """Filtered projection of the event stream delivered through the
+    foreachBatch parquet sink — append-mode row stream, no state."""
+    import hashlib
+
+    ev = read_event_stream(spark, sf_dir).filter(F.col("value") >= min_value).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = hashlib.md5(f"fb:{sf_dir}".encode()).hexdigest()[:8]
+    return run_foreach_batch_parquet(ev, spark, f"/tmp/spark_graft_fb_{tag}")
+
+
 def stream_tumbling_counts(
     spark: SparkSession, sf_dir: str, width: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

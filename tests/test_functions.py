@@ -182,6 +182,37 @@ class TestMultimodal:
         assert out1[0][0] == hashlib.md5(b"payload one").hexdigest()
 
 
+class TestMultimodalOps:
+    def test_frame_sample_fanout(self, spark):
+        """One row per sampled frame; count driven by duration_ms."""
+        df = docs_df(spark, ["abcde", "x"])  # n_chars column added below
+        media = fmm.documents_as_media(
+            df.withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text"))
+        )
+        out = fmm.sample_frames(media, fps=1.0).collect()
+        # duration = n_chars*10 ms -> always < 1000 ms here -> 1 frame each
+        assert sorted((r.media_id, r.frame_idx) for r in out) == [(0, 0), (1, 0)]
+        assert all(r.frame_ms == 0 for r in out)
+
+    def test_thumbnails_deterministic(self, spark):
+        df = docs_df(spark, ["payload one"])
+        media = fmm.documents_as_media(
+            df.withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text"))
+        )
+        a = fmm.resize_thumbnails(media).collect()
+        b = fmm.resize_thumbnails(media).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert a[0].out_w == 8 and a[0].out_h == 8
+        import hashlib
+
+        base = hashlib.md5(b"payload one").hexdigest()
+        assert a[0].thumb_digest == hashlib.md5(f"{base}|8x8".encode()).hexdigest()
+
+
 class TestMultiProbe:
     def test_multiprobe_recall_at_least_single_probe(self, spark):
         """Multi-probe candidates are a superset of single-probe → recall
