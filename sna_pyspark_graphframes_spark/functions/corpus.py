@@ -163,6 +163,37 @@ def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFra
     )
 
 
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, n_tokens, surprisal)`` — per-document mean token
+    surprisal −ln p(w) under the corpus's own unigram distribution: the
+    classic self-referential quality-filter signal (boilerplate and
+    repetitive spam score LOW, rare-token gibberish scores HIGH; both
+    tails get filtered in training-data curation).
+
+    Two passes over the token explode, all built-ins: vocabulary counts
+    (map-side-combined hash aggregate), then a token⋈vocab equi-join and
+    a per-doc average. The corpus-total token count is a 1-row aggregate
+    broadcast via cross join — no collect. Cost is two |tokens| shuffles
+    regardless of corpus size; the vocab join key (the word) is the same
+    power-law key TF-IDF shuffles on, handled by AQE skew splitting."""
+    words = docs.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    return (
+        words.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-(F.log(F.col("n")) - F.log(F.col("total")))), 4
+            ).alias("surprisal"),
+        )
+    )
+
+
 def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF:
     ``(doc_id, w, tfidf, rank)`` with ``tfidf = tf · ln(N/df)``.

@@ -1932,6 +1932,28 @@ def q_vocab_topk(spark, sf_dir):
 
 
 @register(
+    "unigram_surprisal",
+    r"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+    tot AS (SELECT SUM(n) AS total FROM vocab)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-(LN(n) - LN(total))), 4) AS surprisal
+    FROM words JOIN vocab USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark, sf_dir):
+    """Corpus-relative unigram surprisal — the quality-filter signal whose
+    probabilities come from the corpus itself (two token passes, no
+    external model)."""
+    return fcorpus.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "tf_idf",
     r"""
     WITH words AS (
