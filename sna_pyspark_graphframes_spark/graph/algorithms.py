@@ -407,14 +407,14 @@ def weighted_sssp(
     spark = edges.sparkSession
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double")
     dist = checkpointed(dist)
+    n_dist = 1
     for _ in range(max_iter):
-        # dist grows toward |V|; hint with its current upper bound is not
-        # tracked — broadcast is right while the settled set is small, and
-        # the convergence check below already runs an action per round, so
-        # the hint reuses that cost envelope (no extra count).
+        # dist grows from 1 row toward |V|: size-aware hint per round —
+        # the count on the checkpointed frame is trivial next to the
+        # convergence action this loop already runs every round.
         cand = (
             e.join(
-                dist.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+                _state_hinted(dist.withColumnRenamed("id", "src"), n_dist), "src"
             )
             .select(F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("dist"))
         )
@@ -432,6 +432,7 @@ def weighted_sssp(
             .count()
         )
         dist = new_dist
+        n_dist = dist.count()
         if improved == 0:
             break
     return dist.select("id", F.round(F.col("dist"), 4).alias("dist"))

@@ -2533,9 +2533,10 @@ def q_multimodal_thumbnails(spark, sf_dir):
 # is driver-verified in round 2. Everything else stays registered (and
 # locally oracle-tested by tests/test_entry_oracle.py at sf0.001) after
 # slot 50; round-1's CORRECTNESS_r01.json already holds green rows for the
-# relational/graph queries rotated out. Only 2 in-window entries are
-# rows-only (ann_topk, random_walk_sample — approximate / seeded-sampling
-# by nature); every other slot is a full value-hash check.
+# relational/graph queries rotated out. Every slot is a full value-hash
+# check — even the "approximate" entries (ann_topk's hyperplanes and
+# ivf_topk's codebook are deterministic plan literals shared with the
+# oracle SQL).
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
