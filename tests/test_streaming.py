@@ -13,6 +13,7 @@ from sna_pyspark_graphframes_spark.streaming.stream import (
 )
 from sna_pyspark_graphframes_spark.streaming.stateful import (
     stream_user_running_totals,
+    user_running_totals,
 )
 
 
@@ -44,6 +45,55 @@ def test_stateful_running_totals_equal_batch_agg(spark, sf_dir):
     stream = stream_user_running_totals(spark, sf_dir)
     cols = ["user_id", "n_events", "total_value", "last_ts"]
     assert _rows(batch, cols) == _rows(stream, cols)
+
+
+def test_stateful_state_survives_micro_batches(spark, sf_dir, tmp_path):
+    """GroupState must ACCUMULATE across micro-batches, not just within
+    one. Splitting the source into 4 files with maxFilesPerTrigger=1
+    forces 4 real micro-batches; the final per-user state (the row with
+    the highest n_events — update mode emits one row per touched key per
+    batch) must equal the batch aggregate over everything."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "chunks")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = user_running_totals(stream)
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name)
+    n_users = res.select("user_id").distinct().count()
+    # more emitted rows than keys == keys were updated in >1 micro-batch
+    assert res.count() > n_users
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        res.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    cols = ["user_id", "n_events", "last_ts"]
+    assert _rows(batch, cols) == _rows(final, cols)
+    # totals accumulate across batches in double; compare at cent precision
+    b = {r.user_id: r.total_value for r in batch.collect()}
+    f = {r.user_id: r.total_value for r in final.collect()}
+    assert all(abs(b[u] - f[u]) < 0.02 for u in b)
 
 
 def test_late_data_filter_bounds(spark, sf_dir):
