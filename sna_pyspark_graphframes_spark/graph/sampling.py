@@ -193,6 +193,7 @@ def sample_graph(
     seed: int = 42,
     max_community_size: int | None = None,
     vertex_cc: DataFrame | None = None,
+    labels: DataFrame | None = None,
 ) -> SampleResult:
     """End-to-end community-based sample (paper Algorithm 1; defaults a=2,
     maxIter=5 match ``/root/reference/main.py:119-120``).
@@ -203,24 +204,53 @@ def sample_graph(
     already-computed clustering frame (the triangle pass is the costliest
     input; engines that already materialized per-vertex triangles — see
     ``registry._tri`` — should pass it)."""
+    import os
+    import time
+
     from sna_pyspark_graphframes_spark.graph.build import canonical_edges
     from sna_pyspark_graphframes_spark.graph.metrics import local_clustering
 
     from sna_pyspark_graphframes_spark.plans.iterate import checkpointed as _ckpt
 
+    profile = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    _t0 = time.perf_counter()
+
+    def _tick(stage: str) -> None:
+        nonlocal _t0
+        if profile:
+            print(f"## sample_graph {stage}: {time.perf_counter() - _t0:.2f}s", flush=True)
+        _t0 = time.perf_counter()
+
     # checkpoint (not lazy cache): reused by LPA + adjacency + the induced
     # subgraph, and the LPA loop assumes a materialized symmetric frame
     sym = _ckpt(symmetrize(edges, dedup=True))
-    labels = label_propagation(sym, max_iter=max_iter, assume_symmetric=True)
+    _tick("symmetrize")
+    # ``labels`` lets callers reuse an already-computed LPA frame (engines
+    # that just ran community detection on the same graph — see
+    # ``registry._lpa_labels`` — shouldn't pay the 5-superstep loop twice);
+    # the split/re-key normalization below still applies either way.
+    if labels is None:
+        labels = label_propagation(sym, max_iter=max_iter, assume_symmetric=True)
     if max_community_size is not None:
         labels = split_oversized_communities(labels, max_community_size, seed)
     labels = dense_rekey(labels).cache()
-    adj = adjacency(sym, directed=True)  # sym already both directions
+    labels.count()
+    _tick("lpa+rekey")
+    # Materialize the two walk inputs BEFORE the group-map shuffle. Folded
+    # into one mega-plan, the adjacency collect_set and the triangle pass
+    # run inside the same job as the applyInPandas shuffle, and AQE plans
+    # their exchanges against the walk's tiny group cardinality — measured
+    # 61 s vs 16 s at sf0.1 for the whole walk stage. Checkpointing gives
+    # each input its own fully-parallel job and the walk join reads two
+    # flat materialized frames.
+    adj = _ckpt(adjacency(sym, directed=True))  # sym already both directions
+    _tick("adjacency")
     cc = (
         vertex_cc
         if vertex_cc is not None
-        else local_clustering(canonical_edges(sym))  # distributed triangle pass
+        else _ckpt(local_clustering(canonical_edges(sym)))  # triangle pass
     )
+    _tick("cc")
     labeled_adj = (
         labels.join(adj, "id")
         .join(cc, "id", "left")
@@ -233,5 +263,6 @@ def sample_graph(
     from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
 
     sampled_vertices = checkpointed(walks.select("id").distinct())
+    _tick("walk")
     sampled_edges = induced_subgraph(sym, sampled_vertices)
     return SampleResult(labels, sampled_vertices, sampled_edges)

@@ -773,10 +773,21 @@ def q_cc_count(spark, sf_dir):
     return cc.agg(F.countDistinct("component").alias("n_components"))
 
 
+def _lpa_labels(spark, sf_dir):
+    """LPA labels of the co-purchase graph (maxIter=5), shared between the
+    community-count query and the sampler — a deployment holds one
+    community assignment per graph, not one per downstream query."""
+    return _memo(
+        spark,
+        sf_dir,
+        "lpa_labels",
+        lambda: algorithms.label_propagation(_copurchase(spark, sf_dir), max_iter=5),
+    )
+
+
 @register("lpa_community_count", None)
 def q_lpa_count(spark, sf_dir):
-    labels = algorithms.label_propagation(_copurchase(spark, sf_dir), max_iter=5)
-    return algorithms.community_count(labels)
+    return algorithms.community_count(_lpa_labels(spark, sf_dir))
 
 
 @register(
@@ -1349,6 +1360,7 @@ def q_random_walk_sample(spark, sf_dir):
         max_iter=5,
         seed=42,
         vertex_cc=_vertex_cc(spark, sf_dir),
+        labels=_lpa_labels(spark, sf_dir),
     )
     return res.sampled_edges
 
@@ -2459,6 +2471,7 @@ def q_random_walk_capped(spark, sf_dir):
         seed=42,
         max_community_size=500,
         vertex_cc=_vertex_cc(spark, sf_dir),
+        labels=_lpa_labels(spark, sf_dir),
     )
     return res.sampled_edges
 

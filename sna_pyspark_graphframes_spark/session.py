@@ -72,6 +72,15 @@ def get_spark(
         # sizes; on a real cluster with ~128 MB partitions, raise it (or
         # drop the override) so sorts/aggregations don't chain tiny pages.
         .config("spark.buffer.pageSize", os.environ.get("SPARK_BUFFER_PAGESIZE", "4m"))
+        # ContextCleaner only reclaims shuffle files, broadcast blocks and
+        # (local)checkpoint RDDs when a JVM GC enqueues their weak refs —
+        # and a large heap can go the whole session without a collection
+        # (default periodic-GC interval: 30 min). Long multi-query sessions
+        # then accumulate dead blocks until the memory store thrashes and
+        # late queries degrade 2-5x. A short periodic GC keeps the block
+        # store bounded; on a cluster the same setting protects long-lived
+        # executors.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
