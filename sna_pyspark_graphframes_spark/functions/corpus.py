@@ -263,3 +263,101 @@ def stratified_sample(
         .filter(F.col("rn") <= per_stratum)
         .select(id_col, stratum_col, "rn")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct k-word shingles that appear anywhere in the benchmark
+    corpus — ``(doc_id, overlap, contaminated)``.
+
+    The pretraining-data gate against eval leakage: a document whose
+    shingle overlap with the held-out benchmark exceeds ``threshold`` is
+    flagged for removal. Shape at 100 TB: benchmarks are tiny next to the
+    corpus, so the benchmark shingle set is BROADCAST and the check is one
+    map-side semi-join over the corpus shingles + one aggregate — the
+    corpus is never shuffled by shingle.
+    """
+    from sna_pyspark_graphframes_spark.functions.dedup import word_shingles
+
+    train_sh = word_shingles(docs, text_col, k)
+    bench_sh = word_shingles(bench, text_col, k).select("sh").distinct()
+    sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    matched = (
+        train_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("m"))
+    )
+    return (
+        sizes.join(matched, "doc_id", "left")
+        .fillna({"m": 0})
+        .select(
+            "doc_id",
+            F.round(F.col("m") / F.col("n"), 4).alias("overlap"),
+            (F.col("m") / F.col("n") >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def bow_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Bag-of-words cosine similarity for document pairs sharing ≥1 term,
+    via a term inverted-index join — ``(doc_a, doc_b, cosine)`` with
+    rounded cosine ≥ threshold. Never an all-pairs product.
+
+    Term counts are exact integers, so the pair dot product and the
+    squared norms are integers and ``round(dot/sqrt(ssa·ssb), 4)`` is
+    bit-identical across engines (sqrt/÷ are correctly-rounded IEEE ops on
+    exact inputs) — unlike a float TF-IDF weighting, this is safely
+    oracle-checkable.
+
+    ``max_df`` drops terms present in more than that many documents before
+    pairing: the stop-term guard that bounds the join at Σ min(df,
+    max_df)² — at corpus scale the df distribution is Zipfian and the cap
+    is what keeps the candidate set near-linear.
+    """
+    words = docs.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    if max_df is not None:
+        keep = (
+            tf.groupBy("w")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("w")
+        )
+        tf = tf.join(keep, "w", "left_semi")
+    tf = tf.cache()  # feeds both the norm aggregate and both join sides
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("ss")
+    )
+    a = tf.select(F.col("doc_id").alias("doc_a"), "w", F.col("tf").alias("tfa"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "w", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cosine",
+            F.round(F.col("dot") / F.sqrt(F.col("ssa") * F.col("ssb")), 4),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

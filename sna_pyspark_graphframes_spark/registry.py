@@ -2536,6 +2536,87 @@ def q_multimodal_thumbnails(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Decontamination, sparse-vector similarity, stream-static enrichment
+# ---------------------------------------------------------------------------
+
+@register(
+    "decontaminate",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM train GROUP BY doc_id),
+    matched AS (
+        SELECT t.doc_id, COUNT(*) AS m
+        FROM train t JOIN bench b USING (sh)
+        GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+           ROUND(COALESCE(m, 0) * 1.0 / n, 4) AS overlap,
+           COALESCE(m, 0) * 1.0 / n >= 0.5 AS contaminated
+    FROM sizes s LEFT JOIN matched USING (doc_id)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark-leakage gate: the held-out "benchmark" is the
+    deterministic doc_id % 50 slice, the training corpus is the rest."""
+    docs = _t(spark, sf_dir, "documents")
+    return fcorpus.decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        threshold=0.5,
+    )
+
+
+@register(
+    "bow_cosine_pairs",
+    r"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+    keep AS (SELECT w FROM tf GROUP BY w HAVING COUNT(*) <= 100),
+    tfk AS (SELECT tf.* FROM tf JOIN keep USING (w)),
+    norms AS (SELECT doc_id, SUM(tf * tf) AS ss FROM tfk GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+        FROM tfk a JOIN tfk b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(dot / SQRT(na.ss * nb.ss), 4) AS cosine
+    FROM dots
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    WHERE ROUND(dot / SQRT(na.ss * nb.ss), 4) >= 0.5
+    """,
+)
+def q_bow_cosine_pairs(spark, sf_dir):
+    return fcorpus.bow_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_purchases,
+           ROUND(SUM(value), 2) AS revenue
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_nationkey
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    from sna_pyspark_graphframes_spark.streaming.stream import (
+        stream_static_enrich,
+    )
+
+    return stream_static_enrich(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window.
 #
 # The driver's harness verifies the FIRST 50 queries in registration order

@@ -189,3 +189,33 @@ def stream_session_windows(
         .select("user_id", F.col("w.start").alias("session_start"), "n", "total_value")
     )
     return run_to_memory(agg, spark)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the static
+    customer dimension, rolled up to per-nation purchase revenue.
+
+    Stream-static joins are STATELESS — each micro-batch joins against the
+    static side as ordinary batch data, no watermark and no join state.
+    The dim side is broadcast (it's the classic small-dimension shape), so
+    at scale the streaming side never shuffles for the join; only the
+    final aggregate keeps (tiny, per-nation) state. Complete output mode
+    over a finite source equals the batch join + aggregate exactly.
+    """
+    from sna_pyspark_graphframes_spark.sources import load_table
+
+    ev = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="complete")
