@@ -12,10 +12,14 @@ import os
 import re
 import time
 
-# Single-JVM local mode: the heap is the whole "cluster"; headroom keeps
-# mid-run queries from degrading under GC pressure (must be set before the
-# JVM launches, i.e. before the session module builds one).
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+# Single-JVM local mode: the heap is the whole "cluster" (must be set
+# before the JVM launches, i.e. before the session module builds one).
+# 16g, deliberately NOT larger: this workload's live set is a few GB, and
+# G1 pause times scale with heap — at 48g, identical back-to-back runs
+# measured 78-118 s (episodic multi-second collections landing inside the
+# iterative algorithms' superstep loops), while at 8-16g consecutive runs
+# agree within ~1 s. Bigger heaps buy variance here, not speed.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
 import __spark_entry__ as entrymod
 from sna_pyspark_graphframes_spark.session import get_spark
