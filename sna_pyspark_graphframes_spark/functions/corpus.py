@@ -232,13 +232,19 @@ def hash_split(
     Content-hash splitting is the production norm (stable under re-runs,
     re-shards, and corpus growth; no RNG state to coordinate across 1000
     executors). Pure projection — no shuffle, no action."""
+    return docs.select(F.col(id_col), split_expr(id_col).alias("split"))
+
+
+def split_expr(id_col: str = "doc_id"):
+    """The hash-split assignment as a bare column expression, for operators
+    that add the split in-place instead of joining ``hash_split``'s
+    two-column frame back on."""
     d = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
-    split = (
+    return (
         F.when(d.isin(*"0123456789ab"), F.lit("train"))
         .when(d.isin(*"cd"), F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return docs.select(F.col(id_col), split.alias("split"))
 
 
 def stratified_sample(
@@ -360,4 +366,49 @@ def bow_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame, text_col: str = "text", min_quality: float = 0.5
+) -> DataFrame:
+    """The end-to-end curation pipeline in one operator: exact dedup →
+    near-dup cluster removal → quality gate → deterministic split —
+    ``(doc_id, lang, source, split)`` for every surviving document.
+
+    Both dedup stages are computed on the FULL corpus (dedup-before-
+    filter, the common production order — duplicate statistics shouldn't
+    depend on downstream filter tuning), then the quality gate and the
+    split assignment apply to the survivors.
+
+    Plan shape at 100 TB: three keep/drop sets, each the output of an
+    already-scale-safe stage (hash aggregate / banded LSH join + CC over
+    the pair set / pure column expressions), intersected with the corpus
+    by semi/anti joins on ``doc_id`` — the corpus itself flows through
+    exactly once and never shuffles on anything but ``doc_id``.
+    """
+    from sna_pyspark_graphframes_spark.functions.text import quality_features
+
+    exact_keep = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = (
+        near_dup_clusters(docs, text_col)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    quality_keep = (
+        quality_features(docs, text_col)
+        .filter(F.col("quality") >= min_quality)
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(exact_keep, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+        .join(quality_keep, "doc_id", "left_semi")
+    )
+    return kept.select(
+        "doc_id", "lang", "source", split_expr("doc_id").alias("split")
     )

@@ -2616,6 +2616,37 @@ def q_stream_static_join(spark, sf_dir):
     return stream_static_enrich(spark, sf_dir)
 
 
+@register(
+    "curate_corpus",
+    _CLUSTERS_SQL
+    + f"""
+    , nd_drop AS (
+        SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) <> id
+    ),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    qual AS (
+        SELECT doc_id FROM ({_quality_sql()}) WHERE quality >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN STRPOS('0123456789ab',
+                            SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) > 0 THEN 'train'
+                WHEN STRPOS('cd',
+                            SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) > 0 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d
+    JOIN exact_keep ON d.doc_id = exact_keep.doc_id
+    JOIN qual ON d.doc_id = qual.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM nd_drop)
+    """,
+)
+def q_curate_corpus(spark, sf_dir):
+    """The whole curation pipeline as one operator — exact dedup, near-dup
+    cluster removal, quality gate, split assignment."""
+    return fcorpus.curate_corpus(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #
