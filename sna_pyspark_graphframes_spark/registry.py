@@ -2699,20 +2699,21 @@ _WINDOW = [
     "minhash_near_dup",
     "ngram_jaccard",
     "simhash",
-    "simhash_groups",
     "embedding_near_dup",
     # similarity search (ann's hyperplanes are shared plan literals, so even
     # the "approximate" result is value-oracled)
     "similarity_topk",
     "ann_topk",
-    # corpus pipeline (clustered dedup, chunking, redaction, stats, splits)
-    "near_dup_clusters",
-    "dedup_corpus",
+    # corpus pipeline (curation, chunking, redaction, stats, splits);
+    # curate_corpus exercises the near_dup_clusters/dedup_corpus pipeline
+    # end-to-end (those stay registered + locally oracle-tested past slot 50)
+    "curate_corpus",
     "doc_chunks",
     "redact_pii",
     "repetition_ratio",
-    "vocab_topk",
     "tf_idf",
+    "decontaminate",
+    "bow_cosine_pairs",
     "hash_split",
     "stratified_sample",
     # event windows
@@ -2731,6 +2732,7 @@ _WINDOW = [
     "stream_stream_join",
     "stream_dedup_keys",
     "stream_stateful_totals",
+    "stream_static_join",
     # sources/sinks + multimodal
     "orc_roundtrip",
     "multimodal_digest",
