@@ -136,3 +136,77 @@ class TestSplits:
         assert {k: len(v) for k, v in by_lang.items()} == {"en": 5, "de": 5}
         out2 = corpus.stratified_sample(docs, per_stratum=5).collect()
         assert {(r.doc_id, r.rn) for r in out} == {(r.doc_id, r.rn) for r in out2}
+
+
+class TestDecontaminate:
+    def test_exact_benchmark_copy_is_fully_contaminated(self, spark):
+        bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+        train = _docs(
+            spark,
+            [
+                (1, "alpha beta gamma delta epsilon"),  # identical
+                (2, "alpha beta something else entirely here"),  # partial
+                (3, "totally unrelated words nothing shared four"),  # clean
+            ],
+        )
+        out = {r.doc_id: r for r in corpus.decontaminate(train, bench).collect()}
+        assert out[1].overlap == 1.0 and out[1].contaminated
+        assert 0.0 < out[2].overlap < 0.5 and not out[2].contaminated
+        assert out[3].overlap == 0.0 and not out[3].contaminated
+
+    def test_overlap_is_fraction_of_training_doc_shingles(self, spark):
+        """Denominator is the TRAINING doc's shingle count: a short doc
+        fully inside a long benchmark doc is 100% contaminated."""
+        bench = _docs(spark, [(100, "a b c d e f g h i j k l m n")])
+        train = _docs(spark, [(1, "c d e")])  # 2 bigrams, both in bench
+        (row,) = corpus.decontaminate(train, bench).collect()
+        assert row.overlap == 1.0 and row.contaminated
+
+
+class TestBowCosinePairs:
+    def test_identical_docs_cosine_one(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "x y z x y"),
+                (2, "x y z x y"),
+                (3, "p q r s t"),
+            ],
+        )
+        out = corpus.bow_cosine_pairs(docs, threshold=0.5).collect()
+        assert [(r.doc_a, r.doc_b, r.cosine) for r in out] == [(1, 2, 1.0)]
+
+    def test_orthogonal_docs_never_pair(self, spark):
+        docs = _docs(spark, [(1, "a b c"), (2, "d e f")])
+        assert corpus.bow_cosine_pairs(docs, threshold=0.0).count() == 0
+
+    def test_max_df_drops_stop_terms_from_pairing(self, spark):
+        """A term in every doc must not create candidate pairs once capped."""
+        docs = _docs(
+            spark,
+            [(i, f"the unique{i} word{i}") for i in range(1, 6)],
+        )
+        # 'the' has df=5; with max_df=4 no shared terms remain
+        assert corpus.bow_cosine_pairs(docs, threshold=0.0, max_df=4).count() == 0
+        # without the cap, 'the' pairs everything
+        assert corpus.bow_cosine_pairs(docs, threshold=0.0, max_df=None).count() == 10
+
+
+class TestCurateCorpus:
+    def test_stages_compose(self, spark):
+        """Exact dup dropped, near-dup non-canonical dropped, low quality
+        dropped, survivors get a split label."""
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, base + " uno dos tres quatro cinco seis", "en", "s0", 1),
+            (2, base + " uno dos tres quatro cinco seis", "en", "s0", 1),  # exact dup of 1
+            (3, base + " uno dos tres quatro cinco seis siete extra", "en", "s0", 1),  # near-dup of 1
+            (4, "completely different healthy document with many plain words here", "en", "s1", 1),
+            (5, "x", "en", "s1", 1),  # fails the n_words >= 5 quality gate
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        out = {r.doc_id: r for r in corpus.curate_corpus(docs).collect()}
+        assert set(out) == {1, 4}
+        assert all(r.split in ("train", "val", "test") for r in out.values())
