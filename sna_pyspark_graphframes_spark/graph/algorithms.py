@@ -46,6 +46,21 @@ def _state_hinted(state: DataFrame, n_rows: int) -> DataFrame:
     return state.hint("shuffle_hash")
 
 
+def _state_cadence(n_rows: int, refs_per_step: int = 1) -> int:
+    """Checkpoint cadence for a superstep loop whose state is fed through
+    ``_state_hinted``. When the state is broadcast-sized, each round's
+    broadcast COLLECTS the state plan — an unmaterialized chain of k
+    supersteps is re-executed on every later broadcast (and grows
+    ``refs_per_step^k`` plan nodes when the loop references the state more
+    than once, e.g. LPA's join + coalesce self-join). Measured at sf0.1:
+    LPA k=3 ran 2-4x slower than k=1 once the broadcast hint landed. So:
+    broadcast state → checkpoint every round; shuffle-hash state (no
+    driver collect, exchange reuse applies) → every 3rd round."""
+    if n_rows <= STATE_BROADCAST_MAX_ROWS or refs_per_step > 1:
+        return 1
+    return 3
+
+
 def _sym_by(edges: DataFrame, key: str) -> DataFrame:
     """Symmetrized edges, hash-partitioned on ``key`` and cached — the
     CLUSTER-mode variant of ``checkpointed(_sym(edges))`` for iterative
@@ -217,7 +232,7 @@ def label_propagation(
     )
     labels = checkpointed(labels)
     n_vertices = labels.count()  # once, for the size-aware superstep hint
-    ckpt = cadence(3)  # no per-round action → checkpoint every 3rd superstep
+    ckpt = cadence(_state_cadence(n_vertices, refs_per_step=2))
     for it in range(max_iter):
         nbr_labels = sym.join(
             _state_hinted(labels.withColumnRenamed("id", "dst"), n_vertices),
@@ -546,8 +561,8 @@ def pagerank(
     has_danglings = directed and base.filter(F.col("out_deg") == 0).limit(1).count() > 0
     # the dangling-mass branch runs a per-round 1-row aggregate (an action
     # over the current ranks) — cadence would recompute skipped supersteps;
-    # without danglings the loop is action-free and every 3rd suffices
-    ckpt = cadence(1 if has_danglings else 3)
+    # otherwise the cadence follows the state-hint rule (_state_cadence)
+    ckpt = cadence(1 if has_danglings else _state_cadence(n))
     for it in range(max_iter):
         contribs = (
             e.join(_state_hinted(ranks.withColumnRenamed("id", "src"), n), "src")
@@ -621,7 +636,7 @@ def personalized_pagerank(
         directed and base.filter(F.col("out_deg") == 0).limit(1).count() > 0
     )
     n_vertices = base.count()  # once, for the size-aware superstep hint
-    ckpt = cadence(1 if has_danglings else 3)  # see pagerank()
+    ckpt = cadence(1 if has_danglings else _state_cadence(n_vertices))
     for it in range(max_iter):
         contribs = (
             e.join(
