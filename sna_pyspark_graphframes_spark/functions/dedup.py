@@ -115,15 +115,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 2,
     threshold: float = 0.5,
+    use_prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
     ``(doc_a, doc_b, jaccard)`` with jaccard ≥ threshold.
 
-    Inverted-index join: intersection sizes from the shared-shingle
-    equi-join, union sizes from per-doc shingle counts — |A∪B| =
-    |A|+|B|−|A∩B|. Candidate generation cost is Σ per-shingle df² — for
-    heavy shingles, MinHash banding above is the scale path."""
+    Two physically different plans, identical output:
+
+    * default — inverted-index join: intersection sizes from the
+      shared-shingle equi-join in ONE pass (73M narrow rows → one
+      hash-aggregate at sf0.1), union sizes from per-doc shingle counts
+      (|A∪B| = |A|+|B|−|A∩B|). Cost is Σ per-shingle df².
+    * ``use_prefix_filter=True`` — AllPairs/PPJoin prefix filtering
+      (Bayardo et al. WWW'07; Xiao et al. WWW'08): order shingles by
+      ascending global document frequency; a pair with jaccard ≥ t must
+      share a shingle among each doc's first ``n − ⌈t·n⌉ + 1`` shingles,
+      so only that rare-shingle prefix is indexed; candidates are then
+      verified exactly against the full sets.
+
+    Which wins is a property of the shingle-frequency distribution. On
+    real web text the df mass concentrates in stop-shingles ("of the"),
+    which prefix filtering excludes from the index — at 100 TB it is the
+    published scale path. On corpora whose shingle vocabulary is small and
+    uniformly hot (like the synthetic bench corpus: 931 distinct bigrams
+    over 5000 docs), the prefix only shrinks Σ df² ~2× while the
+    candidate-verify join adds Σ|A| per candidate — measured 8× SLOWER at
+    sf0.1, so the single-pass join stays the default. Both paths are
+    equality-tested; MinHash banding above is the approximate fallback
+    when even the prefix index is too hot."""
     sh = word_shingles(docs, text_col, k).cache()
+    if use_prefix_filter:
+        return _ngram_jaccard_prefix(sh, threshold)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -139,6 +161,55 @@ def ngram_jaccard_pairs(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_jaccard_prefix(sh: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered path of :func:`ngram_jaccard_pairs` (see its
+    docstring); ``sh`` is the distinct ``(doc_id, sh)`` shingle table."""
+    doc_freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "sh")
+    w_doc = Window.partitionBy("doc_id")
+    ranked = sh.join(doc_freq, "sh").select(
+        "doc_id",
+        "sh",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count("*").over(w_doc).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "sh", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "sh", F.col("n").alias("nb"))
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter: jaccard ≥ t needs t·max(|A|,|B|) ≤ min(|A|,|B|)
+        .filter(
+            F.least("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.select(
             "doc_a",
             "doc_b",
             F.round(

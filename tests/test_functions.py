@@ -71,6 +71,32 @@ class TestDedup:
         # shingles: {ab,bc,cd} vs {ab,bx,xy}: inter=1 union=5
         assert out[(0, 2)] == pytest.approx(0.2)
 
+    def test_ngram_jaccard_prefix_path_matches_naive(self, spark):
+        """AllPairs prefix filtering is an exact physical rewrite: both
+        plans must emit the identical pair set at the real threshold
+        (completeness of the prefix guarantee is the thing under test)."""
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox leaps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "pack my box with five dozen juice jugs",
+            "a completely unrelated sentence about spark plans",
+            "the quick brown fox jumps over the lazy dog",
+        ]
+        df = docs_df(spark, texts)
+        naive = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in fdedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        prefix = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in fdedup.ngram_jaccard_pairs(
+                df, threshold=0.5, use_prefix_filter=True
+            ).collect()
+        }
+        assert naive == prefix
+        assert (0, 5, 1.0) in naive  # exact dup pair survives both paths
+
     def test_simhash_identical(self, spark):
         df = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta eps"])
         s = {r.doc_id: r.simhash for r in fdedup.simhash(df).collect()}
