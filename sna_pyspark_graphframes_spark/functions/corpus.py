@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sna_pyspark_graphframes_spark.functions.dedup import minhash_near_dup_pairs
+from sna_pyspark_graphframes_spark.functions.text import token_count
 from sna_pyspark_graphframes_spark.graph import algorithms
 
 # Shared regexes — Java (Spark) and RE2 (DuckDB) agree on this subset:
@@ -411,4 +412,108 @@ def curate_corpus(
     )
     return kept.select(
         "doc_id", "lang", "source", split_expr("doc_id").alias("split")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    block_tokens: int = 256,
+    n_shards: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the doc→training-block mapping
+    ``(shard, block_id, doc_id, doc_tok_start, doc_tok_end)``.
+
+    GPT-style pretraining batching: documents are concatenated and the
+    token stream is cut into fixed ``block_tokens`` blocks, documents
+    spanning block boundaries. Computed WITHOUT materializing a single
+    token: per-doc token counts (``text.token_count``), a deterministic
+    md5 shard, a window cumsum for each doc's stream offset, then one
+    bounded explode of the block range each doc spans —
+    ``sequence(floor(start/B), floor((start+n−1)/B))``.
+
+    Scale: packing is per-shard (the window sorts only within a shard), so
+    100 TB packs with ``n_shards`` ≈ cluster parallelism and no global
+    sort; output rows ≈ |docs| + total_tokens/B. Deterministic: shard and
+    order derive from md5(doc_id), so re-runs (and the SQL oracle twin)
+    reproduce the exact packing.
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+    toks = docs.select(
+        "doc_id",
+        token_count(F.col(text_col)).cast("long").alias("n_toks"),
+        h.alias("h"),
+    ).filter(F.col("n_toks") > 0)
+    toks = toks.withColumn(
+        "shard",
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % n_shards),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    placed = toks.withColumn(
+        "start", F.sum("n_toks").over(w) - F.col("n_toks")
+    )
+    b = F.lit(block_tokens)
+    return placed.select(
+        "shard",
+        "doc_id",
+        "n_toks",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / b),
+                F.floor((F.col("start") + F.col("n_toks") - 1) / b),
+            )
+        ).alias("block_id"),
+    ).select(
+        "shard",
+        F.col("block_id").cast("long").alias("block_id"),
+        "doc_id",
+        F.greatest(F.lit(0).cast("long"), F.col("block_id") * b - F.col("start"))
+        .alias("doc_tok_start"),
+        F.least(F.col("n_toks"), (F.col("block_id") + 1) * b - F.col("start"))
+        .alias("doc_tok_end"),
+    )
+
+
+def domain_mixture(
+    docs: DataFrame,
+    parts: dict[str, int],
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Deterministic mixture resampling: downsample each domain so kept
+    counts follow the integer ratio ``parts`` exactly.
+
+    The achievable scale is ``K = min over domains of (n_d div parts_d)``;
+    each domain keeps ``parts_d · K`` documents — the largest corpus whose
+    domain mixture matches the target ratio using downsampling only.
+    Selection within a domain is the md5(doc_id) order (content-free,
+    reproducible); domains absent from ``parts`` are dropped (weight 0).
+
+    All-integer arithmetic (no float rate boundaries), so Spark and the
+    SQL oracle agree bit-for-bit. Scale: one count per domain (tiny), the
+    quota table broadcasts, and the rank window shuffles once on the
+    domain key — AQE splits a skewed mega-domain's sort.
+    """
+    spark = docs.sparkSession
+    parts_df = spark.createDataFrame(
+        sorted(parts.items()), f"{domain_col} string, parts long"
+    )
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("n"))
+    quota_base = counts.join(F.broadcast(parts_df), domain_col)
+    k = quota_base.agg(
+        F.min(F.expr("n div parts")).alias("k")
+    )
+    quota = quota_base.crossJoin(F.broadcast(k)).select(
+        domain_col, (F.col("parts") * F.col("k")).alias("quota")
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", domain_col, F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quota), domain_col)
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", domain_col)
     )

@@ -157,3 +157,34 @@ def price_math(part: DataFrame) -> DataFrame:
         F.ceil(p).cast("long").alias("price_ceil"),
         F.floor(p).cast("long").alias("price_floor"),
     )
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-quality profile: one row per column —
+    ``(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)``.
+
+    The audit a training-data pipeline runs before ingesting a new 100 TB
+    drop: null rates, cardinalities, value ranges. ONE pass over the data —
+    every per-column aggregate lives in a single ``agg`` (count/min/max are
+    plain map-side partials; the multi-column distinct uses Spark's expand,
+    |cols| rows per input row, still one shuffle), then the 1-row result is
+    unpivoted driver-side-free with ``stack``. min/max are cast to string
+    AFTER aggregating on the native type, so ordering semantics stay the
+    column's own.
+    """
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - __nn_{c}, __nd_{c}, __min_{c}, __max_{c}"
+        for c in columns
+    )
+    return row.selectExpr(
+        f"stack({len(columns)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_value, max_value)",
+        "__n AS n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

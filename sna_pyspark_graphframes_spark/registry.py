@@ -2647,6 +2647,95 @@ def q_curate_corpus(spark, sf_dir):
     return fcorpus.curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_toks,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_toks, h,
+               CAST(((STRPOS('0123456789abcdef', SUBSTR(h, 1, 1)) - 1) * 16
+                     + STRPOS('0123456789abcdef', SUBSTR(h, 2, 1)) - 1) % 16 AS INT) AS shard
+        FROM t WHERE n_toks > 0
+    ),
+    p AS (
+        SELECT shard, doc_id, n_toks, h,
+               SUM(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_toks AS strt
+        FROM s
+    )
+    SELECT shard,
+           CAST(u.block_id AS BIGINT) AS block_id,
+           doc_id,
+           CAST(GREATEST(0, u.block_id * 256 - strt) AS BIGINT) AS doc_tok_start,
+           CAST(LEAST(n_toks, (u.block_id + 1) * 256 - strt) AS BIGINT) AS doc_tok_end
+    FROM p, UNNEST(generate_series(CAST(strt // 256 AS BIGINT),
+                                   CAST((strt + n_toks - 1) // 256 AS BIGINT))) AS u(block_id)
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: doc→fixed-token-block mapping."""
+    return fcorpus.pack_sequences(
+        _t(spark, sf_dir, "documents"), block_tokens=256, n_shards=16
+    )
+
+
+@register(
+    "domain_mixture",
+    """
+    WITH p(lang, parts) AS (
+        VALUES ('de', CAST(2 AS BIGINT)), ('en', CAST(5 AS BIGINT)),
+               ('es', CAST(1 AS BIGINT)), ('fr', CAST(1 AS BIGINT)),
+               ('zh', CAST(1 AS BIGINT))
+    ),
+    c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    kk AS (SELECT MIN(n // parts) AS k FROM c JOIN p USING (lang)),
+    quota AS (SELECT lang, parts * k AS quota FROM p, kk),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked JOIN quota USING (lang) WHERE rn <= quota
+    """,
+)
+def q_domain_mixture(spark, sf_dir):
+    """Deterministic mixture resampling to a 5:2:1:1:1 language ratio."""
+    return fcorpus.domain_mixture(
+        _t(spark, sf_dir, "documents"),
+        {"en": 5, "de": 2, "es": 1, "fr": 1, "zh": 1},
+        domain_col="lang",
+    )
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register(
+    "profile_documents",
+    "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_documents(spark, sf_dir):
+    """Single-pass data-quality profile of the documents table."""
+    return relational.profile_table(_t(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #

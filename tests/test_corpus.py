@@ -210,3 +210,70 @@ class TestCurateCorpus:
         out = {r.doc_id: r for r in corpus.curate_corpus(docs).collect()}
         assert set(out) == {1, 4}
         assert all(r.split in ("train", "val", "test") for r in out.values())
+
+
+class TestPackSequences:
+    def test_blocks_partition_each_shard_token_stream(self, spark):
+        """Per shard: block spans tile the concatenated token stream exactly
+        — each doc's spans cover [0, n_toks) without gaps or overlaps, and
+        every block except a shard's last holds exactly block_tokens."""
+        rows = [(i, "tok " * (7 + i % 5)) for i in range(40)]
+        docs = spark.createDataFrame(
+            [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+        )
+        out = corpus.pack_sequences(docs, block_tokens=8, n_shards=4).collect()
+        # per-doc spans tile [0, n_toks)
+        per_doc: dict[int, list] = {}
+        for r in out:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, spans in per_doc.items():
+            spans.sort(key=lambda r: r.doc_tok_start)
+            n_toks = 7 + doc_id % 5
+            assert spans[0].doc_tok_start == 0
+            assert spans[-1].doc_tok_end == n_toks
+            for a, b in zip(spans, spans[1:]):
+                assert a.doc_tok_end == b.doc_tok_start
+        # per (shard, block): full blocks carry exactly block_tokens
+        blocks: dict[tuple, int] = {}
+        last_block = {}
+        for r in out:
+            key = (r.shard, r.block_id)
+            blocks[key] = blocks.get(key, 0) + (r.doc_tok_end - r.doc_tok_start)
+            last_block[r.shard] = max(last_block.get(r.shard, -1), r.block_id)
+        for (shard, block_id), tok in blocks.items():
+            if block_id < last_block[shard]:
+                assert tok == 8, (shard, block_id, tok)
+            else:
+                assert 0 < tok <= 8
+
+    def test_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "a b c d e") for i in range(10)], "doc_id long, text string"
+        )
+        a = sorted(map(tuple, corpus.pack_sequences(docs, 4, 2).collect()))
+        b = sorted(map(tuple, corpus.pack_sequences(docs, 4, 2).collect()))
+        assert a == b
+
+
+class TestDomainMixture:
+    def test_exact_ratio_and_bottleneck_domain(self, spark):
+        """parts {a:2, b:1} with n_a=10, n_b=3 → K = min(10//2, 3//1) = 3;
+        keep 6 a-docs and 3 b-docs — exact 2:1 mixture."""
+        rows = [(i, "x", "a") for i in range(10)] + [
+            (100 + i, "x", "b") for i in range(3)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = corpus.domain_mixture(docs, {"a": 2, "b": 1}).collect()
+        by_lang: dict[str, int] = {}
+        for r in out:
+            by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+        assert by_lang == {"a": 6, "b": 3}
+
+    def test_unlisted_domain_dropped_and_selection_deterministic(self, spark):
+        rows = [(i, "x", "a") for i in range(4)] + [(50, "x", "junk")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out1 = {r.doc_id for r in corpus.domain_mixture(docs, {"a": 1}).collect()}
+        out2 = {r.doc_id for r in corpus.domain_mixture(docs, {"a": 1}).collect()}
+        assert out1 == out2
+        assert 50 not in out1
+        assert len(out1) == 4  # K = 4//1, all of domain a kept
