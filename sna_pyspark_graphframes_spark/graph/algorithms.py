@@ -14,7 +14,7 @@ deduped, no self-loops) unless stated otherwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sna_pyspark_graphframes_spark.graph.build import symmetrize
@@ -975,4 +975,82 @@ def betweenness_centrality(
 def average_betweenness(edges: DataFrame, **kw) -> DataFrame:
     return betweenness_centrality(edges, **kw).agg(
         F.round(F.avg("betweenness"), 6).alias("avg_betweenness")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate neighborhood function (HyperANF) — the 100 TB scale path for
+# diameter / effective-diameter, replacing all-pairs BFS
+# ---------------------------------------------------------------------------
+
+def neighborhood_function(
+    edges: DataFrame, max_r: int = 32, lgk: int = 12
+) -> DataFrame:
+    """Approximate neighborhood function ``(r, n_pairs)`` — HyperANF
+    (Boldi, Rosa & Vigna, WWW'11) on DataFrames.
+
+    ``n_pairs(r) = Σ_v |B(v, r)|`` (reachable pairs within distance r).
+    One mergeable HLL sketch per vertex holds its ball; superstep r
+    replaces each sketch with the union of its own and its neighbors'
+    (``hll_sketch_agg`` / ``hll_union_agg`` — Datasketches HLL, register-
+    wise max, order-insensitive). The loop stops at the first radius that
+    adds no pairs (= every component saturated), so rows run r = 0..D.
+
+    Exactness regime: the sketch stores coupons exactly in sparse mode for
+    small sets, so on fixture-scale graphs every value matches exact BFS
+    counts bit-for-bit (the registry oracle value-checks against the
+    recursive-CTE BFS). At scale the same plan is the published
+    approximation (rel. error ≈ 1.04/√2^lgk ≈ 1.6% at lgk=12) — per round
+    ONE |E| join + ONE |V| aggregate, versus the |V|·|E| frontier cost
+    that makes exact diameter/closeness unrunnable at 100 TB.
+
+    Replaces: all-pairs BFS underlying ``diameter``/``average_closeness``
+    (NetworkX on the reference's collect()ed graph,
+    ``/root/reference/main.py:203-206``)."""
+    e = checkpointed(_sym(edges))
+    state = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .groupBy("id")
+        .agg(F.hll_sketch_agg("id", lgk).alias("sk"))
+    )
+    state = checkpointed(state)
+    rows = [(0, state.count())]  # B(v, 0) = {v}
+    for r in range(1, max_r + 1):
+        msgs = e.join(
+            state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
+        ).select(F.col("src").alias("id"), "sk")
+        state = (
+            msgs.unionByName(state)
+            .groupBy("id")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+        )
+        state = checkpointed(state)
+        n = state.agg(
+            F.sum(F.hll_sketch_estimate("sk")).alias("n")
+        ).collect()[0][0]
+        if n == rows[-1][1]:
+            break
+        rows.append((r, n))
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, "r int, n_pairs long")
+
+
+def effective_diameter(
+    edges: DataFrame, fraction: float = 0.9, max_r: int = 32, lgk: int = 12
+) -> DataFrame:
+    """1-row ``(effective_diameter, n_pairs_max)``: the smallest radius r
+    with ``N(r) ≥ fraction · N(∞)`` — the standard robust scale-free
+    alternative to exact diameter (a single long chain can't dominate it).
+    Integer convention (no interpolation) so the value is deterministic
+    and oracle-checkable."""
+    nf = neighborhood_function(edges, max_r=max_r, lgk=lgk)
+    n_max = F.max("n_pairs").over(Window.partitionBy())
+    return (
+        nf.withColumn("n_max", n_max)
+        .filter(F.col("n_pairs") >= fraction * F.col("n_max"))
+        .agg(
+            F.min("r").alias("effective_diameter"),
+            F.max("n_max").alias("n_pairs_max"),
+        )
     )

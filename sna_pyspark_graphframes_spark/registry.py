@@ -2714,6 +2714,49 @@ def q_domain_mixture(spark, sf_dir):
     )
 
 
+@register(
+    "neighborhood_function_small",
+    f"""
+    WITH RECURSIVE {_SMALL_BFS_CTES},
+    radii AS (SELECT DISTINCT d AS r FROM dist)
+    SELECT CAST(radii.r AS INT) AS r, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM radii JOIN dist ON dist.d <= radii.r
+    GROUP BY radii.r
+    """,
+)
+def q_neighborhood_function_small(spark, sf_dir):
+    """HyperANF neighborhood function — value-checked against exact BFS
+    (the HLL sketch is exact in its sparse regime at fixture ball sizes)."""
+    return algorithms.neighborhood_function(_small_copurchase(spark, sf_dir))
+
+
+@register(
+    "effective_diameter_small",
+    f"""
+    WITH RECURSIVE {_SMALL_BFS_CTES},
+    radii AS (SELECT DISTINCT d AS r FROM dist),
+    nf AS (
+        SELECT radii.r AS r, COUNT(*) AS np
+        FROM radii JOIN dist ON dist.d <= radii.r
+        GROUP BY radii.r
+    ),
+    mx AS (SELECT MAX(np) AS m FROM nf)
+    SELECT CAST(MIN(r) AS INT) AS effective_diameter,
+           CAST(MAX(m) AS BIGINT) AS n_pairs_max
+    FROM nf, mx WHERE np >= 0.9 * m
+    """,
+)
+def q_effective_diameter_small(spark, sf_dir):
+    return algorithms.effective_diameter(_small_copurchase(spark, sf_dir))
+
+
+@register("effective_diameter_approx", None)
+def q_effective_diameter_approx(spark, sf_dir):
+    """The 100 TB scale path exercised on the FULL co-purchase graph —
+    approximate at this |V| (HLL estimation mode), so rows-only."""
+    return algorithms.effective_diameter(_copurchase(spark, sf_dir))
+
+
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 

@@ -488,3 +488,44 @@ class TestWeightedSSSP:
         unit = sym.withColumn("weight", F.lit(1.0))
         got = as_map(algorithms.weighted_sssp(unit, 1), "id", "dist")
         assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 1.0}
+
+
+class TestNeighborhoodFunction:
+    """HyperANF on graphs small enough that the HLL sketch is exact."""
+
+    def test_path4_matches_exact_ball_sizes(self, spark):
+        nf = {
+            r.r: r.n_pairs
+            for r in algorithms.neighborhood_function(
+                edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+            ).collect()
+        }
+        # balls: r=1 → 2+3+3+2; r=2 → 3+4+4+3; r=3 → all 16 pairs
+        assert nf == {0: 4, 1: 10, 2: 14, 3: 16}
+
+    def test_star_saturates_at_two(self, spark):
+        nf = {
+            r.r: r.n_pairs
+            for r in algorithms.neighborhood_function(
+                edges_df(spark, [(0, i) for i in range(1, 5)])
+            ).collect()
+        }
+        assert nf == {0: 5, 1: 13, 2: 25}
+
+    def test_disconnected_components_saturate_independently(self, spark):
+        nf = {
+            r.r: r.n_pairs
+            for r in algorithms.neighborhood_function(
+                edges_df(spark, [(0, 1), (2, 3)])
+            ).collect()
+        }
+        assert nf == {0: 4, 1: 8}
+
+    def test_effective_diameter_path_and_fraction(self, spark):
+        p4 = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+        row = algorithms.effective_diameter(p4).collect()[0]
+        # N = [4,10,14,16]; 0.9*16 = 14.4 → first r with N ≥ 14.4 is 3
+        assert row.effective_diameter == 3 and row.n_pairs_max == 16
+        row = algorithms.effective_diameter(p4, fraction=0.5).collect()[0]
+        # 0.5*16 = 8 → first r with N ≥ 8 is 1
+        assert row.effective_diameter == 1
