@@ -346,3 +346,67 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(_cos("va", "vb"), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def band_keys(sigs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """LSH band keys ``(doc_id, band, band_key)`` from a signature table —
+    one posexplode over an array of per-band concatenations (single pass,
+    no per-band union)."""
+    n_sig = len([c for c in sigs.columns if c.startswith("sig")])
+    rows_per_band = n_sig // bands
+    keys = [
+        F.concat_ws(
+            "|", *[f"sig{b * rows_per_band + r}" for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band", "band_key")
+    )
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Incremental dedup — classify each NEW document against an existing
+    corpus: ``(doc_id, drop_reason)`` with reason ``'exact'`` (normalized
+    content already present), ``'near_dup'`` (some MinHash band collides
+    with a corpus document), or NULL (keep).
+
+    The production shape at 100 TB: a daily drop is deduped against the
+    corpus *index* (fingerprints + band keys — both tiny next to the
+    corpus text), never by re-deduping the whole corpus. Both probes are
+    semi-joins of the small new side against the index: cost is one
+    shuffle of the new batch per probe, and a deployment would have the
+    corpus side precomputed and bucketed by key. Exact beats near_dup
+    when both hit, so reasons are deterministic."""
+    fp_new = new_docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+    fp_old = corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    exact_hit = fp_new.join(fp_old, "fp", "left_semi").select("doc_id")
+
+    bk_new = band_keys(
+        minhash_signatures(word_shingles(new_docs, text_col), n_hashes), bands
+    )
+    bk_old = band_keys(
+        minhash_signatures(word_shingles(corpus, text_col), n_hashes), bands
+    ).select("band", "band_key").distinct()
+    near_hit = (
+        bk_new.join(bk_old, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact_hit.withColumn("__ex", F.lit(1)), "doc_id", "left")
+        .join(near_hit.withColumn("__nd", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__ex") == 1, F.lit("exact"))
+            .when(F.col("__nd") == 1, F.lit("near_dup"))
+            .alias("drop_reason"),
+        )
+    )

@@ -2714,6 +2714,53 @@ def q_domain_mixture(spark, sf_dir):
     )
 
 
+def _band_sql() -> str:
+    rows = fdedup.N_MINHASH // fdedup.MINHASH_BANDS
+    sep = " || '|' || "
+    selects = []
+    for b in range(fdedup.MINHASH_BANDS):
+        key = sep.join(f"sig{b * rows + r}" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs"
+        )
+    return "\n        UNION ALL\n".join(selects)
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH sigs AS ({SIGS_SQL}),
+    bk AS (
+        {_band_sql()}
+    ),
+    newd AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    fp AS (SELECT doc_id, {FP_SQL} AS fp FROM documents),
+    exact_hit AS (
+        SELECT n.doc_id FROM fp n JOIN newd USING (doc_id)
+        WHERE EXISTS (SELECT 1 FROM fp o WHERE o.doc_id % 10 <> 0 AND o.fp = n.fp)
+    ),
+    near_hit AS (
+        SELECT DISTINCT n.doc_id
+        FROM bk n JOIN bk o ON n.band = o.band AND n.band_key = o.band_key
+        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN nh.doc_id IS NOT NULL THEN 'near_dup' END AS drop_reason
+    FROM newd d
+    LEFT JOIN exact_hit e ON d.doc_id = e.doc_id
+    LEFT JOIN near_hit nh ON d.doc_id = nh.doc_id
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: the 10%% 'daily drop' (doc_id %% 10 = 0)
+    classified against the other 90%% as the existing corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return fdedup.dedup_against(new_docs, corpus)
+
+
 @register(
     "neighborhood_function_small",
     f"""

@@ -263,3 +263,36 @@ class TestMultiProbe:
         r4 = recall(fsim.ann_topk(df, dim=8, k=3, n_planes=4, probes=4))
         assert r4 >= r0
         assert r4 > 0.5  # hamming-1 probing should recover most neighbors
+
+
+class TestDedupAgainst:
+    def test_reasons_and_keeps(self, spark):
+        corpus = docs_df(
+            spark,
+            [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "one two three four five six seven eight",
+            ],
+        )
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        new = spark.createDataFrame(
+            [
+                (100, base),                      # exact copy of corpus doc 0
+                (101, base + " tail"),            # near dup of corpus doc 0
+                (102, "completely novel words appear nowhere else at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.drop_reason for r in fdedup.dedup_against(new, corpus).collect()}
+        assert out[100] == "exact"
+        assert out[101] == "near_dup"
+        assert out[102] is None
+
+    def test_exact_beats_near_dup(self, spark):
+        """An exact copy also band-collides; the reason must still be exact."""
+        corpus = docs_df(spark, ["x y z w v u t s r q"])
+        new = spark.createDataFrame(
+            [(7, "x y z w v u t s r q")], "doc_id long, text string"
+        )
+        out = fdedup.dedup_against(new, corpus).collect()
+        assert out[0].drop_reason == "exact"
