@@ -7,6 +7,10 @@ from sna_pyspark_graphframes_spark.sources.edgelist import (
     read_edge_list,
     write_edge_list,
 )
+from sna_pyspark_graphframes_spark.sources.robust import (
+    read_csv_robust,
+    split_corrupt,
+)
 
 __all__ = [
     "TABLE_SCHEMAS",
@@ -14,4 +18,6 @@ __all__ = [
     "load_tables",
     "read_edge_list",
     "write_edge_list",
+    "read_csv_robust",
+    "split_corrupt",
 ]

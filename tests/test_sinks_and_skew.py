@@ -64,3 +64,39 @@ def test_capped_sample_invariants(spark, sf_dir):
     expected = {(r.src, r.dst) for r in sym.collect() if r.src in s and r.dst in s}
     got = {(r.src, r.dst) for r in res.sampled_edges.collect()}
     assert got == expected
+
+
+class TestRobustCsv:
+    def test_good_and_bad_rows_split_from_one_scan(self, spark, tmp_path):
+        from sna_pyspark_graphframes_spark.sources.robust import (
+            read_csv_robust,
+            split_corrupt,
+        )
+
+        p = tmp_path / "drop.csv"
+        p.write_text(
+            "1,alice,3.5\n"
+            "2,bob,notanumber\n"   # bad: float column fails to parse
+            "3,carol,2.25\n"
+        )
+        df = read_csv_robust(
+            spark, str(p), "id LONG, name STRING, score DOUBLE"
+        )
+        good, bad = split_corrupt(df)
+        g = {(r.id, r.name, r.score) for r in good.collect()}
+        assert g == {(1, "alice", 3.5), (3, "carol", 2.25)}
+        b = [r._corrupt_record for r in bad.collect()]
+        assert b == ["2,bob,notanumber"]
+
+    def test_all_good_means_empty_quarantine(self, spark, tmp_path):
+        from sna_pyspark_graphframes_spark.sources.robust import (
+            read_csv_robust,
+            split_corrupt,
+        )
+
+        p = tmp_path / "clean.csv"
+        p.write_text("1,x\n2,y\n")
+        good, bad = split_corrupt(
+            read_csv_robust(spark, str(p), "id LONG, v STRING")
+        )
+        assert good.count() == 2 and bad.count() == 0
