@@ -86,12 +86,17 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     n_hashes: int = N_MINHASH,
     bands: int = MINHASH_BANDS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(doc_a, doc_b)``: some LSH band collides.
 
     Band r = concat of its signature positions; per-band equi-join on the
-    band key (inverted index — never all-pairs), union, distinct."""
-    sigs = minhash_signatures(word_shingles(docs, text_col), n_hashes).cache()
+    band key (inverted index — never all-pairs), union, distinct.
+    ``shingles``: pass a precomputed ``(doc_id, sh)`` table to share the
+    shingle pass with other dedup operators over the same corpus."""
+    if shingles is None:
+        shingles = word_shingles(docs, text_col)
+    sigs = minhash_signatures(shingles, n_hashes).cache()
     rows_per_band = n_hashes // bands
     pair_dfs = []
     for b in range(bands):
@@ -116,6 +121,7 @@ def ngram_jaccard_pairs(
     k: int = 2,
     threshold: float = 0.5,
     use_prefix_filter: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle:
     ``(doc_a, doc_b, jaccard)`` with jaccard ≥ threshold.
@@ -142,8 +148,15 @@ def ngram_jaccard_pairs(
     candidate-verify join adds Σ|A| per candidate — measured 8× SLOWER at
     sf0.1, so the single-pass join stays the default. Both paths are
     equality-tested; MinHash banding above is the approximate fallback
-    when even the prefix index is too hot."""
-    sh = word_shingles(docs, text_col, k).cache()
+    when even the prefix index is too hot.
+
+    ``shingles``: pass a precomputed ``(doc_id, sh)`` table (k must match)
+    to share the shingle pass with other dedup operators."""
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(docs, text_col, k).cache()
+    )
     if use_prefix_filter:
         return _ngram_jaccard_prefix(sh, threshold)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -1535,11 +1535,21 @@ def q_dedup_exact(spark, sf_dir):
     return fdedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def _doc_shingles(spark, sf_dir):
+    """Distinct (doc_id, sh) shingle table of the documents corpus, shared
+    by every shingle-derived dedup query — a deployment computes the
+    shingle index once per corpus, not once per downstream operator."""
+    return _memo(
+        spark,
+        sf_dir,
+        "doc_shingles",
+        lambda: fdedup.word_shingles(_t(spark, sf_dir, "documents")),
+    )
+
+
 @register("minhash_signatures", SIGS_SQL)
 def q_minhash_signatures(spark, sf_dir):
-    return fdedup.minhash_signatures(
-        fdedup.word_shingles(_t(spark, sf_dir, "documents"))
-    )
+    return fdedup.minhash_signatures(_doc_shingles(spark, sf_dir))
 
 
 def _minhash_pairs_ctes() -> str:
@@ -1572,7 +1582,9 @@ def _minhash_pairs_sql() -> str:
 
 @register("minhash_near_dup", _minhash_pairs_sql())
 def q_minhash_near_dup(spark, sf_dir):
-    return fdedup.minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    return fdedup.minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), shingles=_doc_shingles(spark, sf_dir)
+    )
 
 
 @register(
@@ -1600,7 +1612,9 @@ def q_ngram_jaccard(spark, sf_dir):
     # inverted-index join costs Σ df² over shingles — linear-ish here since
     # non-planted shingles are ~unique; MinHash LSH is the heavy-df path.
     return fdedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        shingles=_doc_shingles(spark, sf_dir),
+        threshold=0.2
     )
 
 
