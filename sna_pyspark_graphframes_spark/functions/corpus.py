@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sna_pyspark_graphframes_spark.functions.dedup import minhash_near_dup_pairs
+from sna_pyspark_graphframes_spark.functions.dedup import (
+    embedding_near_dup_pairs,
+    minhash_near_dup_pairs,
+)
 from sna_pyspark_graphframes_spark.functions.text import token_count
 from sna_pyspark_graphframes_spark.graph import algorithms
 
@@ -516,4 +519,33 @@ def domain_mixture(
         ranked.join(F.broadcast(quota), domain_col)
         .filter(F.col("rn") <= F.col("quota"))
         .select("doc_id", domain_col)
+    )
+
+
+def embedding_dedup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    **near_dup_kw,
+) -> DataFrame:
+    """Semantic (embedding-space) corpus dedup: ``(vec_id, cluster_id,
+    is_canonical)`` for every vector in at least one near-dup pair.
+
+    The embedding-space twin of :func:`near_dup_clusters`: candidate pairs
+    come from the hyperplane-LSH + exact-rerank path
+    (``dedup.embedding_near_dup_pairs`` — Σ bucket², never all-pairs),
+    transitive closure via connected components, canonical = min id. Same
+    rationale as text near-dup: A≈B and B≈C must drop a whole cluster, not
+    pair members; this is the semantic-dedup stage (SemDeDup-style) of a
+    pretraining pipeline, run on embeddings instead of shingles.
+    """
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold=threshold, id_col=id_col, **near_dup_kw
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = algorithms.connected_components(edges)
+    return cc.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
     )

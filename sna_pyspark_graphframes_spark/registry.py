@@ -2728,6 +2728,46 @@ def q_domain_mixture(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_dedup_clusters",
+    """
+    WITH RECURSIVE v AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings
+        WHERE vec_id % 40 = 0
+    ),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
+    ),
+    e AS (SELECT id_a AS u, id_b AS w FROM p UNION SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+        SELECT u, u FROM e
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.w = reach.id
+    )
+    SELECT id AS vec_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def q_embedding_dedup_clusters(spark, sf_dir):
+    """Semantic dedup clusters over the same planted-duplicate embedding
+    corpus as embedding_near_dup (see that query's vacuity note)."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    return fcorpus.embedding_dedup_clusters(
+        emb.unionByName(planted), threshold=0.9, dim=64
+    )
+
+
 def _band_sql() -> str:
     rows = fdedup.N_MINHASH // fdedup.MINHASH_BANDS
     sep = " || '|' || "

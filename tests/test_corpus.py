@@ -277,3 +277,25 @@ class TestDomainMixture:
         assert out1 == out2
         assert 50 not in out1
         assert len(out1) == 4  # K = 4//1, all of domain a kept
+
+
+class TestEmbeddingDedupClusters:
+    def test_transitive_semantic_cluster(self, spark):
+        """0≈100 (copy) and 100≈101 via scaling → one cluster, canonical=
+        min id; isolated vector 50 excluded."""
+        import random
+
+        rng = random.Random(3)
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        vecs = [
+            (0, base),
+            (100, list(base)),                 # exact copy of 0
+            (101, [2.0 * x for x in base]),    # scaled copy (cos = 1)
+            (50, [rng.uniform(-1, 1) for _ in range(16)]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r for r in corpus.embedding_dedup_clusters(
+            df, threshold=0.95, dim=16).collect()}
+        assert set(out) == {0, 100, 101}
+        assert {r.cluster_id for r in out.values()} == {0}
+        assert [i for i, r in out.items() if r.is_canonical] == [0]
