@@ -2895,6 +2895,13 @@ def q_profile_documents(spark, sf_dir):
 # check — even the "approximate" entries (ann_topk's hyperplanes and
 # ivf_topk's codebook are deterministic plan literals shared with the
 # oracle SQL).
+#
+# Round-3 rotation: four family-twins whose green rows CORRECTNESS_r02
+# already records (event_sliding_window, doc_sentiment, stratified_sample,
+# similarity_topk) moved past slot 50 in favor of the round-3 operators
+# pack_sequences, dedup_incremental, domain_mixture, and
+# embedding_dedup_clusters; every rotated-out query stays registered and
+# locally oracle-tested.
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
@@ -2921,7 +2928,7 @@ _WINDOW = [
     "token_count",
     "lang_id",
     "quality_score",
-    "doc_sentiment",
+    "dedup_incremental",
     "doc_fingerprint",
     # GraphFrames migration facade, end-to-end (construct → filterVertices
     # → dropIsolatedVertices → degrees); minhash_signatures moved out — it
@@ -2935,7 +2942,7 @@ _WINDOW = [
     "embedding_near_dup",
     # similarity search (ann's hyperplanes are shared plan literals, so even
     # the "approximate" result is value-oracled)
-    "similarity_topk",
+    "embedding_dedup_clusters",
     "ann_topk",
     # corpus pipeline (curation, chunking, redaction, stats, splits);
     # curate_corpus exercises the near_dup_clusters/dedup_corpus pipeline
@@ -2948,10 +2955,10 @@ _WINDOW = [
     "decontaminate",
     "bow_cosine_pairs",
     "hash_split",
-    "stratified_sample",
+    "domain_mixture",
     # event windows
     "event_tumbling_window",
-    "event_sliding_window",
+    "pack_sequences",
     "event_session_window",
     "event_sessionization",
     "event_props_extract",
