@@ -1200,6 +1200,29 @@ def q_kcore_cliques(spark, sf_dir):
 
 
 @register(
+    "truss_cliques",
+    """
+    WITH sized AS (
+        SELECT o_custkey, COUNT(*) AS m FROM orders
+        GROUP BY o_custkey HAVING COUNT(*) BETWEEN 3 AND 6
+    ),
+    cv AS (
+        SELECT o.o_custkey, o.o_orderkey
+        FROM orders o JOIN sized USING (o_custkey) WHERE m >= 4
+    )
+    SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+    FROM cv a JOIN cv b
+    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def q_truss_cliques(spark, sf_dir):
+    """4-truss on disjoint cliques: every edge of an m-clique has support
+    m-2, so the 4-truss keeps exactly the cliques with m >= 4 — the full
+    triangle-support peeling loop value-checked against a closed form."""
+    return algorithms.k_truss(_order_cliques(spark, sf_dir), k=4)
+
+
+@register(
     "lpa_cliques",
     f"""
     WITH {_CLIQUE_SQL}

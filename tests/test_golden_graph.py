@@ -529,3 +529,27 @@ class TestNeighborhoodFunction:
         row = algorithms.effective_diameter(p4, fraction=0.5).collect()[0]
         # 0.5*16 = 8 → first r with N ≥ 8 is 1
         assert row.effective_diameter == 1
+
+
+class TestKTruss:
+    def test_k4_is_its_own_4_truss_and_5_truss_empty(self, spark):
+        k4 = edges_df(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+        kept = sorted((r.src, r.dst) for r in algorithms.k_truss(k4, 4).collect())
+        assert kept == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        assert algorithms.k_truss(k4, 5).count() == 0
+
+    def test_k4_minus_edge_cascades_to_empty_4_truss(self, spark):
+        """Dropping (3,4) leaves edge (1,2) with support 2 at first, but the
+        peel of its neighbors cascades — the 4-truss must be EMPTY (this is
+        the within-subgraph recomputation that a single-pass support filter
+        would get wrong)."""
+        k4e = edges_df(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)])
+        assert algorithms.k_truss(k4e, 4).count() == 0
+        assert algorithms.k_truss(k4e, 3).count() == 5  # all in ≥1 triangle
+
+    def test_truss_numbers_triangle_with_tail(self, spark):
+        tt = edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        got = sorted(
+            (r.src, r.dst, r.truss) for r in algorithms.truss_numbers(tt).collect()
+        )
+        assert got == [(1, 2, 3), (1, 3, 3), (2, 3, 3), (3, 4, 2)]
