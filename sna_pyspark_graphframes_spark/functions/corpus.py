@@ -549,3 +549,27 @@ def embedding_dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
     )
+
+
+def quality_bucketize(
+    docs: DataFrame, n_buckets: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Curriculum binning: ``(doc_id, quality, bucket)`` with bucket =
+    fixed-width range over the [0,1] quality score —
+    ``least(n−1, floor(q·n))``.
+
+    Deliberately range-based, NOT rank-based (NTILE): an NTILE over the
+    whole corpus is a single-partition global sort — the one plan shape
+    this engine bans at 100 TB. Fixed-width buckets are elementwise
+    (scan-speed, no shuffle), deterministic, and the downstream curriculum
+    only needs monotone-in-quality bins, not equal-population ones; for
+    population-balanced bins use ``approxQuantile`` breakpoints and the
+    same elementwise assignment."""
+    from sna_pyspark_graphframes_spark.functions.text import quality_features
+
+    q = quality_features(docs, text_col).select("doc_id", "quality")
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("quality") * n_buckets).cast("int"),
+    )
+    return q.select("doc_id", "quality", b.cast("int").alias("bucket"))

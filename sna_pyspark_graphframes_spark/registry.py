@@ -2271,6 +2271,26 @@ def q_stream_session(spark, sf_dir):
 
 
 @register(
+    "stream_sliding_window",
+    """
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+    )
+    SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Streaming sliding-window twin — same DuckDB oracle as the batch
+    form (batch-equivalence guarantee with overlapping window state)."""
+    from sna_pyspark_graphframes_spark.streaming.stream import stream_sliding_counts
+
+    return stream_sliding_counts(spark, sf_dir)
+
+
+@register(
     "stream_stream_join",
     """
     SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
@@ -2879,6 +2899,19 @@ def q_effective_diameter_approx(spark, sf_dir):
     """The 100 TB scale path exercised on the FULL co-purchase graph —
     approximate at this |V| (HLL estimation mode), so rows-only."""
     return algorithms.effective_diameter(_copurchase(spark, sf_dir))
+
+
+@register(
+    "quality_buckets",
+    f"""
+    SELECT doc_id, quality,
+           CAST(LEAST(3, FLOOR(quality * 4)) AS INT) AS bucket
+    FROM ({_quality_sql()})
+    """,
+)
+def q_quality_buckets(spark, sf_dir):
+    """Curriculum quality bins (fixed-width, elementwise — no global sort)."""
+    return fcorpus.quality_bucketize(_t(spark, sf_dir, "documents"), n_buckets=4)
 
 
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]

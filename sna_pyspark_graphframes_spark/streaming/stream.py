@@ -219,3 +219,22 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, spark, output_mode="complete")
+
+
+def stream_sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``windows.sliding_counts``: overlapping windows
+    with a watermark — each event contributes to width/slide windows and
+    a window's state is dropped once the watermark passes its end."""
+    ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+    return run_to_memory(agg, spark)
