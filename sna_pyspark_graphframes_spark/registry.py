@@ -2315,6 +2315,50 @@ def q_stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "stream_stream_outer_join",
+    """
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 1 HOUR AS w
+    ),
+    matched AS (
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id AND p.event_type = 'purchase'
+         AND p.ts <= c.ts AND p.ts > c.ts - INTERVAL 1 HOUR
+        WHERE c.event_type = 'click'
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT c.event_id, c.user_id, c.ts, NULL, NULL
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND c.ts < (SELECT w FROM wm)
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND p.ts <= c.ts AND p.ts > c.ts - INTERVAL 1 HOUR
+      )
+    """,
+)
+def q_stream_stream_outer_join(spark, sf_dir):
+    """Watermarked LEFT OUTER stream-stream join. The oracle encodes the
+    eviction rule exactly: matched rows equal the batch join; a NULL row
+    appears only for clicks older than the END-OF-STREAM global watermark
+    (min over both sides of max event time - delay) — younger unmatched
+    clicks are still held in state when availableNow terminates, which is
+    the state-eviction semantics this query exists to verify."""
+    from sna_pyspark_graphframes_spark.streaming.stream import (
+        stream_stream_click_purchase_outer,
+    )
+
+    return stream_stream_click_purchase_outer(spark, sf_dir)
+
+
+@register(
     "stream_dedup_keys",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

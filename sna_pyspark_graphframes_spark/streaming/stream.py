@@ -238,3 +238,46 @@ def stream_sliding_counts(
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
     return run_to_memory(agg, spark)
+
+
+def stream_stream_click_purchase_outer(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its same-user
+    purchases of the preceding hour or NULLs if none arrived.
+
+    The outer side is what makes eviction semantics visible: a null row
+    for a click can only be emitted once the watermark passes the click's
+    timestamp (no qualifying purchase can arrive after that), so clicks
+    younger than ``max(ts) − watermark`` at end-of-stream remain HELD in
+    state and are absent from the availableNow result. The SQL oracle
+    encodes exactly that rule — matched rows are the batch join; null
+    rows only for clicks old enough to have been evicted."""
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") > F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+    return run_to_memory(joined, spark, output_mode="append")
