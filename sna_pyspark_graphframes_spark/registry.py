@@ -868,6 +868,44 @@ def q_avg_betweenness_small(spark, sf_dir):
 
 
 @register(
+    "landmark_distance_histogram",
+    f"""
+    WITH RECURSIVE e0 AS ({COPURCHASE_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    v AS (SELECT DISTINCT src AS id FROM sym),
+    lm AS (SELECT id FROM v ORDER BY id LIMIT 4),
+    bfs(l, id, d) AS (
+        SELECT id, id, 0 FROM lm
+        UNION
+        SELECT b.l, s.dst, b.d + 1 FROM bfs b JOIN sym s ON s.src = b.id
+        WHERE b.d < 40
+    ),
+    dist AS (SELECT l, id, MIN(d) AS d FROM bfs GROUP BY l, id)
+    SELECT l AS landmark, CAST(d AS INT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM dist GROUP BY l, d
+    """,
+)
+def q_landmark_distance_histogram(spark, sf_dir):
+    """Landmark BFS on the FULL co-purchase graph (the sampled-source
+    scale path for closeness/diameter), value-checked: distances from the
+    4 smallest vertex ids, histogrammed per (landmark, dist). This is the
+    only driver check that exercises multi_source_bfs beyond the <100
+    fixture subgraph."""
+    e = _copurchase(spark, sf_dir)
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    lm = vertices.orderBy("id").limit(4)
+    dist = algorithms.multi_source_bfs(e, lm)
+    return dist.groupBy("landmark", "dist").agg(
+        F.count("*").alias("n_vertices")
+    )
+
+
+@register(
     "motif_triangles_small",
     f"""
     WITH {_SMALL_CTES},
