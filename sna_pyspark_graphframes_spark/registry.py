@@ -1278,6 +1278,39 @@ def q_lpa_cliques(spark, sf_dir):
 
 
 @register(
+    "community_revenue_bi",
+    f"""
+    WITH {_CLIQUE_SQL},
+    labeled AS (
+        SELECT o_orderkey,
+               MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS label
+        FROM cv
+    )
+    SELECT l.label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM labeled l JOIN orders o ON o.o_orderkey = l.o_orderkey
+    GROUP BY l.label
+    """,
+)
+def q_community_revenue_bi(spark, sf_dir):
+    """LDBC-BI-style graph x relational analytic: revenue rolled up per
+    LPA community. On the clique graph the community assignment has a
+    closed form (min member id), so the whole chain — community detection
+    feeding a relational aggregate — is value-checked end to end."""
+    labels = algorithms.label_propagation(_order_cliques(spark, sf_dir), max_iter=4)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        labels.join(orders, labels.id == orders.o_orderkey)
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
     "betweenness_path",
     """
     WITH o AS (
