@@ -573,3 +573,34 @@ def quality_bucketize(
         F.floor(F.col("quality") * n_buckets).cast("int"),
     )
     return q.select("doc_id", "quality", b.cast("int").alias("bucket"))
+
+
+def quality_bucketize_quantile(
+    docs: DataFrame, n_buckets: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Equal-population curriculum bins: ``(doc_id, quality, bucket)`` with
+    bucket = number of corpus quantile breakpoints strictly below the
+    doc's quality score.
+
+    The population-balanced companion of :func:`quality_bucketize`: the
+    n−1 breakpoints come from ONE exact-percentile aggregate (linear
+    interpolation — the same definition DuckDB's ``quantile_cont`` uses,
+    so the oracle matches bit-for-bit on 4-dp-rounded scores), broadcast
+    back over the corpus, and the bucket assignment stays elementwise —
+    still no global sort; the only extra cost over fixed-width bins is the
+    1-row percentile aggregate."""
+    from sna_pyspark_graphframes_spark.functions.text import quality_features
+
+    q = quality_features(docs, text_col).select("doc_id", "quality")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    brk = q.agg(
+        F.percentile("quality", F.array(*[F.lit(p) for p in probs])).alias("brk")
+    )
+    bucket = sum(
+        F.when(F.col("quality") > F.col("brk")[i], 1).otherwise(0)
+        for i in range(n_buckets - 1)
+    )
+    return (
+        q.crossJoin(F.broadcast(brk))
+        .select("doc_id", "quality", bucket.cast("int").alias("bucket"))
+    )

@@ -3029,6 +3029,29 @@ def q_quality_buckets(spark, sf_dir):
     return fcorpus.quality_bucketize(_t(spark, sf_dir, "documents"), n_buckets=4)
 
 
+@register(
+    "quality_buckets_quantile",
+    f"""
+    WITH q AS ({_quality_sql()}),
+    brk AS (
+        SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS b FROM q
+    )
+    SELECT doc_id, quality,
+           CAST((CASE WHEN quality > b[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN quality > b[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN quality > b[3] THEN 1 ELSE 0 END) AS INT) AS bucket
+    FROM q, brk
+    """,
+)
+def q_quality_buckets_quantile(spark, sf_dir):
+    """Equal-population curriculum bins via ONE exact-percentile aggregate
+    (same linear interpolation as DuckDB quantile_cont) + an elementwise
+    assignment — still no global sort."""
+    return fcorpus.quality_bucketize_quantile(
+        _t(spark, sf_dir, "documents"), n_buckets=4
+    )
+
+
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
