@@ -299,3 +299,20 @@ class TestEmbeddingDedupClusters:
         assert set(out) == {0, 100, 101}
         assert {r.cluster_id for r in out.values()} == {0}
         assert [i for i, r in out.items() if r.is_canonical] == [0]
+
+
+class TestProfileTable:
+    def test_nulls_distincts_and_ranges(self, spark):
+        from sna_pyspark_graphframes_spark.operators.relational import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b"), (4, "a")],
+            "id long, v string",
+        )
+        out = {r.col_name: r for r in profile_table(df, ["id", "v"]).collect()}
+        assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+        assert out["id"].n_distinct == 4
+        assert out["id"].min_value == "1" and out["id"].max_value == "4"
+        assert out["v"].n_nulls == 1
+        assert out["v"].n_distinct == 2  # nulls excluded
+        assert out["v"].min_value == "a" and out["v"].max_value == "b"
