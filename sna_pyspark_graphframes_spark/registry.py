@@ -3009,6 +3009,26 @@ def q_effective_diameter_small(spark, sf_dir):
     return algorithms.effective_diameter(_small_copurchase(spark, sf_dir))
 
 
+@register("node2vec_walks", None)
+def q_node2vec_walks(spark, sf_dir):
+    """Distributed node2vec (p/q-biased second-order walks) over the
+    co-purchase graph, one walk per start vertex — pure DataFrame loop
+    (two joins + explode + min_by per step; Gumbel-trick hash sampling,
+    no Python). Rows-only: the walk is probabilistic by design; its
+    semantics are pinned by the invariant tests (edge-validity,
+    determinism, p-bias) in tests/test_sampling_invariants.py."""
+    from sna_pyspark_graphframes_spark.graph.node2vec import node2vec_walks
+
+    e = _copurchase(spark, sf_dir)
+    starts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id") < 300)
+    )
+    return node2vec_walks(e, walk_length=6, p=2.0, q=0.5, starts=starts)
+
+
 @register("effective_diameter_approx", None)
 def q_effective_diameter_approx(spark, sf_dir):
     """The 100 TB scale path exercised on the FULL co-purchase graph —

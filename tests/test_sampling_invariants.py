@@ -74,3 +74,46 @@ def test_walk_length_formula():
     assert sampling.walk_length(100, 0.0, 2.0) == 101
     assert sampling.walk_length(100, 0.5, 2.0) == 51
     assert sampling.walk_length(10, 1.0, 5.0) == 2
+
+
+class TestNode2VecWalks:
+    def test_walks_are_edge_valid_and_deterministic(self, spark):
+        from sna_pyspark_graphframes_spark.graph.node2vec import node2vec_walks
+
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (2, 4)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        edge_set = {frozenset(p) for p in pairs}
+        out1 = {r.walk_id: list(r.path) for r in
+                node2vec_walks(e, walk_length=6, p=2.0, q=0.5).collect()}
+        out2 = {r.walk_id: list(r.path) for r in
+                node2vec_walks(e, walk_length=6, p=2.0, q=0.5).collect()}
+        assert out1 == out2  # placement-independent determinism
+        for wid, path in out1.items():
+            assert path[0] == wid
+            for a, b in zip(path, path[1:]):
+                assert frozenset((a, b)) in edge_set, (wid, path)
+
+    def test_high_p_avoids_backtracking_except_dead_ends(self, spark):
+        from sna_pyspark_graphframes_spark.graph.node2vec import node2vec_walks
+
+        path_g = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "src long, dst long"
+        )
+        out = {r.walk_id: list(r.path) for r in
+               node2vec_walks(path_g, walk_length=5, p=1e9, q=1.0).collect()}
+        for wid, path in out.items():
+            for i in range(2, len(path)):
+                if path[i] == path[i - 2]:
+                    # a return move is only allowed when the walker was at
+                    # a degree-1 endpoint (forced)
+                    assert path[i - 1] in (0, 5), (wid, path)
+
+    def test_stalled_and_missing_starts_freeze(self, spark):
+        from sna_pyspark_graphframes_spark.graph.node2vec import node2vec_walks
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        starts = spark.createDataFrame([(0,), (9,)], "id long")
+        out = {r.walk_id: list(r.path) for r in
+               node2vec_walks(e, walk_length=4, starts=starts).collect()}
+        assert out[9] == [9]
+        assert len(out[0]) == 4
