@@ -604,3 +604,75 @@ def quality_bucketize_quantile(
         q.crossJoin(F.broadcast(brk))
         .select("doc_id", "quality", bucket.cast("int").alias("bucket"))
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame, window: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Skip-gram training pairs ``(doc_id, center, context, offset)`` —
+    every token paired with its neighbors within ``window`` positions
+    (word2vec-style corpus preparation).
+
+    Offset-explode formulation: each token emits its 2·window candidate
+    positions and equi-joins back on ``(doc_id, pos)`` — cost
+    Σ len·2·window (linear in corpus size), never the Σ len² of a
+    join-then-filter position self-join. All built-ins, one shuffle on the
+    (doc_id, pos) key."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    deltas = [d for d in range(-window, window + 1) if d != 0]
+    cand = toks.select(
+        "doc_id",
+        "pos",
+        F.col("w").alias("center"),
+        F.explode(F.array(*[F.lit(d) for d in deltas])).alias("offset"),
+    ).withColumn("ppos", F.col("pos") + F.col("offset"))
+    ctx = toks.select(
+        "doc_id", F.col("pos").alias("ppos"), F.col("w").alias("context")
+    )
+    return cand.join(ctx, ["doc_id", "ppos"]).select(
+        "doc_id", "center", "context", "offset"
+    )
+
+
+def word_pmi(
+    docs: DataFrame, window: int = 2, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Pointwise mutual information over the skip-gram co-occurrence
+    table: ``(center, context, n, pmi)`` for pairs seen ≥ ``min_count``.
+
+    ``pmi = ln( p(c,x) / (p(c)·p(x)) )`` with all probabilities taken from
+    the pair table and its margins — one co-occurrence aggregate, two
+    (broadcast) margin aggregates, one scalar total via cross join; no
+    collect. The classic collocation / association signal used for
+    phrase-mining a pretraining corpus."""
+    pairs = skipgram_pairs(docs, window, text_col)
+    cc = pairs.groupBy("center", "context").agg(F.count("*").alias("n"))
+    m_center = pairs.groupBy("center").agg(F.count("*").alias("n_center"))
+    m_context = pairs.groupBy("context").agg(F.count("*").alias("n_context"))
+    total = pairs.agg(F.count("*").alias("n_total"))
+    return (
+        cc.filter(F.col("n") >= min_count)
+        .join(F.broadcast(m_center), "center")
+        .join(F.broadcast(m_context), "context")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "center",
+            "context",
+            "n",
+            # + 0.0 normalizes IEEE negative zero (ln of an exact 1.0 can
+            # round to -0.0, which engines print differently)
+            (
+                F.round(
+                    F.log(
+                        F.col("n") * F.col("n_total")
+                        / (F.col("n_center") * F.col("n_context"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )

@@ -3049,6 +3049,55 @@ def q_quality_buckets(spark, sf_dir):
     return fcorpus.quality_bucketize(_t(spark, sf_dir, "documents"), n_buckets=4)
 
 
+_SKIPGRAM_SQL = r"""
+    toks AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w,
+               GENERATE_SUBSCRIPTS(string_split_regex(TRIM(LOWER(text)), '\s+'), 1) AS pos
+        FROM documents
+    ),
+    offs AS (SELECT UNNEST([-2, -1, 1, 2]) AS od),
+    pairs AS (
+        SELECT c.doc_id, c.w AS center, t.w AS context,
+               CAST(offs.od AS INT) AS "offset"
+        FROM toks c CROSS JOIN offs
+        JOIN toks t ON t.doc_id = c.doc_id AND t.pos = c.pos + offs.od
+    )
+"""
+
+
+@register(
+    "skipgram_pairs",
+    f"""
+    WITH {_SKIPGRAM_SQL}
+    SELECT doc_id, center, context, "offset" FROM pairs
+    """,
+)
+def q_skipgram_pairs(spark, sf_dir):
+    """word2vec-style training pairs (window 2) — offset-explode join,
+    cost linear in corpus size."""
+    return fcorpus.skipgram_pairs(_t(spark, sf_dir, "documents"), window=2)
+
+
+@register(
+    "word_pmi",
+    f"""
+    WITH {_SKIPGRAM_SQL},
+    cc AS (SELECT center, context, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+    mc AS (SELECT center, COUNT(*) AS n_center FROM pairs GROUP BY 1),
+    mx AS (SELECT context, COUNT(*) AS n_context FROM pairs GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_total FROM pairs)
+    SELECT cc.center, cc.context, cc.n,
+           ROUND(LN(cc.n * n_total * 1.0 / (n_center * n_context)), 4) + 0.0 AS pmi
+    FROM cc JOIN mc USING (center) JOIN mx USING (context), tot
+    WHERE cc.n >= 5
+    """,
+)
+def q_word_pmi(spark, sf_dir):
+    """PMI collocation scores over the window-2 co-occurrence table."""
+    return fcorpus.word_pmi(_t(spark, sf_dir, "documents"), window=2, min_count=5)
+
+
 @register(
     "quality_buckets_quantile",
     f"""
