@@ -3032,8 +3032,15 @@ def q_node2vec_walks(spark, sf_dir):
 @register("effective_diameter_approx", None)
 def q_effective_diameter_approx(spark, sf_dir):
     """The 100 TB scale path exercised on the FULL co-purchase graph —
-    approximate at this |V| (HLL estimation mode), so rows-only."""
-    return algorithms.effective_diameter(_copurchase(spark, sf_dir))
+    approximate at this |V| (HLL estimation mode), so rows-only.
+
+    lgk=8 here, not the default 12: HyperANF ships one sketch per edge
+    per round, so the superstep shuffle is |E| x sketch width — 4 KB
+    dense sketches over the 1.2M-edge sf0.1 graph thrashed the 16 GB
+    local heap (GCLocker retry storms), while 256-register sketches
+    (~6.5% rel. error, fine for an effective-diameter estimate) run the
+    same plan in ~14 s. Sketch width is THE cost knob of this operator."""
+    return algorithms.effective_diameter(_copurchase(spark, sf_dir), lgk=8)
 
 
 @register(
