@@ -10,6 +10,7 @@ import gc
 import json
 import os
 import re
+import statistics
 import time
 
 # Single-JVM local mode: the heap is the whole "cluster" (must be set
@@ -22,6 +23,7 @@ import time
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
 import __spark_entry__ as entrymod
+from sna_pyspark_graphframes_spark import registry
 from sna_pyspark_graphframes_spark.session import get_spark
 
 # Headline subset: every group of the engine gets a representative. Keys not
@@ -70,6 +72,13 @@ HEADLINE = [
     "connected_components_twophase_small",
     "pagerank_top20",
     "sql_shipping_priority",
+    # round-4 appends (list stays append-only for total comparability):
+    # the benched similarity representatives are the BUCKETED plans
+    # (ann_topk above + ivf_topk here) — similarity_topk stays listed only
+    # as the documented brute-force rerank baseline (VERDICT r3 #4) — and
+    # the real-decode multimodal path joins the board.
+    "ivf_topk",
+    "multimodal_decode_bmp",
 ]
 
 
@@ -103,35 +112,54 @@ def main() -> None:
         .count()
     )
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", flush=True)
-        # Release dropped python-side references so Spark's ContextCleaner
-        # can reap localCheckpoint blocks / per-query transient caches
-        # between measurements (deliberate cross-query memos stay held by
-        # the registry and are unaffected).
-        del df
-        gc.collect()
-        # ...and DRAIN the cleaner before the next measurement: its queue
-        # only fills on a JVM GC, and an un-drained backlog of dead
-        # shuffle/broadcast/checkpoint registrations contends with the
-        # next query's scheduler (isolated A/B: the first query after a
-        # 30-query warm session ran 14.9 s un-drained vs 6.1 s drained —
-        # whichever query follows the backlog pays it). Quiescing between
-        # measurements charges that session-level debt to untimed time,
-        # like the JVM/codegen warmup above.
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.3)
-    # total = sum of the measured per-query windows, NOT loop wall-clock:
-    # the inter-query quiesce (System.gc + drain pause, added round 3) is
-    # deliberately untimed session hygiene — wall-clock would charge ~20 s
-    # of it to the total and break comparability with rounds benched
-    # before the quiesce existed.
-    total = round(sum(timings.values()), 3)
+    # Median-of-N methodology (VERDICT r3 #3: single totals are not
+    # trustworthy on this shared host — SCALE.md records up to 2x
+    # run-to-run variance with visible steal time). Each rep runs the FULL
+    # list; between reps the registry's cross-query memo caches are
+    # dropped so every rep re-pays the build cost a fresh session would
+    # (JVM/JIT warmth deliberately remains — that is the variance being
+    # controlled for, not the work being measured). Reported per-query
+    # time = median across reps; "value" = sum of medians.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    wall_t0 = time.perf_counter()
+    per_rep: list[dict[str, float]] = []
+    for rep in range(reps):
+        registry.clear_session_caches()
+        timings: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # force full execution
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# [rep {rep}] {name}: {timings[name]}s ({n} rows)", flush=True)
+            # Release dropped python-side references so Spark's
+            # ContextCleaner can reap localCheckpoint blocks / per-query
+            # transient caches between measurements (deliberate cross-query
+            # memos stay held by the registry until the next rep).
+            del df
+            gc.collect()
+            # ...and DRAIN the cleaner before the next measurement: its
+            # queue only fills on a JVM GC, and an un-drained backlog of
+            # dead shuffle/broadcast/checkpoint registrations contends with
+            # the next query's scheduler (isolated A/B: the first query
+            # after a 30-query warm session ran 14.9 s un-drained vs 6.1 s
+            # drained — whichever query follows the backlog pays it).
+            # Quiescing between measurements charges that session-level
+            # debt to untimed time, like the JVM/codegen warmup above.
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.3)
+        per_rep.append(timings)
+    wall_clock = round(time.perf_counter() - wall_t0, 3)
+
+    medians = {
+        name: round(statistics.median(r[name] for r in per_rep), 3)
+        for name in names
+    }
+    # total = sum of per-query medians, NOT loop wall-clock: the
+    # inter-query quiesce (System.gc + drain pause, added round 3) is
+    # deliberately untimed session hygiene — but wall_clock_sec is logged
+    # alongside so the untimed share stays visible (VERDICT r3).
+    total = round(sum(medians.values()), 3)
 
     print(
         json.dumps(
@@ -139,8 +167,11 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
+                "reps": reps,
+                "methodology": "median of reps; caches cleared between reps",
+                "wall_clock_sec": wall_clock,
             }
         )
     )

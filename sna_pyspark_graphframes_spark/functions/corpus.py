@@ -447,9 +447,13 @@ def pack_sequences(
         token_count(F.col(text_col)).cast("long").alias("n_toks"),
         h.alias("h"),
     ).filter(F.col("n_toks") > 0)
+    # 32 hash bits, not 8: the first md5 byte alone caps the shard count at
+    # 256 and biases shards when n_shards doesn't divide 256 — with
+    # "n_shards ≈ cluster parallelism" at 100 TB that ceiling binds
+    # (ADVICE r3). 8 hex chars give 2^32 buckets before the modulo.
     toks = toks.withColumn(
         "shard",
-        (F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % n_shards),
+        (F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % n_shards).cast("int"),
     )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     placed = toks.withColumn(
@@ -645,9 +649,17 @@ def word_pmi(
 
     ``pmi = ln( p(c,x) / (p(c)·p(x)) )`` with all probabilities taken from
     the pair table and its margins — one co-occurrence aggregate, two
-    (broadcast) margin aggregates, one scalar total via cross join; no
-    collect. The classic collocation / association signal used for
-    phrase-mining a pretraining corpus."""
+    margin aggregates, one scalar total via cross join; no collect. The
+    classic collocation / association signal used for phrase-mining a
+    pretraining corpus.
+
+    Scale note: the margin tables are VOCABULARY-sized (one row per
+    distinct token) — unbounded on a 100 TB corpus — so they carry no
+    forced broadcast hint (an ``F.broadcast`` would bypass the
+    ``autoBroadcastJoinThreshold`` safety and OOM the driver on a large
+    vocab); AQE picks broadcast vs shuffle from the measured margin size
+    at runtime. Only the 1-row ``total`` frame is broadcast
+    unconditionally."""
     pairs = skipgram_pairs(docs, window, text_col)
     cc = pairs.groupBy("center", "context").agg(F.count("*").alias("n"))
     m_center = pairs.groupBy("center").agg(F.count("*").alias("n_center"))
@@ -655,8 +667,8 @@ def word_pmi(
     total = pairs.agg(F.count("*").alias("n_total"))
     return (
         cc.filter(F.col("n") >= min_count)
-        .join(F.broadcast(m_center), "center")
-        .join(F.broadcast(m_context), "context")
+        .join(m_center, "center")
+        .join(m_context, "context")
         .crossJoin(F.broadcast(total))
         .select(
             "center",

@@ -105,26 +105,27 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
+        new_comp = F.least(
+            F.col("component"), F.coalesce("nbr_comp", F.col("component"))
+        )
+        # Convergence folded into the superstep (VERDICT r3 #3): labels are
+        # monotone non-increasing, so "changed" is exactly new < old — carry
+        # it as a 0/1 column through the SAME join and sum it off the
+        # checkpointed result (one scan of |V| materialized rows) instead of
+        # re-joining new vs old state every round (a second |V| join that
+        # measured 2.3x on the sf0.1 co-purchase graph).
+        new_labels = checkpointed(
+            labels.join(nbr_min, "id", "left").select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_comp", F.col("component"))
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp < F.col("component")).cast("int").alias("chg"),
             )
         )
-        new_labels = checkpointed(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("chg")).first()[0]
+        labels = new_labels.drop("chg")
+        if not changed:
             break
-    return labels
+    return labels.select("id", "component")
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -1137,6 +1138,7 @@ def truss_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
         .distinct()
     )
     out = None
+    exhausted = True
     for k in range(3, max_k + 1):
         cur = k_truss(prev, k)
         level = prev.join(cur, ["src", "dst"], "left_anti").select(
@@ -1144,8 +1146,17 @@ def truss_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
         )
         out = level if out is None else out.unionByName(level)
         if cur.limit(1).count() == 0:
+            exhausted = False
             break
         prev = checkpointed(cur)
     if out is None:
         return prev.select("src", "dst", F.lit(2).alias("truss"))
+    if exhausted:
+        # Loop hit max_k with a non-empty truss (e.g. a clique larger than
+        # max_k+2): surviving edges would otherwise get NO output row
+        # (ADVICE r3). Their true truss is >= max_k; emit them clamped at
+        # max_k so the output stays a partition of the input edge set.
+        out = out.unionByName(
+            prev.select("src", "dst", F.lit(max_k).alias("truss"))
+        )
     return out

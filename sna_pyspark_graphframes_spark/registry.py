@@ -52,6 +52,21 @@ _COPURCHASE_CACHE: dict[str, DataFrame] = {}
 _MEMO_CACHE: dict[str, DataFrame] = {}
 
 
+def clear_session_caches() -> None:
+    """Unpersist and forget the cross-query memo frames. Bench repetitions
+    call this between reps so every rep re-pays the graph/label build cost
+    a fresh session would pay — otherwise rep 2+ would measure cache reads
+    and the median would under-report (the JVM/JIT warmth that remains is
+    exactly what repetition is meant to keep, variance reduction)."""
+    for cache in (_MEMO_CACHE, _COPURCHASE_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
+
+
 def _memo(spark, sf_dir, tag: str, make) -> DataFrame:
     """Session-scoped cache for frames shared across registry queries
     (degrees and per-vertex triangle counts of the co-purchase graph feed
@@ -824,10 +839,20 @@ def q_cc_twophase_small(spark, sf_dir):
     return algorithms.connected_components_twophase(_small_copurchase(spark, sf_dir))
 
 
-@register("diameter_double_sweep_small", None)
+@register(
+    "diameter_double_sweep_small",
+    f"""
+    WITH RECURSIVE {_SMALL_BFS_CTES}
+    SELECT MAX(d) AS diameter_lb FROM dist
+    """,
+)
 def q_diameter_double_sweep(spark, sf_dir):
-    """Scale-path diameter lower bound (2 BFS runs, no all-pairs);
-    rows-only — tests assert lb ≤ exact and equality on fixtures."""
+    """Scale-path diameter lower bound (2 BFS runs, no all-pairs). On the
+    small co-purchase fixture the double-sweep bound ATTAINS the exact
+    diameter (verified at sf0.001/0.01 — small-world graphs are where the
+    bound is known tight), so the oracle is the exact all-pairs
+    recursive-CTE diameter; tests additionally assert lb <= exact on
+    every fixture."""
     return algorithms.diameter_double_sweep(_small_copurchase(spark, sf_dir))
 
 
@@ -2235,8 +2260,8 @@ def q_event_session_window(spark, sf_dir):
         FROM events
     )
     SELECT event_id, user_id,
-           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_idx
+           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
     FROM o
     """,
 )
@@ -2707,6 +2732,57 @@ def q_multimodal_thumbnails(spark, sf_dir):
     return fmm.resize_thumbnails(media, out_w=8, out_h=8)
 
 
+@register(
+    "multimodal_decode_bmp",
+    """
+    WITH g AS (
+        SELECT doc_id, (x + 2*y + 17*c + doc_id) % 256 AS v,
+               (y*8 + x)*3 + c AS i
+        FROM documents,
+             UNNEST(generate_series(0, 7)) AS gx(x),
+             UNNEST(generate_series(0, 5)) AS gy(y),
+             UNNEST(generate_series(0, 2)) AS gc(c)
+    )
+    SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(i * v) AS BIGINT) AS px_weighted
+    FROM g GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_bmp(spark, sf_dir):
+    """REAL image decode, value-checked: per doc_id a closed-form 8x6 RGB
+    image is encoded to genuine 24-bit BMP bytes (bottom-up rows, BGR,
+    4-byte padding) in one Arrow kernel, then DECODED from bytes alone by
+    ``decode_media`` in another; the oracle recomputes every pixel from
+    the closed form, so the position-weighted checksum only matches if the
+    byte-level decode is exactly right. (Reference scope: none —
+    multimodal is a beyond-reference pipeline component.)"""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return fmm.decode_image_stats(fmm.planted_bmp_media(ids, w=8, h=6))
+
+
+@register(
+    "multimodal_decode_wav",
+    """
+    WITH g AS (
+        SELECT doc_id, (doc_id*31 + i*7) % 2000 - 1000 AS s, i
+        FROM documents, UNNEST(generate_series(0, 239)) AS gi(i)
+    )
+    SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels, CAST(240 AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS amp_sum,
+           CAST(SUM(i * s) AS BIGINT) AS amp_weighted
+    FROM g GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_wav(spark, sf_dir):
+    """REAL audio decode, value-checked: closed-form int16 PCM planted as
+    genuine RIFF/WAVE bytes (chunked, little-endian), decoded by walking
+    the chunk list; the oracle recomputes every sample."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return fmm.decode_audio_stats(fmm.planted_wav_media(ids, n_samples=240, rate=8000))
+
+
 # ---------------------------------------------------------------------------
 # Decontamination, sparse-vector similarity, stream-static enrichment
 # ---------------------------------------------------------------------------
@@ -2830,8 +2906,7 @@ def q_curate_corpus(spark, sf_dir):
     ),
     s AS (
         SELECT doc_id, n_toks, h,
-               CAST(((STRPOS('0123456789abcdef', SUBSTR(h, 1, 1)) - 1) * 16
-                     + STRPOS('0123456789abcdef', SUBSTR(h, 2, 1)) - 1) % 16 AS INT) AS shard
+               CAST(CAST('0x' || SUBSTR(h, 1, 8) AS BIGINT) % 16 AS INT) AS shard
         FROM t WHERE n_toks > 0
     ),
     p AS (
@@ -3172,78 +3247,73 @@ def q_profile_documents(spark, sf_dir):
 # pack_sequences, dedup_incremental, domain_mixture, and
 # embedding_dedup_clusters; every rotated-out query stays registered and
 # locally oracle-tested.
+#
+# Round-4 rotation (VERDICT r3 Next #2): the window is the 23 oracle-paired
+# queries that had NEVER had a driver-green row in rounds 1-3 (the whole
+# round-3 verification debt: IVF ANN, k-truss numbers, BI-on-communities,
+# landmark BFS, streaming sliding/outer/foreachBatch, the four scale-layout
+# ops, both multimodal kernels, skip-gram/PMI/surprisal, quality buckets,
+# profiling, HyperANF neighborhood function, plus the r3-red
+# event_sessionization with its oracle CAST fixed), the 3 queries new or
+# newly value-oracled this round (real BMP/WAV decode,
+# diameter_double_sweep_small), and 24 r1-r3-green representatives — one
+# per engine mechanism — kept in-window as regression sentinels
+# (pack_sequences stays because its shard hash changed this round).
+# Rotated-out greens remain registered + locally oracle-tested.
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # round-1 driver FAIL, now emitting a scalar-safe joined string
+    # --- never driver-green before round 4 (VERDICT r3 list) ---
+    "event_sessionization",        # r3 FAIL: oracle window-sum now CAST to BIGINT
+    "landmark_distance_histogram", # full-graph multi-source BFS
+    "truss_cliques",               # truss numbers on closed-form cliques
+    "community_revenue_bi",        # LPA communities joined to revenue
+    "minhash_signatures",
+    "ivf_topk",                    # IVF ANN (broadcast codebook)
+    "unigram_surprisal",
+    "stream_sliding_window",
+    "stream_stream_outer_join",    # watermark-evicted LEFT OUTER
+    "stream_foreach_batch",
+    "salted_revenue_by_status",    # operators/scale.py ×4
+    "salted_segment_revenue",
+    "partition_pruned_scan",
+    "bucketed_colocated_join",
+    "multimodal_frame_sample",
+    "multimodal_thumbnails",
+    "neighborhood_function_small", # HyperANF
+    "effective_diameter_small",
+    "quality_buckets",
+    "quality_buckets_quantile",
+    "skipgram_pairs",
+    "word_pmi",
+    "profile_documents",
+    # --- new / newly value-oracled in round 4 ---
+    "multimodal_decode_bmp",       # REAL BMP decode, closed-form pixel oracle
+    "multimodal_decode_wav",       # REAL WAV-PCM decode
+    "diameter_double_sweep_small", # bound attains exact diameter on fixture
+    # --- green representatives (regression sentinels, one per mechanism) ---
     "adjacency",
-    # motif DSL (find() pattern language) — four-cycles exercises the same
-    # compile path as triangles/wedges (those went green in r01 pre-DSL and
-    # stay locally oracle-tested)
     "motif_four_cycles_small",
-    # predicate BFS (GraphFrames bfs()) — recursive-CTE twin
     "bfs_predicate_small",
-    # closed-form verification graphs (pagerank / k-core / LPA / Brandes)
     "pagerank_order_rings",
     "kcore_cliques",
     "lpa_cliques",
     "betweenness_path",
-    # graph analytics with full value oracles
-    "link_prediction_small",
     "weighted_sssp_small",
-    "in_out_degree",
-    "degree_assortativity",
     "aggmsg_neighbor_price",
-    # text analysis
     "token_count",
-    "lang_id",
-    "quality_score",
-    "dedup_incremental",
-    "doc_fingerprint",
-    # GraphFrames migration facade, end-to-end (construct → filterVertices
-    # → dropIsolatedVertices → degrees); minhash_signatures moved out — it
-    # is an intermediate of minhash_near_dup, which stays
-    "graphframe_filter_degrees",
-    # deduplication
     "dedup_exact",
     "minhash_near_dup",
-    "ngram_jaccard",
-    "simhash",
     "embedding_near_dup",
-    # similarity search (ann's hyperplanes are shared plan literals, so even
-    # the "approximate" result is value-oracled)
-    "embedding_dedup_clusters",
     "ann_topk",
-    # corpus pipeline (curation, chunking, redaction, stats, splits);
-    # curate_corpus exercises the near_dup_clusters/dedup_corpus pipeline
-    # end-to-end (those stay registered + locally oracle-tested past slot 50)
     "curate_corpus",
-    "doc_chunks",
     "redact_pii",
-    "repetition_ratio",
-    "tf_idf",
-    "decontaminate",
-    "bow_cosine_pairs",
-    "hash_split",
-    "domain_mixture",
-    # event windows
-    "event_tumbling_window",
-    "pack_sequences",
-    "event_session_window",
-    "event_sessionization",
-    "event_props_extract",
-    "late_data_filter",
-    # temporal joins
+    "pack_sequences",              # shard now derived from 32 md5 bits (ADVICE r3)
     "asof_click_purchase",
     "range_join_attribution",
-    # structured streaming (rate-limited micro-batch runs, batch oracles)
     "stream_tumbling_window",
-    "stream_session_window",
     "stream_stream_join",
-    "stream_dedup_keys",
     "stream_stateful_totals",
-    "stream_static_join",
-    # sources/sinks + multimodal
     "orc_roundtrip",
     "multimodal_digest",
 ]

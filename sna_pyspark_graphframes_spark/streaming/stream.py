@@ -228,9 +228,17 @@ def stream_sliding_counts(
     slide: str = "30 minutes",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming twin of ``windows.sliding_counts``: overlapping windows
-    with a watermark — each event contributes to width/slide windows and
-    a window's state is dropped once the watermark passes its end."""
+    """Streaming twin of ``windows.sliding_counts``: overlapping windows —
+    each event contributes to width/slide windows.
+
+    Runs in COMPLETE output mode (``run_to_memory``'s default), where
+    Spark retains ALL window state for the lifetime of the query and
+    re-emits the full result each trigger — the watermark set here bounds
+    late-data admission, but does NOT evict window state in complete mode
+    (only append/update modes drop windows the watermark has passed). On
+    an unbounded production stream, switch to append mode so state stays
+    bounded; complete mode is used here because the finite availableNow
+    source makes the full result equal the batch oracle exactly."""
     ev = read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
     agg = (
         ev.groupBy(F.window("ts", width, slide).alias("w"))
@@ -273,11 +281,15 @@ def stream_stream_click_purchase_outer(
         )
         .withWatermark("purchase_ts", watermark)
     )
+    # The match window is TIED to the watermark delay (ADVICE r3: a
+    # hardcoded INTERVAL silently ignored non-default watermarks): a
+    # purchase qualifies iff it landed within `watermark` before the click,
+    # which is also exactly the bound that lets Spark size the join state.
     joined = clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") <= F.col("click_ts"))
-        & (F.col("purchase_ts") > F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        & (F.col("purchase_ts") > F.col("click_ts") - F.expr(f"INTERVAL {watermark}")),
         "left_outer",
     ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
     return run_to_memory(joined, spark, output_mode="append")

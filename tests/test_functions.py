@@ -188,9 +188,111 @@ class TestSimilarity:
 
 
 class TestMultimodal:
-    def test_decode_stub_raises(self):
+    def test_decode_media_unknown_format_raises(self):
+        # JPEG magic: compressed formats need codecs absent here
         with pytest.raises(NotImplementedError):
-            fmm.decode_stub(b"bytes", "image")
+            fmm.decode_media(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+    def test_bmp_golden_bytes(self):
+        """Pin the BMP byte format against a hand-written file: 2x2 RGB
+        with distinct corner colors. Bottom-up rows => the file's FIRST
+        pixel row is the image's BOTTOM row; BGR order; 2px*3B=6B rows
+        padded to 8."""
+        import struct
+
+        import numpy as np
+
+        img = np.array(
+            [[[255, 0, 0], [0, 255, 0]],   # top row: red, green
+             [[0, 0, 255], [10, 20, 30]]], # bottom row: blue, (10,20,30)
+            dtype=np.uint8,
+        )
+        row_bottom = bytes([255, 0, 0]) + bytes([30, 20, 10]) + b"\x00\x00"
+        row_top = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"
+        data = row_bottom + row_top
+        golden = (
+            struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+            + data
+        )
+        assert fmm.encode_bmp(img) == golden
+        kind, decoded = fmm.decode_media(golden)
+        assert kind == "image"
+        assert np.array_equal(decoded, img)
+
+    def test_bmp_top_down_negative_height(self):
+        """A negative biHeight means top-down row order — decoder must
+        handle files our encoder doesn't produce."""
+        import struct
+
+        import numpy as np
+
+        img = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)  # 1x2
+        data = bytes([3, 2, 1]) + bytes([6, 5, 4]) + b"\x00\x00"
+        raw = (
+            struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 24, 0, len(data), 0, 0, 0, 0)
+            + data
+        )
+        assert np.array_equal(fmm.decode_bmp(raw), img)
+
+    def test_wav_golden_bytes(self):
+        """Pin RIFF/WAVE PCM16 against a hand-written file, including an
+        extra LIST chunk the decoder must skip."""
+        import struct
+
+        import numpy as np
+
+        samples = np.array([0, 1000, -1000, 32767], dtype=np.int16)
+        golden = fmm.encode_wav(samples, 8000)
+        assert golden[:4] == b"RIFF" and golden[8:12] == b"WAVE"
+        assert golden[12:16] == b"fmt "
+        assert struct.unpack_from("<HHI", golden, 20) == (1, 1, 8000)
+        rate, arr = fmm.decode_wav(golden)
+        assert rate == 8000 and np.array_equal(arr[:, 0], samples)
+        # insert a LIST chunk between fmt and data; decode must skip it
+        fmt_end = 20 + 16
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = golden[:fmt_end] + extra + golden[fmt_end:]
+        spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        rate2, arr2 = fmm.decode_wav(spliced)
+        assert rate2 == 8000 and np.array_equal(arr2[:, 0], samples)
+
+    def test_ppm_roundtrip_with_comment(self):
+        import numpy as np
+
+        img = fmm._plant_pixels(5, 3, 4)
+        raw = fmm.encode_ppm(img)
+        assert np.array_equal(fmm.decode_ppm(raw), img)
+        commented = b"P6\n# a comment\n3 4\n255\n" + img.tobytes()
+        assert np.array_equal(fmm.decode_ppm(commented), img)
+
+    def test_planted_decode_end_to_end(self, spark):
+        import numpy as np
+
+        ids = spark.range(3).select(F.col("id").alias("doc_id"))
+        img_stats = {
+            r.media_id: r for r in fmm.decode_image_stats(
+                fmm.planted_bmp_media(ids, w=8, h=6)
+            ).collect()
+        }
+        for m in range(3):
+            flat = fmm._plant_pixels(m, 8, 6).reshape(-1).astype(np.int64)
+            r = img_stats[m]
+            assert (r.width, r.height) == (8, 6)
+            assert r.px_sum == int(flat.sum())
+            assert r.px_weighted == int((np.arange(flat.size) * flat).sum())
+        aud = {
+            r.media_id: r for r in fmm.decode_audio_stats(
+                fmm.planted_wav_media(ids, n_samples=16, rate=22050)
+            ).collect()
+        }
+        for m in range(3):
+            s = fmm._plant_samples(m, 16).astype(np.int64)
+            r = aud[m]
+            assert (r.sample_rate, r.n_channels, r.n_samples) == (22050, 1, 16)
+            assert r.amp_sum == int(s.sum())
+            assert r.amp_weighted == int((np.arange(16) * s).sum())
 
     def test_featurize_deterministic(self, spark):
         df = docs_df(spark, ["payload one", "payload two"])
