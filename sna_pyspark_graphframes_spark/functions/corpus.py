@@ -202,15 +202,18 @@ def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFram
     """Top-``k`` characteristic terms per document by TF-IDF:
     ``(doc_id, w, tfidf, rank)`` with ``tfidf = tf · ln(N/df)``.
 
-    Three hash aggregates (term counts, document frequencies, corpus size)
-    + a broadcast of the two small sides; the per-document top-k is a
-    window over ``doc_id`` — per-group sort, never global."""
+    Three hash aggregates (term counts, document frequencies, corpus
+    size); the per-document top-k is a window over ``doc_id`` — per-group
+    sort, never global. The document-frequency margin is VOCABULARY-sized,
+    so it carries no forced broadcast hint (same rule as ``word_pmi``:
+    AQE decides from measured size); only the 1-row corpus count is
+    broadcast unconditionally."""
     words = docs.select("doc_id", F.explode(_words(F.col(text_col))).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "w")
+        tf.join(dfreq, "w")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

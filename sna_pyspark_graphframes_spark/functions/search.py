@@ -1,0 +1,103 @@
+"""Keyword search over the document corpus: inverted-index construction
+and BM25 ranking — the retrieval layer a training-data pipeline uses for
+targeted corpus probes (finding benchmark leaks, topic slices, quality
+audits) without an external search engine.
+
+Pure built-in expressions end-to-end (explode + hash aggregates + joins —
+no UDFs), so index build is one shuffle over the token table and scoring
+touches only the query terms' postings. (Reference scope: none — search is
+a beyond-reference pipeline component; tokenization shares
+``corpus._words`` so index terms match the TF-IDF/PMI surface.)
+
+Scale notes: the postings table is partitioned by term — the classic
+shard-by-term layout; scoring a query reads |query| posting lists via a
+semi-join on a literal array (partition-prunable), never a corpus scan.
+Document-frequency margins are vocabulary-sized and therefore carry NO
+forced broadcast hint (same rule as ``corpus.word_pmi``): AQE decides from
+measured size. The per-document length norm joins on ``doc_id`` only for
+matched postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sna_pyspark_graphframes_spark.functions.corpus import _words
+
+
+def postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The inverted index as a postings table: ``(w, doc_id, tf)`` — one
+    row per (term, document) with its term frequency. Downstream layouts
+    (per-term arrays, positional lists) are a ``groupBy(w)`` away; the
+    flat form is the one that joins."""
+    words = docs.select("doc_id", F.explode(_words(F.col(text_col))).alias("w"))
+    return words.groupBy("w", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def index_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dictionary view of the inverted index: ``(w, df, total_tf)`` per
+    term — document frequency and collection frequency, the statistics
+    BM25/IDF read."""
+    p = postings(docs, text_col)
+    return p.groupBy("w").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25
+    (Robertson/Sparck Jones probabilistic idf variant):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Output ``(doc_id, score, rank)``; rank ties break by doc_id so the
+    result is fully deterministic. Only the query terms' postings are
+    touched (semi-join on a literal term array); N and avgdl are 1-row
+    broadcasts."""
+    p = postings(docs, text_col)
+    qt = F.array(*[F.lit(t) for t in query_terms])
+    matched = p.filter(F.array_contains(qt, F.col("w")))
+    dfreq = matched.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    dlen = docs.select(
+        "doc_id", F.size(_words(F.col(text_col))).alias("dl")
+    )
+    corpus = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(_words(F.col(text_col)))).alias("avgdl"),
+    )
+    scored = (
+        matched.join(dfreq, "w")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    # Global top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + driver merge of k rows — no global sort, no single-partition
+    # window); the rank column is then a window over just k rows.
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(win).cast("int"))

@@ -34,6 +34,12 @@ def _sym(edges: DataFrame) -> DataFrame:
 # nor AQE picks the broadcast on its own — the loop must say so.
 STATE_BROADCAST_MAX_ROWS = 4_000_000
 
+# Peel-loop observability (SCALE.md round-count audit): each k_core/k_truss
+# call records its executed round count here; the decomposition drivers
+# (core_numbers/truss_numbers) accumulate outer and inner totals. Driver-side
+# plain ints — no effect on plans.
+LAST_STATS: dict[str, int] = {}
+
 
 def _state_hinted(state: DataFrame, n_rows: int) -> DataFrame:
     """Size-aware join hint for the vertex-state side of a superstep join:
@@ -465,7 +471,9 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     depth, not |V|. Per round: one degree aggregate + two semi-joins,
     checkpointed."""
     e = checkpointed(edges.select("src", "dst"))
+    LAST_STATS["k_core_rounds"] = 0
     for _ in range(max_iter):
+        LAST_STATS["k_core_rounds"] += 1
         deg = (
             _sym(e)
             .groupBy(F.col("src").alias("id"))
@@ -495,8 +503,13 @@ def core_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
     rounds even when hubs have millions of neighbors."""
     current = checkpointed(edges.select("src", "dst"))
     result = None
+    outer = inner = 0
     for k in range(1, max_k + 1):
         nxt = k_core(current, k + 1)
+        outer += 1
+        inner += LAST_STATS.get("k_core_rounds", 0)
+        LAST_STATS["core_numbers_outer"] = outer
+        LAST_STATS["core_numbers_inner"] = inner
         cur_v = (
             current.select(F.col("src").alias("id"))
             .union(current.select(F.col("dst").alias("id")))
@@ -517,7 +530,77 @@ def core_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
             break
     if result is None:
         return edges.sparkSession.createDataFrame([], "id long, core int")
+    if not current.isEmpty():
+        # Loop hit max_k with a non-empty core (degeneracy > max_k — the
+        # sf0.01 co-purchase graph already exceeds 64 via its dense
+        # per-order cliques): surviving vertices would otherwise get NO
+        # core row. Their true core is >= max_k; emit them clamped so the
+        # output covers every vertex (same contract as truss_numbers).
+        remaining = (
+            current.select(F.col("src").alias("id"))
+            .union(current.select(F.col("dst").alias("id")))
+            .distinct()
+            .withColumn("core", F.lit(max_k))
+        )
+        result = result.unionByName(remaining)
     return result
+
+
+def core_numbers_hindex(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """``(id, core)`` via the iterated-h-index fixed point (Lü, Zhou,
+    Zhang & Stanley, "The H-index of a network node", Nature
+    Communications 2016): start every vertex at its degree and repeat
+
+        c(v) <- H({ c(u) : u ~ v })
+
+    (H = the h-index of the neighbor multiset); the iteration converges
+    exactly to the core numbers.
+
+    This is the DENSE-GRAPH scale path the round-4 peel audit called for
+    (SCALE.md): the peel decomposition runs (outer k) x (inner peel)
+    full-graph rounds — 136 degree aggregates on the sf0.01 co-purchase
+    graph, whose degeneracy exceeds 64 — while the h-index fixed point
+    needs only its convergence count of rounds (measured: ~an order of
+    magnitude fewer) and each round is one edge-state join + one
+    per-vertex window + one aggregate, independent of the core-number
+    RANGE. The per-vertex h-index is computed without any collect: rank
+    neighbor values descending per vertex (window) and take
+    ``max(min(c, rank))``. Tests pin equality with the peel
+    ``core_numbers`` on golden and random graphs.
+    """
+    sym = checkpointed(_sym(edges))
+    state = checkpointed(
+        sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("c"))
+    )
+    n_vertices = state.count()
+    # row_number tie order among equal c values does not affect the
+    # h-index (max of min(c, rank) is invariant under permuting ties), so
+    # no tie-break column is needed and the result stays deterministic.
+    w = Window.partitionBy("id").orderBy(F.desc("c"))
+    for _ in range(max_iter):
+        nbr_vals = sym.join(
+            _state_hinted(state, n_vertices), sym.dst == state.id
+        ).select(F.col("src").alias("id"), "c")
+        h = (
+            nbr_vals.withColumn("r", F.row_number().over(w))
+            .select("id", F.least(F.col("c"), F.col("r")).alias("hc"))
+            .groupBy("id")
+            .agg(F.max("hc").alias("h"))
+        )
+        new_c = F.least(F.col("c"), F.col("h"))
+        new_state = checkpointed(
+            state.join(h, "id")
+            .select(
+                "id",
+                new_c.alias("c"),
+                (new_c < F.col("c")).cast("int").alias("chg"),
+            )
+        )
+        changed = new_state.agg(F.sum("chg")).first()[0]
+        state = new_state.drop("chg")
+        if not changed:
+            break
+    return state.select("id", F.col("c").cast("int").alias("core"))
 
 
 # ---------------------------------------------------------------------------
@@ -1084,7 +1167,9 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .distinct()
     )
+    LAST_STATS["k_truss_rounds"] = 0
     for _ in range(max_iter):
+        LAST_STATS["k_truss_rounds"] += 1
         ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
         ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -1121,6 +1206,110 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     return e
 
 
+def truss_numbers_hindex(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """``(src, dst, truss)`` via the local fixed-point iteration (Sariyüce,
+    Seshadhri & Pinar, "Local algorithms for hierarchically ordered dense
+    subgraphs", WWW 2018 — the truss instance of the nucleus-decomposition
+    h-index convergence; companion of :func:`core_numbers_hindex`):
+
+        s(e) <- H({ min(s(f), s(g)) : triangles (e, f, g) }),  s0 = support
+
+    converges exactly to τ(e) − 2.
+
+    Structure: the triangle table is built ONCE (the peel re-enumerates
+    triangles of the shrinking graph every round); each round is three
+    equi-joins of that static table against the edge-state frame + one
+    per-edge rank window. No max_k cap — exact for arbitrarily dense
+    graphs, which makes it the exactness backstop where the peel clamps.
+
+    MEASURED TRADEOFF (SCALE.md round-4 audit): on the co-purchase graph
+    the fixed point's descent has a long tail (sf0.001: 2,400+ of 8,899
+    edges still changing after 8 rounds; total rounds ≫ the peel's 75),
+    so :func:`truss_numbers` (whole-frontier peel) remains the DEFAULT —
+    the h-index iteration wins for cores (state per vertex, fast descent)
+    but not for trusses on overlapping-clique topology. The lever that
+    would flip it is delta-frontier recomputation (re-score only edges
+    sharing a triangle with a changed edge — valid because the descent is
+    monotone); recorded as future work, not silently claimed. Tests pin
+    equality with the peel on golden and random graphs.
+    """
+    e = checkpointed(
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    # triangles, once: canonical a < b < c, each triangle exactly one row
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = checkpointed(ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c"))
+
+    support = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+                    F.struct(F.col("a").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .groupBy("e.src", "e.dst")
+        .agg(F.count("*").alias("s"))
+    )
+    state = checkpointed(
+        e.join(support, ["src", "dst"], "left").fillna({"s": 0})
+    )
+    w = Window.partitionBy("src", "dst").orderBy(F.desc("v"))
+    for _ in range(max_iter):
+        # attach current s of each triangle's three edges
+        s1 = state.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("s").alias("s_ab"))
+        s2 = state.select(F.col("src").alias("b"), F.col("dst").alias("c"), F.col("s").alias("s_bc"))
+        s3 = state.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("s").alias("s_ac"))
+        t = tri.join(s1, ["a", "b"]).join(s2, ["b", "c"]).join(s3, ["a", "c"])
+        # each edge's view of each triangle: min of the OTHER two edges
+        vals = t.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src"), F.col("b").alias("dst"),
+                        F.least("s_bc", "s_ac").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"), F.col("c").alias("dst"),
+                        F.least("s_ab", "s_ac").alias("v"),
+                    ),
+                    F.struct(
+                        F.col("a").alias("src"), F.col("c").alias("dst"),
+                        F.least("s_ab", "s_bc").alias("v"),
+                    ),
+                )
+            ).alias("x")
+        ).select("x.src", "x.dst", "x.v")
+        h = (
+            vals.withColumn("r", F.row_number().over(w))
+            .select("src", "dst", F.least(F.col("v"), F.col("r")).alias("hv"))
+            .groupBy("src", "dst")
+            .agg(F.max("hv").alias("h"))
+        )
+        new_s = F.least(F.col("s"), F.coalesce("h", F.lit(0)))
+        new_state = checkpointed(
+            state.join(h, ["src", "dst"], "left").select(
+                "src",
+                "dst",
+                new_s.alias("s"),
+                (new_s < F.col("s")).cast("int").alias("chg"),
+            )
+        )
+        changed = new_state.agg(F.sum("chg")).first()[0]
+        state = new_state.drop("chg")
+        if not changed:
+            break
+    return state.select("src", "dst", (F.col("s") + 2).cast("int").alias("truss"))
+
+
 def truss_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
     """``(src, dst, truss)`` — each edge's truss number (max k with the
     edge in the k-truss; every edge is trivially in the 2-truss).
@@ -1139,8 +1328,13 @@ def truss_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
     )
     out = None
     exhausted = True
+    outer = inner = 0
     for k in range(3, max_k + 1):
         cur = k_truss(prev, k)
+        outer += 1
+        inner += LAST_STATS.get("k_truss_rounds", 0)
+        LAST_STATS["truss_numbers_outer"] = outer
+        LAST_STATS["truss_numbers_inner"] = inner
         level = prev.join(cur, ["src", "dst"], "left_anti").select(
             "src", "dst", F.lit(k - 1).alias("truss")
         )

@@ -1,0 +1,83 @@
+"""Behavioral event analytics over the ``events`` table: ordered funnels
+and cohort retention — the product-analytics queries an event pipeline
+serves next to its windowed aggregates (``streaming/windows.py``).
+
+Both are pure DataFrame compositions (min-aggregates + joins; no windows
+over the full event stream, no UDFs). (Reference scope: none — events are
+a beyond-reference pipeline component.)
+
+Scale notes: every stage aggregates to per-user rows FIRST (|users| ≪
+|events|), so the joins that chain funnel steps / attach cohorts run on
+the small per-user table; the only |events|-sized operations are the
+initial filtered aggregates, which shuffle once on user_id each. At 100 TB
+the event scans prune on ``event_type`` at the parquet reader.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame, steps: Sequence[str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel: ``(step_idx, step, n_users)`` — how many users
+    completed each step IN ORDER (step i+1 counts only events strictly
+    after that user's step-i completion time; completion time = the
+    earliest qualifying event, the standard first-touch convention).
+
+    One filtered min-aggregate per step, chained by a per-user join —
+    each stage's frame is one row per surviving user."""
+    reached = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [(1, steps[0], reached)]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .join(reached, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append((i, step, nxt))
+        reached = nxt
+    rows = None
+    for i, step, frame in counts:
+        row = frame.agg(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count("*").alias("n_users"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: ``(cohort_week, week_offset, n_users)`` —
+    users grouped by the ISO week of their FIRST event, counted as
+    retained in each subsequent week they produced any event.
+
+    ``week_offset`` is whole weeks between first-event date and event
+    date (date arithmetic only — identical across engines regardless of
+    sub-second timestamp handling)."""
+    first = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        events.select("user_id", "ts")
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -26,12 +26,14 @@ def scan_project_filter(lineitem: DataFrame) -> DataFrame:
 def revenue_per_nation(
     customer: DataFrame, orders: DataFrame, nation: DataFrame
 ) -> DataFrame:
-    """Fact ⋈ two dims → agg. Dims broadcast — orders never shuffles for the
-    join; the only shuffle is the final groupBy on 25 nations."""
+    """Fact ⋈ two dims → agg. The fixed-size dim (nation, 25 rows) is
+    broadcast unconditionally; customer SCALES WITH SF (1.5M rows x SF in
+    TPC-H), so it carries no forced hint — AQE broadcasts it while it fits
+    ``autoBroadcastJoinThreshold`` and shuffles it beyond (the same
+    vocabulary-sized-side rule as ``corpus.word_pmi``). The final groupBy
+    shuffles only 25 nation rows per partition."""
     return (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
-        )
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
         .groupBy("n_name")
         .agg(

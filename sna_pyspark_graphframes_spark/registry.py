@@ -1263,6 +1263,23 @@ def q_kcore_cliques(spark, sf_dir):
 
 
 @register(
+    "core_hindex_cliques",
+    f"""
+    WITH {_CLIQUE_SQL}
+    SELECT o_orderkey AS id,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) - 1 AS INTEGER) AS core
+    FROM cv
+    """,
+)
+def q_core_hindex_cliques(spark, sf_dir):
+    """Iterated-h-index core numbers (Lü et al. 2016 — the dense-graph
+    scale path, no outer peel loop) value-checked against the same
+    closed-form clique oracle as the peel decomposition: both algorithms
+    must produce the identical full core table."""
+    return algorithms.core_numbers_hindex(_order_cliques(spark, sf_dir))
+
+
+@register(
     "truss_cliques",
     """
     WITH sized AS (
@@ -1283,6 +1300,26 @@ def q_truss_cliques(spark, sf_dir):
     m-2, so the 4-truss keeps exactly the cliques with m >= 4 — the full
     triangle-support peeling loop value-checked against a closed form."""
     return algorithms.k_truss(_order_cliques(spark, sf_dir), k=4)
+
+
+@register(
+    "truss_hindex_cliques",
+    f"""
+    WITH {_CLIQUE_SQL},
+    msize AS (SELECT o_custkey, COUNT(*) AS m FROM cv GROUP BY o_custkey)
+    SELECT a.o_orderkey AS src, b.o_orderkey AS dst,
+           CAST(msize.m AS INTEGER) AS truss
+    FROM cv a
+    JOIN cv b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    JOIN msize ON msize.o_custkey = a.o_custkey
+    """,
+)
+def q_truss_hindex_cliques(spark, sf_dir):
+    """Fixed-point truss numbers (Sariyüce et al. WWW'18) on disjoint
+    cliques: every edge of an m-clique has truss number exactly m — the
+    closed-form oracle states the full edge table from each clique's
+    vertex count."""
+    return algorithms.truss_numbers_hindex(_order_cliques(spark, sf_dir))
 
 
 @register(
@@ -1492,9 +1529,11 @@ from sna_pyspark_graphframes_spark.functions import (  # noqa: E402
     corpus as fcorpus,
     dedup as fdedup,
     multimodal as fmm,
+    search as fsearch,
     similarity as fsim,
     text as ftext,
 )
+from sna_pyspark_graphframes_spark.operators import events as oevents  # noqa: E402
 from sna_pyspark_graphframes_spark.streaming import windows as swin  # noqa: E402
 
 
@@ -2784,6 +2823,111 @@ def q_multimodal_decode_wav(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Keyword search (functions/search.py) and event analytics (operators/events.py)
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = r"""
+    SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+"""
+
+
+@register(
+    "inverted_index",
+    f"""
+    WITH words AS ({_WORDS_SQL}),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2)
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM tf GROUP BY w
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    return fsearch.index_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH words AS ({_WORDS_SQL}),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    matched AS (SELECT * FROM tf WHERE w IN ('spark', 'hash', 'window')),
+    dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY w),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs,
+                      AVG(LEN(string_split_regex(TRIM(LOWER(text)), '\\s+'))) AS avgdl
+               FROM documents),
+    scored AS (
+        SELECT m.doc_id,
+               ROUND(SUM(
+                   LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (m.tf * 2.2)
+                   / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+               ), 4) AS score
+        FROM matched m
+        JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus
+        GROUP BY m.doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 for the query {spark, hash, window} (k1=1.2, b=0.75 —
+    the Robertson defaults); only the query terms' postings are scored."""
+    return fsearch.bm25_topk(
+        _t(spark, sf_dir, "documents"), ["spark", "hash", "window"], k=10
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    return oevents.funnel(
+        _t(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    act AS (
+        SELECT DISTINCT e.user_id,
+               CAST(DATE_TRUNC('week', f.first_ts) AS DATE) AS cohort_week,
+               CAST(FLOOR(DATEDIFF('day', CAST(f.first_ts AS DATE),
+                                   CAST(e.ts AS DATE)) / 7.0) AS INT) AS week_offset
+        FROM events e JOIN first f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    return oevents.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # Decontamination, sparse-vector similarity, stream-static enrichment
 # ---------------------------------------------------------------------------
 
@@ -3254,12 +3398,14 @@ def q_profile_documents(spark, sf_dir):
 # landmark BFS, streaming sliding/outer/foreachBatch, the four scale-layout
 # ops, both multimodal kernels, skip-gram/PMI/surprisal, quality buckets,
 # profiling, HyperANF neighborhood function, plus the r3-red
-# event_sessionization with its oracle CAST fixed), the 3 queries new or
+# event_sessionization with its oracle CAST fixed), the 9 queries new or
 # newly value-oracled this round (real BMP/WAV decode,
-# diameter_double_sweep_small), and 24 r1-r3-green representatives — one
-# per engine mechanism — kept in-window as regression sentinels
-# (pack_sequences stays because its shard hash changed this round).
-# Rotated-out greens remain registered + locally oracle-tested.
+# diameter_double_sweep_small, h-index core/truss fixed points, inverted
+# index, BM25, funnel, cohort retention), and 18 r1-r3-green
+# representatives — one per engine mechanism — kept in-window as
+# regression sentinels (pack_sequences stays because its shard hash
+# changed this round). Rotated-out greens remain registered + locally
+# oracle-tested.
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
@@ -3291,18 +3437,22 @@ _WINDOW = [
     "multimodal_decode_bmp",       # REAL BMP decode, closed-form pixel oracle
     "multimodal_decode_wav",       # REAL WAV-PCM decode
     "diameter_double_sweep_small", # bound attains exact diameter on fixture
-    # --- green representatives (regression sentinels, one per mechanism) ---
-    "adjacency",
+    "core_hindex_cliques",         # iterated-h-index cores (dense-graph path)
+    "truss_hindex_cliques",        # nucleus fixed-point truss numbers
+    "inverted_index",              # search layer: postings dictionary
+    "bm25_search",                 # BM25 top-k over query-term postings
+    "event_funnel",                # ordered first-touch funnel
+    "cohort_retention",            # weekly cohort retention
+    # --- green representatives (regression sentinels, one per mechanism;
+    # six multi-round greens — adjacency, bfs_predicate_small,
+    # aggmsg_neighbor_price, token_count, dedup_exact, orc_roundtrip —
+    # rotated out in favor of the six new round-4 queries above) ---
     "motif_four_cycles_small",
-    "bfs_predicate_small",
     "pagerank_order_rings",
     "kcore_cliques",
     "lpa_cliques",
     "betweenness_path",
     "weighted_sssp_small",
-    "aggmsg_neighbor_price",
-    "token_count",
-    "dedup_exact",
     "minhash_near_dup",
     "embedding_near_dup",
     "ann_topk",
@@ -3314,7 +3464,6 @@ _WINDOW = [
     "stream_tumbling_window",
     "stream_stream_join",
     "stream_stateful_totals",
-    "orc_roundtrip",
     "multimodal_digest",
 ]
 

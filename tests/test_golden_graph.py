@@ -402,6 +402,45 @@ class TestKCore:
             1: 1, 2: 1, 3: 1, 4: 1,
         }
 
+    def test_hindex_equals_peel(self, spark):
+        """Iterated h-index (Lü et al. 2016) must equal the peel
+        decomposition on structurally distinct fixtures."""
+        import random
+
+        cases = [
+            [(1, 2), (2, 3), (1, 3), (3, 4)],                       # tri+tail
+            [(a, b) for a in range(1, 6) for b in range(a + 1, 6)], # K5
+            [(1, 2), (2, 3), (3, 4)],                               # path
+        ]
+        rng = random.Random(7)
+        cases.append(
+            list(
+                {
+                    (min(a, b), max(a, b))
+                    for _ in range(120)
+                    for a, b in [(rng.randint(1, 40), rng.randint(1, 40))]
+                    if a != b
+                }
+            )
+        )
+        for pairs in cases:
+            e = edges_df(spark, pairs)
+            peel = as_map(algorithms.core_numbers(e), "id", "core")
+            hx = as_map(algorithms.core_numbers_hindex(e), "id", "core")
+            assert hx == peel, pairs
+
+    def test_max_k_clamp_keeps_every_vertex(self, spark):
+        # K5 has core 4 > max_k=2: survivors must still get a (clamped)
+        # row, not silently vanish (ADVICE r3 / sf0.01 copurchase audit)
+        k5 = edges_df(spark, [(a, b) for a in range(1, 6) for b in range(a + 1, 6)])
+        assert as_map(algorithms.core_numbers(k5, max_k=2), "id", "core") == {
+            1: 2, 2: 2, 3: 2, 4: 2, 5: 2,
+        }
+        # unclamped stays exact
+        assert as_map(algorithms.core_numbers(k5), "id", "core") == {
+            1: 4, 2: 4, 3: 4, 4: 4, 5: 4,
+        }
+
 
 class TestPPR:
     def test_two_node_closed_form(self, spark):
@@ -553,3 +592,51 @@ class TestKTruss:
             (r.src, r.dst, r.truss) for r in algorithms.truss_numbers(tt).collect()
         )
         assert got == [(1, 2, 3), (1, 3, 3), (2, 3, 3), (3, 4, 2)]
+
+    def test_truss_hindex_equals_peel(self, spark):
+        """Fixed-point truss numbers (Sariyüce et al. WWW'18) must equal
+        the peel decomposition; includes the overlapping-cliques case."""
+        import random
+
+        cases = [
+            [(1, 2), (2, 3), (1, 3), (3, 4)],
+            [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],  # K5
+            # two K4s sharing an edge (overlap drives the descent)
+            [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+            + [(a, b) for a in (3, 4, 5, 6) for b in (3, 4, 5, 6) if a < b],
+        ]
+        rng = random.Random(11)
+        cases.append(
+            list(
+                {
+                    (min(a, b), max(a, b))
+                    for _ in range(100)
+                    for a, b in [(rng.randint(1, 30), rng.randint(1, 30))]
+                    if a != b
+                }
+            )
+        )
+        for pairs in cases:
+            e = edges_df(spark, pairs)
+            peel = sorted(
+                (r.src, r.dst, r.truss)
+                for r in algorithms.truss_numbers(e).collect()
+            )
+            hx = sorted(
+                (r.src, r.dst, r.truss)
+                for r in algorithms.truss_numbers_hindex(e).collect()
+            )
+            assert hx == peel, pairs
+
+    def test_truss_numbers_max_k_clamp(self, spark):
+        # K5 is a 5-truss: with max_k=4 every edge must still get a row,
+        # clamped at 4 (ADVICE r3 — previously silently dropped)
+        k5 = edges_df(spark, [(a, b) for a in range(1, 6) for b in range(a + 1, 6)])
+        got = sorted(
+            (r.src, r.dst, r.truss)
+            for r in algorithms.truss_numbers(k5, max_k=4).collect()
+        )
+        assert len(got) == 10 and all(t == 4 for _, _, t in got)
+        # unclamped stays exact: all edges truss 5
+        exact = algorithms.truss_numbers(k5).collect()
+        assert len(exact) == 10 and all(r.truss == 5 for r in exact)

@@ -1,0 +1,126 @@
+"""Unit tests for keyword search (functions/search.py) and event
+analytics (operators/events.py) — semantics the oracle can't pin (the SQL
+twin mirrors the implementation, so order-sensitivity and formula checks
+need independent fixtures)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from sna_pyspark_graphframes_spark.functions import search as fsearch
+from sna_pyspark_graphframes_spark.operators import events as oevents
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def events_df(spark, rows):
+    """rows: (event_id, user_id, event_type, minutes-offset)."""
+    base = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (eid, uid, et, base + datetime.timedelta(minutes=m))
+            for eid, uid, et, m in rows
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+
+
+class TestSearch:
+    def test_index_stats(self, spark):
+        df = docs_df(spark, ["a b a", "b c", "a"])
+        stats = {r.w: (r.df, r.total_tf) for r in fsearch.index_stats(df).collect()}
+        assert stats == {"a": (2, 3), "b": (2, 2), "c": (1, 1)}
+
+    def test_postings_tf(self, spark):
+        df = docs_df(spark, ["x x y", "y"])
+        got = {(r.w, r.doc_id): r.tf for r in fsearch.postings(df).collect()}
+        assert got == {("x", 0): 2, ("y", 0): 1, ("y", 1): 1}
+
+    def test_bm25_hand_computed(self, spark):
+        # 3 docs, query {q}: doc0 has q twice (len 4), doc1 once (len 2),
+        # doc2 none. N=3, df=2, avgdl=(4+2+3)/3=3.
+        df = docs_df(spark, ["q q a b", "q c", "d e f"])
+        rows = {r.doc_id: (r.score, r.rank) for r in
+                fsearch.bm25_topk(df, ["q"], k=10).collect()}
+        idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+        k1, b = 1.2, 0.75
+        avgdl = 3.0
+
+        def s(tf, dl):
+            return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 4)
+
+        assert set(rows) == {0, 1}
+        assert rows[0][0] == s(2, 4)
+        assert rows[1][0] == s(1, 2)
+        # higher tf wins despite longer doc here; ranks dense from 1
+        assert {rows[0][1], rows[1][1]} == {1, 2}
+        assert (rows[0][0] > rows[1][0]) == (rows[0][1] < rows[1][1])
+
+    def test_bm25_multi_term_sum(self, spark):
+        df = docs_df(spark, ["p q", "p", "q"])
+        rows = {r.doc_id: r.score for r in fsearch.bm25_topk(df, ["p", "q"], k=3).collect()}
+        # doc0 matches both terms: its score is the sum of single-term scores
+        single_p = {r.doc_id: r.score for r in fsearch.bm25_topk(df, ["p"], k=3).collect()}
+        single_q = {r.doc_id: r.score for r in fsearch.bm25_topk(df, ["q"], k=3).collect()}
+        assert abs(rows[0] - (single_p[0] + single_q[0])) < 1e-3
+
+
+class TestFunnel:
+    def test_order_matters(self, spark):
+        # user 1 does view->click->purchase (converts fully)
+        # user 2 purchases BEFORE clicking: reaches click, not purchase
+        # user 3 only views
+        ev = events_df(
+            spark,
+            [
+                (1, 1, "view", 0), (2, 1, "click", 10), (3, 1, "purchase", 20),
+                (4, 2, "view", 0), (5, 2, "purchase", 5), (6, 2, "click", 10),
+                (7, 3, "view", 0),
+            ],
+        )
+        got = {r.step: r.n_users for r in oevents.funnel(ev).collect()}
+        assert got == {"view": 3, "click": 2, "purchase": 1}
+
+    def test_strictly_after(self, spark):
+        # click at the SAME instant as view does not count (strict >)
+        ev = events_df(spark, [(1, 1, "view", 0), (2, 1, "click", 0)])
+        got = {r.step: r.n_users for r in oevents.funnel(ev).collect()}
+        assert got == {"view": 1, "click": 0, "purchase": 0}
+
+    def test_first_touch_anchor(self, spark):
+        # two views: the funnel anchors at the FIRST view, so a click
+        # between the views still counts
+        ev = events_df(
+            spark,
+            [(1, 1, "view", 0), (2, 1, "click", 5), (3, 1, "view", 10)],
+        )
+        got = {r.step: r.n_users for r in oevents.funnel(ev).collect()}
+        assert got["click"] == 1
+
+
+class TestCohortRetention:
+    def test_weekly_offsets(self, spark):
+        # user 1 first event Mon Jan 1: active week 0 and week 2
+        # user 2 first event Jan 10: active week 0 only
+        ev = events_df(
+            spark,
+            [
+                (1, 1, "view", 0),
+                (2, 1, "click", 60 * 24 * 15),   # day 15 -> week 2
+                (3, 2, "view", 60 * 24 * 9),     # Jan 10
+            ],
+        )
+        got = {
+            (str(r.cohort_week), r.week_offset): r.n_users
+            for r in oevents.cohort_retention(ev).collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-08", 0): 1,
+        }
