@@ -928,6 +928,25 @@ def average_closeness(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     )
 
 
+def harmonic_centrality(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """``(id, harmonic)`` — harmonic centrality ``Σ_{u≠v} 1/d(v,u)``
+    (Boldi & Vigna, "Axioms for centrality", 2014 — the closeness variant
+    that is well-defined on DISCONNECTED graphs without a component
+    correction: unreachable pairs contribute 0, not an undefined 1/∞).
+    Matches NetworkX ``harmonic_centrality`` (unnormalized); rounded to
+    6 dp for engine-exact oracle comparison. Same all-source BFS plan as
+    closeness — at 100 TB, sample the sources or switch to the HyperANF
+    sketch path."""
+    sym = _sym(edges)
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    dist = multi_source_bfs(edges, vertices, max_iter=max_iter)
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy(F.col("landmark").alias("id"))
+        .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Betweenness centrality (Brandes)
 # ---------------------------------------------------------------------------

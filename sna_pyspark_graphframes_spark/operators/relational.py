@@ -190,3 +190,37 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
         "(col_name, n_nulls, n_distinct, min_value, max_value)",
         "__n AS n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Changelog compaction: the LATEST row per key — the materialized
+    current-state view of an append-only change stream (CDC snapshot,
+    last-writer-wins upsert). ``order_cols`` breaks ties deterministically
+    (e.g. ``["ts", "event_id"]``).
+
+    One shuffle on the key, per-group top-1 via row_number — no global
+    sort; at 100 TB this is the standard compaction plan (same shape a
+    MERGE-on-read table format runs). The helper column never leaves the
+    operator."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Full CDC apply: latest row per key, with keys whose latest
+    operation is a tombstone (``op_col == delete_op``) REMOVED from the
+    snapshot — upsert + delete semantics over an append-only log."""
+    latest = latest_by_key(df, key_cols, order_cols)
+    return latest.filter(F.col(op_col) != F.lit(delete_op))

@@ -893,6 +893,21 @@ def q_avg_betweenness_small(spark, sf_dir):
 
 
 @register(
+    "harmonic_small",
+    f"""
+    WITH RECURSIVE {_SMALL_BFS_CTES}
+    SELECT src AS id, ROUND(SUM(1.0 / d), 6) AS harmonic
+    FROM dist WHERE d > 0 GROUP BY src
+    """,
+)
+def q_harmonic_small(spark, sf_dir):
+    """Harmonic centrality (Boldi-Vigna 2014) — the disconnected-safe
+    closeness variant; full per-vertex value check against the
+    recursive-CTE BFS distances."""
+    return algorithms.harmonic_centrality(_small_copurchase(spark, sf_dir))
+
+
+@register(
     "landmark_distance_histogram",
     f"""
     WITH RECURSIVE e0 AS ({COPURCHASE_EDGES_SQL}),
@@ -2925,6 +2940,27 @@ def q_event_funnel(spark, sf_dir):
 )
 def q_cohort_retention(spark, sf_dir):
     return oevents.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "user_latest_event",
+    """
+    SELECT user_id, event_id, event_type, ROUND(value, 2) AS value, ts
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def q_user_latest_event(spark, sf_dir):
+    """Changelog compaction: the current-state snapshot of the event log —
+    latest row per user with a deterministic (ts, event_id) tie-break.
+    The CDC/upsert materialization shape (one key shuffle + per-group
+    top-1, no global sort)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.round("value", 2).alias("value"), "ts"
+    )
+    return relational.latest_by_key(ev, ["user_id"], ["ts", "event_id"])
 
 
 # ---------------------------------------------------------------------------

@@ -640,3 +640,19 @@ class TestKTruss:
         # unclamped stays exact: all edges truss 5
         exact = algorithms.truss_numbers(k5).collect()
         assert len(exact) == 10 and all(r.truss == 5 for r in exact)
+
+
+class TestHarmonic:
+    def test_path3(self, spark):
+        # path 1-2-3: h(1)=1+1/2, h(2)=2, h(3)=1.5
+        e = edges_df(spark, [(1, 2), (2, 3)])
+        got = as_map(algorithms.harmonic_centrality(e), "id", "harmonic")
+        assert got == {1: 1.5, 2: 2.0, 3: 1.5}
+
+    def test_disconnected_no_component_blowup(self, spark):
+        # two disjoint edges: every vertex sees exactly one other at d=1;
+        # unreachable pairs contribute 0 (the property closeness needs a
+        # correction for)
+        e = edges_df(spark, [(1, 2), (3, 4)])
+        got = as_map(algorithms.harmonic_centrality(e), "id", "harmonic")
+        assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}

@@ -124,3 +124,30 @@ class TestCohortRetention:
             ("2024-01-01", 2): 1,
             ("2024-01-08", 0): 1,
         }
+
+
+class TestChangelog:
+    def test_latest_by_key_and_tombstones(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        log = spark.createDataFrame(
+            [
+                (1, 1, "upsert", "a"),
+                (1, 3, "upsert", "c"),   # latest for key 1
+                (1, 2, "delete", "b"),
+                (2, 1, "upsert", "x"),
+                (2, 2, "delete", "y"),   # latest for key 2 is a tombstone
+            ],
+            "k long, ver long, op string, payload string",
+        )
+        latest = {
+            r.k: (r.ver, r.payload)
+            for r in relational.latest_by_key(log, ["k"], ["ver"]).collect()
+        }
+        assert latest == {1: (3, "c"), 2: (2, "y")}
+        snap = {
+            r.k: r.payload
+            for r in relational.apply_changelog(log, ["k"], ["ver"]).collect()
+        }
+        # key 2's latest op is delete -> absent from the snapshot
+        assert snap == {1: "c"}
