@@ -928,6 +928,41 @@ def average_closeness(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     )
 
 
+def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """``(id, eigenvector)`` — eigenvector centrality by shifted power
+    iteration ``x ← (A + I)x`` with L2 normalization each step (the shift
+    keeps bipartite graphs from oscillating without changing the
+    eigenvectors — the same trick NetworkX's ``eigenvector_centrality``
+    uses), matching NetworkX's L2-normalized convention. Rounded to 6 dp.
+
+    Per iteration: one edge-state join + one sum aggregate (+ the A·x and
+    I·x terms combined in the same select) + a 1-row L2 norm broadcast —
+    the PageRank loop shape without the damping bookkeeping. On regular
+    graphs the uniform vector is an exact fixed point at every step, which
+    is what the ring oracle value-checks."""
+    sym = checkpointed(_sym(edges))
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    vertices = checkpointed(vertices)
+    n = vertices.count()
+    x = checkpointed(vertices.withColumn("x", F.lit(1.0 / (n ** 0.5))))
+    for _ in range(max_iter):
+        ax = (
+            sym.join(_state_hinted(x, n), sym.dst == x.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("x").alias("ax"))
+        )
+        raw = x.join(ax, "id", "left").select(
+            "id", (F.col("x") + F.coalesce("ax", F.lit(0.0))).alias("y")
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        x = checkpointed(
+            raw.crossJoin(F.broadcast(norm)).select(
+                "id", (F.col("y") / F.col("nrm")).alias("x")
+            )
+        )
+    return x.select("id", F.round("x", 6).alias("eigenvector"))
+
+
 def harmonic_centrality(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     """``(id, harmonic)`` — harmonic centrality ``Σ_{u≠v} 1/d(v,u)``
     (Boldi & Vigna, "Axioms for centrality", 2014 — the closeness variant

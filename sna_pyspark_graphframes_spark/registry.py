@@ -1182,12 +1182,24 @@ def q_aggmsg_neighbor_price(spark, sf_dir):
 # into full value checks.
 # ---------------------------------------------------------------------------
 
-def _order_rings(spark, sf_dir):
+def _order_rings(spark, sf_dir, min_n: int = 2):
     """Directed ring per customer over their orders (o1→o2→…→on→o1),
-    customers with ≥2 orders — same graph as scc_order_rings."""
+    customers with ≥``min_n`` orders — same graph as scc_order_rings.
+    ``min_n=3`` restricts to true cycles, which symmetrize to 2-REGULAR
+    undirected components (a 2-ring collapses to one undirected edge of
+    degree 1 — a different dominant eigenvalue, so the eigenvector oracle
+    needs the regular subset)."""
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders")
+    if min_n > 2:
+        sized = (
+            orders.groupBy("o_custkey")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_n)
+            .select("o_custkey")
+        )
+        orders = orders.join(F.broadcast(sized), "o_custkey")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     chain = (
         orders.select(
@@ -1205,7 +1217,7 @@ def _order_rings(spark, sf_dir):
             F.min("o_orderkey").alias("dst"),
             F.count("*").alias("n"),
         )
-        .filter(F.col("n") >= 2)
+        .filter(F.col("n") >= F.lit(max(2, min_n)))
         .select("src", "dst")
     )
     return chain.unionByName(wrap)
@@ -1258,6 +1270,30 @@ def q_pagerank_order_rings(spark, sf_dir):
     damping) end to end."""
     return algorithms.pagerank(
         _order_rings(spark, sf_dir), directed=True, max_iter=8
+    )
+
+
+@register(
+    "eigenvector_order_rings",
+    """
+    WITH r AS (
+        SELECT o_orderkey AS id FROM orders
+        QUALIFY COUNT(*) OVER (PARTITION BY o_custkey) >= 3
+    )
+    SELECT id, ROUND(1.0 / SQRT((SELECT COUNT(*) FROM r)), 6) AS eigenvector
+    FROM r
+    """,
+)
+def q_eigenvector_order_rings(spark, sf_dir):
+    """Eigenvector centrality on disjoint rings of length >= 3: true
+    cycles symmetrize to 2-REGULAR components, so the uniform vector
+    1/sqrt(N) is the exact dominant eigenvector AND an exact fixed point
+    of every shifted power-iteration step — the oracle states the full
+    table in closed form, value-checking the iterate/normalize loop end
+    to end. (2-rings are excluded: they collapse to degree-1 edges whose
+    smaller eigenvalue makes their mass decay — see ``_order_rings``.)"""
+    return algorithms.eigenvector_centrality(
+        _order_rings(spark, sf_dir, min_n=3), max_iter=8
     )
 
 

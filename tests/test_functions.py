@@ -398,3 +398,37 @@ class TestDedupAgainst:
         )
         out = fdedup.dedup_against(new, corpus).collect()
         assert out[0].drop_reason == "exact"
+
+
+class TestBinaryFileIngest:
+    def test_binaryfile_source_to_decode(self, spark, tmp_path):
+        """End-to-end multimodal ingestion: real BMP files on disk ->
+        Spark's binaryFile source (path/length/content columns) -> the
+        real decoder — the production shape for media ingest."""
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        imgs = {}
+        for i in range(3):
+            px = fmm._plant_pixels(i, 5, 4)
+            (tmp_path / f"img_{i}.bmp").write_bytes(fmm.encode_bmp(px))
+            imgs[i] = px
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bmp")
+            .load(str(tmp_path))
+            .select(
+                F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp", 1)
+                .cast("long")
+                .alias("media_id"),
+                "content",
+            )
+        )
+        stats = {r.media_id: r for r in fmm.decode_image_stats(df).collect()}
+        assert set(stats) == {0, 1, 2}
+        for i, px in imgs.items():
+            flat = px.reshape(-1).astype(np.int64)
+            r = stats[i]
+            assert (r.width, r.height) == (5, 4)
+            assert r.px_sum == int(flat.sum())
+            assert r.px_weighted == int((np.arange(flat.size) * flat).sum())

@@ -656,3 +656,39 @@ class TestHarmonic:
         e = edges_df(spark, [(1, 2), (3, 4)])
         got = as_map(algorithms.harmonic_centrality(e), "id", "harmonic")
         assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+
+
+class TestEigenvector:
+    def test_star_ratio(self, spark):
+        # star with 5 leaves: dominant eigenvector has center/leaf = sqrt(5)
+        import math
+
+        ev = as_map(
+            algorithms.eigenvector_centrality(edges_df(spark, STAR5), max_iter=60),
+            "id",
+            "eigenvector",
+        )
+        assert ev[0] / ev[1] == pytest.approx(math.sqrt(5), abs=1e-4)
+        # L2 normalized
+        assert sum(v * v for v in ev.values()) == pytest.approx(1.0, abs=1e-4)
+
+    def test_cycle_uniform_fixed_point(self, spark):
+        # 2-regular: uniform 1/sqrt(n) is exact at EVERY iteration
+        import math
+
+        cyc = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        ev = as_map(
+            algorithms.eigenvector_centrality(cyc, max_iter=3), "id", "eigenvector"
+        )
+        for v in ev.values():
+            assert v == pytest.approx(1 / math.sqrt(4), abs=1e-6)
+
+    def test_path_symmetry(self, spark):
+        ev = as_map(
+            algorithms.eigenvector_centrality(edges_df(spark, PATH4), max_iter=60),
+            "id",
+            "eigenvector",
+        )
+        assert ev[1] == pytest.approx(ev[4], abs=1e-5)
+        assert ev[2] == pytest.approx(ev[3], abs=1e-5)
+        assert ev[2] > ev[1]
