@@ -2781,8 +2781,29 @@ def q_multimodal_digest(spark, sf_dir):
     return feats.select("media_id", "digest", "n_bytes")
 
 
-@register("multimodal_featurize", None)
+_FEATURE_ELEMS_SQL = ", ".join(
+    f"ROUND(CAST('0x' || SUBSTR(md5(text), {2 * i + 1}, 2) AS INT) / 255.0, 6)"
+    for i in range(8)
+)
+
+
+@register(
+    "multimodal_featurize",
+    f"""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           [{_FEATURE_ELEMS_SQL}] AS feature
+    FROM documents
+    """,
+)
 def q_multimodal_featurize(spark, sf_dir):
+    """Arrow featurize kernel, now FULLY value-checked (was rows-only
+    through round 3): the deterministic md5-derived pseudo-embedding is
+    byte-for-byte expressible in SQL (hex-pair -> byte/255, 6-dp round —
+    no round-half tie is reachable because k/255 only terminates at 1 dp),
+    so the whole mapInPandas output including the float array is
+    hash-compared."""
     media = fmm.documents_as_media(_t(spark, sf_dir, "documents"))
     return fmm.featurize(media)
 
