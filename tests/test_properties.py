@@ -84,3 +84,87 @@ def test_cc_simple_equals_twophase(spark, pairs):
         for r in algorithms.connected_components_twophase(e).collect()
     }
     assert a == b
+
+
+event_logs = st.lists(
+    st.tuples(
+        st.integers(0, 5),                   # user
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(0, 1000),                # minute offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=event_logs)
+@settings(**SETTINGS)
+def test_funnel_counts_monotone_nonincreasing(spark, rows):
+    """For ANY event log, ordered-funnel counts can only shrink step to
+    step, and step-1 equals the distinct users with that event type."""
+    import datetime
+
+    from sna_pyspark_graphframes_spark.operators import events as oevents
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, u, t, base + datetime.timedelta(minutes=m))
+            for i, (u, t, m) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {r.step_idx: r.n_users for r in oevents.funnel(ev).collect()}
+    assert got[1] >= got[2] >= got[3]
+    assert got[1] == len({u for u, t, _ in rows if t == "view"})
+
+
+@given(rows=event_logs)
+@settings(**SETTINGS)
+def test_latest_by_key_idempotent_and_complete(spark, rows):
+    """Compaction is idempotent (latest of latest = latest) and keeps
+    exactly one row per key."""
+    import datetime
+
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, u, t, base + datetime.timedelta(minutes=m))
+            for i, (u, t, m) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    once = relational.latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    twice = relational.latest_by_key(once, ["user_id"], ["ts", "event_id"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    assert len(a) == len({u for u, _, _ in rows})
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_hindex_cores_match_peel(spark, pairs):
+    """The iterated-h-index fixed point equals the peel decomposition on
+    ANY graph (the theorem, exercised)."""
+    peel = {
+        r.id: r.core for r in algorithms.core_numbers(_df(spark, pairs)).collect()
+    }
+    hx = {
+        r.id: r.core
+        for r in algorithms.core_numbers_hindex(_df(spark, pairs)).collect()
+    }
+    assert hx == peel
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_harmonic_bounds(spark, pairs):
+    """0 < harmonic(v) <= n-1 for every vertex of any (nonempty) graph."""
+    df = _df(spark, pairs)
+    out = algorithms.harmonic_centrality(df).collect()
+    n = len({v for p in pairs for v in p})
+    for r in out:
+        assert 0 < r.harmonic <= n - 1 + 1e-9
