@@ -2956,6 +2956,51 @@ def q_bm25_search(spark, sf_dir):
 
 
 @register(
+    "event_hourly_gap_fill",
+    """
+    WITH bounds AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS lo,
+                           DATE_TRUNC('hour', MAX(ts)) AS hi FROM events),
+    spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT s.hour, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    """,
+)
+def q_event_hourly_gap_fill(spark, sf_dir):
+    """Resample + gap fill: the dense hour x type grid with explicit zero
+    rows — the time-series shape a bare groupBy can't emit."""
+    return swin.hourly_gap_fill(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "user_daily_moving_avg",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ROUND(SUM(value), 2) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (SELECT *, DATEDIFF('day', DATE '1970-01-01', day) AS dn FROM daily)
+    SELECT user_id, day, day_value,
+           ROUND(AVG(day_value) OVER (
+               PARTITION BY user_id ORDER BY dn
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+    FROM d
+    """,
+)
+def q_user_daily_moving_avg(spark, sf_dir):
+    """Rolling aggregate: 7-calendar-day trailing moving average per user
+    via a RANGE frame over epoch-day numbers (gaps shorten the window,
+    exactly like a time-indexed RANGE BETWEEN INTERVAL)."""
+    return swin.user_daily_moving_avg(_t(spark, sf_dir, "events"), days=7)
+
+
+@register(
     "event_funnel",
     """
     WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events

@@ -116,3 +116,60 @@ def late_data_filter(events: DataFrame, watermark_delay: str = "1 hour") -> Data
         )
         .select("event_id", "ts")
     )
+
+
+def hourly_gap_fill(events: DataFrame) -> DataFrame:
+    """Resample with gap filling: hourly event counts per event_type with
+    EXPLICIT zero rows for empty hours — ``(hour, event_type, n)`` over
+    the dense (hour x type) grid spanning the stream's min..max hour.
+
+    The time-series shape windowed aggregates can't produce (a groupBy
+    only emits observed keys): the dense hour spine comes from ONE 1-row
+    min/max aggregate exploded through ``sequence`` (no driver loop), the
+    type dimension from a distinct broadcast, and observed counts attach
+    by left join. At 100 TB the spine is |hours| x |types| rows —
+    independent of event count — and only the count aggregate scans the
+    stream."""
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    counts = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+def user_daily_moving_avg(events: DataFrame, days: int = 7) -> DataFrame:
+    """Rolling window aggregate: per user per active day, the day's total
+    value and the ``days``-day trailing moving average (current day + the
+    ``days-1`` preceding CALENDAR days, whether active or not) —
+    ``(user_id, day, day_value, moving_avg)``.
+
+    The RANGE frame runs over integer day numbers (epoch days), so gaps
+    in activity shorten the average's denominator exactly like a
+    time-indexed RANGE BETWEEN INTERVAL would; partitioned by user — a
+    per-user sort, never global."""
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    daily = daily.withColumn("dn", F.datediff("day", F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("dn")
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.round(F.avg("day_value").over(w), 4).alias("moving_avg"),
+    )

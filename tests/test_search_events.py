@@ -151,3 +151,49 @@ class TestChangelog:
         }
         # key 2's latest op is delete -> absent from the snapshot
         assert snap == {1: "c"}
+
+
+class TestTimeSeries:
+    def test_gap_fill_emits_zero_hours(self, spark):
+        from pyspark.sql import functions as F
+
+        from sna_pyspark_graphframes_spark.streaming import windows as swin
+
+        ev = events_df(
+            spark,
+            [(1, 1, "view", 0), (2, 1, "view", 150)],  # hours 0 and 2; hour 1 empty
+        ).withColumn("value", F.lit(1.0))
+        got = {
+            (str(r.hour), r.event_type): r.n
+            for r in swin.hourly_gap_fill(ev).collect()
+        }
+        assert got[("2024-01-01 00:00:00", "view")] == 1
+        assert got[("2024-01-01 01:00:00", "view")] == 0  # the filled gap
+        assert got[("2024-01-01 02:00:00", "view")] == 1
+        assert len(got) == 3  # 3 hours x 1 type
+
+    def test_moving_avg_calendar_gap_shrinks_window(self, spark):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from sna_pyspark_graphframes_spark.streaming import windows as swin
+
+        base = datetime.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                # user 1: day0 value 10, day1 value 20, day 9 value 30
+                (1, 1, base, 10.0),
+                (2, 1, base + datetime.timedelta(days=1), 20.0),
+                (3, 1, base + datetime.timedelta(days=9), 30.0),
+            ],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        got = {
+            str(r.day): (r.day_value, r.moving_avg)
+            for r in swin.user_daily_moving_avg(ev, days=7).collect()
+        }
+        assert got["2024-01-01"] == (10.0, 10.0)
+        assert got["2024-01-02"] == (20.0, 15.0)       # avg(10, 20)
+        # day 9 is >6 days after both earlier days: window holds only itself
+        assert got["2024-01-10"] == (30.0, 30.0)
