@@ -79,6 +79,8 @@ HEADLINE = [
     # the real-decode multimodal path joins the board.
     "ivf_topk",
     "multimodal_decode_bmp",
+    "bm25_search",
+    "event_funnel",
 ]
 
 

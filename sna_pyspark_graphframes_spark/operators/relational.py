@@ -224,3 +224,37 @@ def apply_changelog(
     snapshot — upsert + delete semantics over an append-only log."""
     latest = latest_by_key(df, key_cols, order_cols)
     return latest.filter(F.col(op_col) != F.lit(delete_op))
+
+
+def reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    value_col: str,
+    tol: float = 0.0,
+) -> DataFrame:
+    """Dataset reconciliation: FULL OUTER join two keyed aggregates and
+    classify every key — ``matched`` / ``mismatch`` / ``left_only`` /
+    ``right_only`` — the audit that runs after every migration, backfill
+    or dual-write. ``(keys..., left_value, right_value, status)``.
+
+    One co-partitioned full-outer join on the keys; ``tol`` absorbs
+    float-rounding drift between engines. Both inputs are expected to be
+    already aggregated (one row per key), so the join is key-sized, not
+    fact-sized."""
+    lv, rv = f"l_{value_col}", f"r_{value_col}"
+    l = left.select(*keys, F.col(value_col).alias(lv))
+    r = right.select(*keys, F.col(value_col).alias(rv))
+    joined = l.join(r, keys, "full_outer")
+    status = (
+        F.when(F.col(lv).isNull(), F.lit("right_only"))
+        .when(F.col(rv).isNull(), F.lit("left_only"))
+        .when(F.abs(F.col(lv) - F.col(rv)) <= tol, F.lit("matched"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return joined.select(
+        *keys,
+        F.col(lv).alias("left_value"),
+        F.col(rv).alias("right_value"),
+        status.alias("status"),
+    )

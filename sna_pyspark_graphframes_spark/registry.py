@@ -388,6 +388,24 @@ def q_sql_exists(spark, sf_dir):
     return spark.sql(_EXISTS_SQL)
 
 
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("sql_grouping_sets", _GROUPING_SETS_SQL)
+def q_sql_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond the rollup/cube shorthands): three
+    grouping sets in ONE aggregate pass (Spark's Expand node), the same
+    byte-identical SQL on both engines."""
+    _register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 @register(
     "parts_never_ordered",
     """
@@ -3042,6 +3060,35 @@ def q_event_funnel(spark, sf_dir):
 )
 def q_cohort_retention(spark, sf_dir):
     return oevents.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "reconcile_order_status_revenue",
+    """
+    WITH l AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS v
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+    r AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS v
+          FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+    SELECT COALESCE(l.o_custkey, r.o_custkey) AS o_custkey,
+           l.v AS left_value, r.v AS right_value,
+           CASE WHEN l.v IS NULL THEN 'right_only'
+                WHEN r.v IS NULL THEN 'left_only'
+                WHEN ABS(l.v - r.v) <= 0.0 THEN 'matched'
+                ELSE 'mismatch' END AS status
+    FROM l FULL OUTER JOIN r ON l.o_custkey = r.o_custkey
+    """,
+)
+def q_reconcile_order_status_revenue(spark, sf_dir):
+    """Reconciliation audit: per-customer revenue from 'F' orders vs 'O'
+    orders — a full-outer keyed comparison exercising every status branch
+    (customers with only one status land in left_only/right_only)."""
+    orders = _t(spark, sf_dir, "orders")
+    mk = lambda status: (
+        orders.filter(F.col("o_orderstatus") == status)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+    )
+    return relational.reconcile(mk("F"), mk("O"), ["o_custkey"], "v")
 
 
 @register(

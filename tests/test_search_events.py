@@ -197,3 +197,33 @@ class TestTimeSeries:
         assert got["2024-01-02"] == (20.0, 15.0)       # avg(10, 20)
         # day 9 is >6 days after both earlier days: window holds only itself
         assert got["2024-01-10"] == (30.0, 30.0)
+
+
+class TestReconcile:
+    def test_all_status_branches(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        l = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        )
+        r = spark.createDataFrame(
+            [(1, 10.0), (2, 25.0), (4, 40.0)], "k long, v double"
+        )
+        got = {
+            row.k: (row.left_value, row.right_value, row.status)
+            for row in relational.reconcile(l, r, ["k"], "v").collect()
+        }
+        assert got == {
+            1: (10.0, 10.0, "matched"),
+            2: (20.0, 25.0, "mismatch"),
+            3: (30.0, None, "left_only"),
+            4: (None, 40.0, "right_only"),
+        }
+
+    def test_tolerance_absorbs_drift(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        l = spark.createDataFrame([(1, 10.0)], "k long, v double")
+        r = spark.createDataFrame([(1, 10.004)], "k long, v double")
+        s = relational.reconcile(l, r, ["k"], "v", tol=0.01).collect()[0].status
+        assert s == "matched"
