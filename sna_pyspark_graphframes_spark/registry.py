@@ -3628,28 +3628,30 @@ _WINDOW = [
     "bm25_search",                 # BM25 top-k over query-term postings
     "event_funnel",                # ordered first-touch funnel
     "cohort_retention",            # weekly cohort retention
-    # --- green representatives (regression sentinels, one per mechanism;
-    # six multi-round greens — adjacency, bfs_predicate_small,
-    # aggmsg_neighbor_price, token_count, dedup_exact, orc_roundtrip —
-    # rotated out in favor of the six new round-4 queries above) ---
-    "motif_four_cycles_small",
-    "pagerank_order_rings",
-    "kcore_cliques",
+    "harmonic_small",              # harmonic centrality vs BFS CTE
+    "eigenvector_order_rings",     # shifted power iteration, closed form
+    "user_latest_event",           # CDC changelog compaction
+    "reconcile_order_status_revenue",  # full-outer reconciliation audit
+    "sql_grouping_sets",           # explicit GROUPING SETS entry point
+    "event_hourly_gap_fill",       # gap-filled time-series resample
+    "user_daily_moving_avg",       # calendar-RANGE rolling average
+    "multimodal_featurize",        # Arrow kernel, newly value-oracled
+    # --- green representatives (regression sentinels; the multi-round
+    # greens whose code paths round 4 did NOT touch — adjacency, bfs,
+    # aggmsg, token_count, dedup_exact, orc_roundtrip, motif, betweenness,
+    # sssp, minhash, embedding_near_dup, redact_pii, asof, digest —
+    # rotated out in favor of the 17 new round-4 queries above; the kept
+    # ten cover paths round 4 changed or the heaviest engine mechanisms) ---
+    "pagerank_order_rings",        # _order_rings gained min_n this round
+    "kcore_cliques",               # core_numbers changed (clamp)
     "lpa_cliques",
-    "betweenness_path",
-    "weighted_sssp_small",
-    "minhash_near_dup",
-    "embedding_near_dup",
     "ann_topk",
     "curate_corpus",
-    "redact_pii",
     "pack_sequences",              # shard now derived from 32 md5 bits (ADVICE r3)
-    "asof_click_purchase",
     "range_join_attribution",
     "stream_tumbling_window",
     "stream_stream_join",
     "stream_stateful_totals",
-    "multimodal_digest",
 ]
 
 
