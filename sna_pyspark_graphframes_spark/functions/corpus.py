@@ -198,6 +198,50 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, n_bigrams, surprisal)`` — per-document mean bigram
+    surprisal −ln p(w_i | w_{i−1}) under the corpus's own add-one-smoothed
+    bigram model: p = (c(w_{i−1}, w_i) + 1) / (c(w_{i−1}) + V).
+
+    The conditional upgrade of :func:`unigram_surprisal` — fluent text
+    scores low, shuffled/boilerplate-stitched text scores high even when
+    its unigram distribution is normal (the signal unigrams can't see).
+    All built-ins: per-doc adjacent pairs from one position self-join of
+    the posexploded token table (equi-join on (doc_id, pos+1) — Σ len
+    rows, never Σ len²), corpus bigram and context-count hash aggregates,
+    then a pair⋈counts join and per-doc average. The scalar vocab size is
+    a 1-row broadcast; the margin tables are vocabulary-sized and carry
+    no forced broadcast hint (AQE decides)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(_words(F.col(text_col))).alias("pos", "w")
+    )
+    nxt = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    pairs = toks.join(nxt, ["doc_id", "pos"]).select("doc_id", "w", "w2")
+    bg = pairs.groupBy("w", "w2").agg(F.count("*").alias("c2"))
+    ctx = pairs.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab_size = toks.agg(F.countDistinct("w").alias("v"))
+    return (
+        pairs.join(bg, ["w", "w2"])
+        .join(ctx, "w")
+        .crossJoin(F.broadcast(vocab_size))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -(
+                        F.log(F.col("c2") + 1.0)
+                        - F.log(F.col("c1") + F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("surprisal"),
+        )
+    )
+
+
 def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF:
     ``(doc_id, w, tfidf, rank)`` with ``tfidf = tf · ln(N/df)``.

@@ -2207,6 +2207,34 @@ def q_unigram_surprisal(spark, sf_dir):
 
 
 @register(
+    "bigram_surprisal",
+    r"""
+    WITH l AS (
+        SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS ws
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, p.pair[1] AS w, p.pair[2] AS w2
+        FROM (SELECT doc_id, UNNEST(list_zip(ws, ws[2:])) AS pair FROM l) p
+        WHERE p.pair[2] IS NOT NULL
+    ),
+    bg AS (SELECT w, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+    vs AS (
+        SELECT COUNT(DISTINCT t.w) AS v
+        FROM (SELECT UNNEST(ws) AS w FROM l) t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-(LN(c2 + 1.0) - LN(c1 + v))), 4) AS surprisal
+    FROM pairs JOIN bg USING (w, w2) JOIN ctx USING (w) CROSS JOIN vs
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_surprisal(spark, sf_dir):
+    return fcorpus.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "tf_idf",
     r"""
     WITH words AS (

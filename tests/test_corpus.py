@@ -316,3 +316,33 @@ class TestProfileTable:
         assert out["v"].n_nulls == 1
         assert out["v"].n_distinct == 2  # nulls excluded
         assert out["v"].min_value == "a" and out["v"].max_value == "b"
+
+
+class TestBigramSurprisal:
+    def test_fluent_scores_lower_than_shuffled(self, spark):
+        """A corpus of repeated fluent sentences vs one shuffled doc: the
+        shuffled doc's bigrams are rare -> higher conditional surprisal,
+        even though its unigram distribution matches."""
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        fluent = "the cat sat on the mat"
+        docs = spark.createDataFrame(
+            [(i, fluent) for i in range(5)] + [(9, "mat the on sat cat the")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.surprisal for r in fc.bigram_surprisal(docs).collect()}
+        for i in range(5):
+            assert got[i] < got[9]
+
+    def test_hand_computed_single_doc(self, spark):
+        """One doc 'a b a b': pairs (a,b),(b,a),(a,b); V=2;
+        s(a,b) = -ln((2+1)/(2+2)); s(b,a) = -ln((1+1)/(1+2))."""
+        import math
+
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+        r = fc.bigram_surprisal(docs).collect()[0]
+        assert r.n_bigrams == 3
+        exp = (2 * -math.log(3 / 4) + -math.log(2 / 3)) / 3
+        assert r.surprisal == round(exp, 4)
