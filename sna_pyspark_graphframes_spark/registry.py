@@ -3091,6 +3091,65 @@ def q_cohort_retention(spark, sf_dir):
 
 
 @register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / LEN(embedding), 6) AS mean_val
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark, sf_dir):
+    """Array higher-order functions over the embedding column — L2 norm,
+    max, mean per vector via F.aggregate/F.transform (JVM-side lambda
+    expressions, zero UDFs; float32 elements cast to double BEFORE
+    arithmetic so both engines fold in the same precision and order)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(xd, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+        ).alias("l2_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(
+            F.aggregate(xd, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("embedding"),
+            6,
+        ).alias("mean_val"),
+    )
+
+
+@register(
+    "part_metrics_unpivot",
+    """
+    SELECT p_partkey, metric, ROUND(value, 2) AS value FROM (
+        UNPIVOT (SELECT p_partkey,
+                        CAST(p_retailprice AS DOUBLE) AS retailprice,
+                        CAST(p_size AS DOUBLE) AS size
+                 FROM part)
+        ON retailprice, size INTO NAME metric VALUE value
+    )
+    """,
+)
+def q_part_metrics_unpivot(spark, sf_dir):
+    """UNPIVOT/melt — wide-to-long reshape as a single Expand-node pass
+    (the inverse of the pivot query), identical semantics on both
+    engines."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return part.unpivot(
+        ["p_partkey"], ["retailprice", "size"], "metric", "value"
+    ).select("p_partkey", "metric", F.round("value", 2).alias("value"))
+
+
+@register(
     "reconcile_order_status_revenue",
     """
     WITH l AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS v
