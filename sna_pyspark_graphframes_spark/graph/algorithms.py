@@ -1260,7 +1260,9 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     return e
 
 
-def truss_numbers_hindex(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+def truss_numbers_hindex(
+    edges: DataFrame, max_iter: int = 100, delta_frontier: bool = True
+) -> DataFrame:
     """``(src, dst, truss)`` via the local fixed-point iteration (Sariyüce,
     Seshadhri & Pinar, "Local algorithms for hierarchically ordered dense
     subgraphs", WWW 2018 — the truss instance of the nucleus-decomposition
@@ -1281,11 +1283,18 @@ def truss_numbers_hindex(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     edges still changing after 8 rounds; total rounds ≫ the peel's 75),
     so :func:`truss_numbers` (whole-frontier peel) remains the DEFAULT —
     the h-index iteration wins for cores (state per vertex, fast descent)
-    but not for trusses on overlapping-clique topology. The lever that
-    would flip it is delta-frontier recomputation (re-score only edges
-    sharing a triangle with a changed edge — valid because the descent is
-    monotone); recorded as future work, not silently claimed. Tests pin
-    equality with the peel on golden and random graphs.
+    but not for trusses on overlapping-clique topology.
+
+    ``delta_frontier=True`` re-scores only edges sharing a triangle with
+    a changed edge (valid because the descent is monotone; an affected
+    edge's every triangle contains it, so its value multiset is complete).
+    ALSO MEASURED, ALSO LOSES here: round count is unchanged and each
+    round's fixed scheduler overhead (≈10 jobs) dominates once frontiers
+    are small — sf0.001 co-purchase ran past 18 min vs the peel's 60 s.
+    The descent-round count is the structural cost; on a real cluster the
+    same analysis holds unless per-round data is the binding term. Kept
+    as the exactness backstop (no max_k cap) with equality pinned on
+    golden and random graphs for BOTH modes.
     """
     e = checkpointed(
         edges.select(
@@ -1316,13 +1325,52 @@ def truss_numbers_hindex(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     state = checkpointed(
         e.join(support, ["src", "dst"], "left").fillna({"s": 0})
     )
+
+    def _tri_touching(edge_set: DataFrame) -> DataFrame:
+        """Triangles containing at least one edge of ``edge_set`` (3
+        slot-wise semi-joins + distinct)."""
+        t1 = tri.join(
+            edge_set.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"], "left_semi",
+        )
+        t2 = tri.join(
+            edge_set.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            ["b", "c"], "left_semi",
+        )
+        t3 = tri.join(
+            edge_set.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+            ["a", "c"], "left_semi",
+        )
+        return t1.unionByName(t2).unionByName(t3).distinct()
+
     w = Window.partitionBy("src", "dst").orderBy(F.desc("v"))
+    frontier = None  # None = re-score everything (round 0 and full mode)
     for _ in range(max_iter):
+        if frontier is None or not delta_frontier:
+            tri_need, affected = tri, None
+        else:
+            # Delta-frontier (monotone descent => an edge's h can only
+            # drop when a triangle partner dropped): re-score ONLY edges
+            # sharing a triangle with a changed edge. An affected edge's
+            # every triangle contains it, so the triangles-of-affected
+            # set carries its FULL value multiset — no partial h.
+            tri_f = _tri_touching(frontier)
+            affected = checkpointed(
+                tri_f.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .unionByName(
+                    tri_f.select(F.col("b").alias("src"), F.col("c").alias("dst"))
+                )
+                .unionByName(
+                    tri_f.select(F.col("a").alias("src"), F.col("c").alias("dst"))
+                )
+                .distinct()
+            )
+            tri_need = _tri_touching(affected)
         # attach current s of each triangle's three edges
         s1 = state.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("s").alias("s_ab"))
         s2 = state.select(F.col("src").alias("b"), F.col("dst").alias("c"), F.col("s").alias("s_bc"))
         s3 = state.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("s").alias("s_ac"))
-        t = tri.join(s1, ["a", "b"]).join(s2, ["b", "c"]).join(s3, ["a", "c"])
+        t = tri_need.join(s1, ["a", "b"]).join(s2, ["b", "c"]).join(s3, ["a", "c"])
         # each edge's view of each triangle: min of the OTHER two edges
         vals = t.select(
             F.explode(
@@ -1342,13 +1390,18 @@ def truss_numbers_hindex(edges: DataFrame, max_iter: int = 100) -> DataFrame:
                 )
             ).alias("x")
         ).select("x.src", "x.dst", "x.v")
+        if affected is not None:
+            vals = vals.join(affected, ["src", "dst"], "left_semi")
         h = (
             vals.withColumn("r", F.row_number().over(w))
             .select("src", "dst", F.least(F.col("v"), F.col("r")).alias("hv"))
             .groupBy("src", "dst")
             .agg(F.max("hv").alias("h"))
         )
-        new_s = F.least(F.col("s"), F.coalesce("h", F.lit(0)))
+        # non-rescored edges (h null) keep their value: triangle-free
+        # edges are already at their fixed point s=0, and in delta rounds
+        # null just means "not affected this round".
+        new_s = F.least(F.col("s"), F.coalesce("h", F.col("s")))
         new_state = checkpointed(
             state.join(h, ["src", "dst"], "left").select(
                 "src",
@@ -1358,6 +1411,7 @@ def truss_numbers_hindex(edges: DataFrame, max_iter: int = 100) -> DataFrame:
             )
         )
         changed = new_state.agg(F.sum("chg")).first()[0]
+        frontier = new_state.filter(F.col("chg") == 1).select("src", "dst")
         state = new_state.drop("chg")
         if not changed:
             break

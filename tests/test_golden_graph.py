@@ -622,11 +622,14 @@ class TestKTruss:
                 (r.src, r.dst, r.truss)
                 for r in algorithms.truss_numbers(e).collect()
             )
-            hx = sorted(
-                (r.src, r.dst, r.truss)
-                for r in algorithms.truss_numbers_hindex(e).collect()
-            )
-            assert hx == peel, pairs
+            for delta in (True, False):
+                hx = sorted(
+                    (r.src, r.dst, r.truss)
+                    for r in algorithms.truss_numbers_hindex(
+                        e, delta_frontier=delta
+                    ).collect()
+                )
+                assert hx == peel, (pairs, delta)
 
     def test_truss_numbers_max_k_clamp(self, spark):
         # K5 is a 5-truss: with max_k=4 every edge must still get a row,
