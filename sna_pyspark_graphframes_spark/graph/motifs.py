@@ -163,3 +163,17 @@ def four_cycles(edges: DataFrame) -> DataFrame:
         )
         .select("a", "b", "c", "d")
     )
+
+
+def four_cliques(edges: DataFrame) -> DataFrame:
+    """All 4-cliques ``(a, b, c, d)`` with a < b < c < d, each exactly
+    once: the 6-edge pattern on CANONICAL edges (src < dst) — orientation
+    makes every clique match in exactly one vertex order, so no
+    post-filter dedup. Plan: five equi-joins over the edge list, each
+    bounded by the (degree-ordered) edge table — the standard k-clique
+    listing join tree for k=4."""
+    return find(
+        edges,
+        "(a)-[]->(b); (a)-[]->(c); (a)-[]->(d); "
+        "(b)-[]->(c); (b)-[]->(d); (c)-[]->(d)",
+    )

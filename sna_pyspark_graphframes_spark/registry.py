@@ -1020,6 +1020,29 @@ def q_motif_four_cycles(spark, sf_dir):
 
 
 @register(
+    "motif_four_cliques_small",
+    f"""
+    WITH {_SMALL_CTES},
+    can AS (SELECT src, dst FROM sym WHERE src < dst)
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c, e3.dst AS d
+    FROM can e1
+    JOIN can e2 ON e2.src = e1.src AND e2.dst > e1.dst
+    JOIN can e3 ON e3.src = e1.src AND e3.dst > e2.dst
+    JOIN can e4 ON e4.src = e1.dst AND e4.dst = e2.dst
+    JOIN can e5 ON e5.src = e1.dst AND e5.dst = e3.dst
+    JOIN can e6 ON e6.src = e2.dst AND e6.dst = e3.dst
+    """,
+)
+def q_motif_four_cliques(spark, sf_dir):
+    """4-clique listing via the motif DSL (6-edge pattern on canonical
+    edges — one match per clique, a<b<c<d by orientation); the SQL twin
+    states the same join tree explicitly."""
+    from sna_pyspark_graphframes_spark.graph import motifs
+
+    return motifs.four_cliques(_small_copurchase(spark, sf_dir))
+
+
+@register(
     "scc_order_rings",
     """
     SELECT o_orderkey AS id,

@@ -151,3 +151,20 @@ class TestPredicateBFS:
             for r in algorithms.bfs(e, v, "size = 7", "size >= 7").collect()
         }
         assert out == {1: 0, 4: 3}  # source matches toExpr at dist 0; 4 too
+
+
+class TestFourCliques:
+    def test_counts_on_cliques(self, spark):
+        from sna_pyspark_graphframes_spark.graph import motifs
+
+        k5 = edges_df(spark, [(a, b) for a in range(1, 6) for b in range(a + 1, 6)])
+        assert motifs.four_cliques(k5).count() == 5  # C(5,4)
+        k4 = edges_df(spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)])
+        rows = motifs.four_cliques(k4).collect()
+        assert [(r.a, r.b, r.c, r.d) for r in rows] == [(1, 2, 3, 4)]
+
+    def test_k4_minus_edge_has_none(self, spark):
+        from sna_pyspark_graphframes_spark.graph import motifs
+
+        e = edges_df(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)])  # no 3-4
+        assert motifs.four_cliques(e).count() == 0

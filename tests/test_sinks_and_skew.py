@@ -100,3 +100,25 @@ class TestRobustCsv:
             read_csv_robust(spark, str(p), "id LONG, v STRING")
         )
         assert good.count() == 2 and bad.count() == 0
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_reads_unioned_columns(self, spark, tmp_path):
+        """Production drops add columns over time: two parquet batches
+        with different schemas must read back as the unioned schema under
+        mergeSchema, with NULLs where a batch lacks the column."""
+        from pyspark.sql import functions as F
+
+        p = str(tmp_path / "evolving")
+        spark.range(3).select(
+            F.col("id"), F.lit("v1").alias("tag")
+        ).write.mode("overwrite").parquet(p)
+        spark.range(3, 6).select(
+            F.col("id"), F.lit(1.5).alias("score")
+        ).write.mode("append").parquet(p)
+        df = spark.read.option("mergeSchema", "true").parquet(p)
+        assert set(df.columns) == {"id", "tag", "score"}
+        rows = {r.id: (r.tag, r.score) for r in df.collect()}
+        assert rows[0] == ("v1", None)
+        assert rows[4] == (None, 1.5)
+        assert len(rows) == 6
