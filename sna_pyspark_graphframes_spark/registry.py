@@ -3746,19 +3746,18 @@ _WINDOW = [
     "event_hourly_gap_fill",       # gap-filled time-series resample
     "user_daily_moving_avg",       # calendar-RANGE rolling average
     "multimodal_featurize",        # Arrow kernel, newly value-oracled
-    # --- green representatives (regression sentinels; the multi-round
-    # greens whose code paths round 4 did NOT touch — adjacency, bfs,
-    # aggmsg, token_count, dedup_exact, orc_roundtrip, motif, betweenness,
-    # sssp, minhash, embedding_near_dup, redact_pii, asof, digest —
-    # rotated out in favor of the 17 new round-4 queries above; the kept
-    # ten cover paths round 4 changed or the heaviest engine mechanisms) ---
+    "bigram_surprisal",            # conditional-LM quality signal
+    "embedding_norms",             # array higher-order functions
+    "part_metrics_unpivot",        # UNPIVOT/melt reshape
+    "motif_four_cliques_small",    # k-clique join tree via find() DSL
+    # --- green representatives (regression sentinels; multi-round greens
+    # whose code paths round 4 did NOT touch rotated out in favor of the
+    # 21 new round-4 queries above; the kept six cover paths round 4
+    # changed — ring fixture, core clamp, pack shard — plus the three
+    # structured-streaming engine paths) ---
     "pagerank_order_rings",        # _order_rings gained min_n this round
     "kcore_cliques",               # core_numbers changed (clamp)
-    "lpa_cliques",
-    "ann_topk",
-    "curate_corpus",
     "pack_sequences",              # shard now derived from 32 md5 bits (ADVICE r3)
-    "range_join_attribution",
     "stream_tumbling_window",
     "stream_stream_join",
     "stream_stateful_totals",
