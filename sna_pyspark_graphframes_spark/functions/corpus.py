@@ -573,6 +573,47 @@ def domain_mixture(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    budget: int,
+    tau: float = 0.5,
+    domain_col: str = "lang",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling: keep ``quota_d =
+    min(n_d, floor(budget · n_d^τ / Σ_e n_e^τ))`` documents per domain —
+    the standard multilingual/domain rebalancing knob (τ=1 reproduces the
+    natural distribution, τ→0 approaches uniform over domains; cf. the
+    sampling-temperature scheme of multilingual pretraining). Keep-only:
+    quotas cap at ``n_d`` (no upsampling), so the realized budget can
+    undershoot when a rare domain saturates — by design, not silently
+    rebalanced.
+
+    Selection within a domain is md5(doc_id) order (content-free,
+    reproducible — same convention as :func:`domain_mixture`). The
+    per-domain counts and quota table are tiny and broadcast; the corpus
+    shuffles once for the per-domain rank window."""
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("n"))
+    z = counts.agg(F.sum(F.pow("n", F.lit(tau))).alias("z"))
+    quota = counts.crossJoin(F.broadcast(z)).select(
+        domain_col,
+        F.least(
+            F.col("n"),
+            F.floor(F.lit(float(budget)) * F.pow("n", F.lit(tau)) / F.col("z")),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", domain_col, F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quota), domain_col)
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", domain_col)
+    )
+
+
 def embedding_dedup_clusters(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -460,6 +460,61 @@ def weighted_sssp(
     return dist.select("id", F.round(F.col("dist"), 4).alias("dist"))
 
 
+def widest_path(edges: DataFrame, source: int, max_iter: int = 64) -> DataFrame:
+    """``(id, capacity)`` — the BOTTLENECK shortest path from ``source``:
+    for each reachable vertex, the maximum over paths of the minimum edge
+    weight along the path (max-min semiring — network capacity / maximum
+    bandwidth routing; the (max, min) instance of the same relaxation
+    :func:`weighted_sssp` runs over (min, +)).
+
+    Same distributed Bellman-Ford shape: each round every edge from a
+    reached vertex proposes ``min(cap(src), weight)`` and vertices take
+    the max; capacities only grow and are bounded by the finite weight
+    set, so the fixed point is exact. The source reports the largest
+    weight reachable on any path (capped at its own best incident
+    proposal rather than an artificial +inf, keeping the output within
+    the data's weight domain — the source row is dropped to avoid
+    convention ambiguity)."""
+    e = checkpointed(edges.select("src", "dst", "weight"))
+    spark = edges.sparkSession
+    # the source's outgoing edges seed the frontier directly
+    cap = checkpointed(
+        e.filter(F.col("src") == source)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.max("weight").alias("capacity"))
+    )
+    n_cap = cap.count()
+    for _ in range(max_iter):
+        cand = (
+            e.join(
+                _state_hinted(cap.withColumnRenamed("id", "src"), n_cap), "src"
+            )
+            .filter(F.col("dst") != source)
+            .select(
+                F.col("dst").alias("id"),
+                F.least(F.col("capacity"), F.col("weight")).alias("capacity"),
+            )
+        )
+        new_cap = checkpointed(
+            cap.unionByName(cand).groupBy("id").agg(F.max("capacity").alias("capacity"))
+        )
+        improved = (
+            new_cap.alias("n")
+            .join(cap.alias("o"), "id", "left")
+            .filter(
+                F.col("o.capacity").isNull()
+                | (F.col("n.capacity") > F.col("o.capacity"))
+            )
+            .limit(1)
+            .count()
+        )
+        cap = new_cap
+        n_cap = cap.count()
+        if improved == 0:
+            break
+    return cap.select("id", F.round(F.col("capacity"), 4).alias("capacity"))
+
+
 # ---------------------------------------------------------------------------
 # k-core decomposition
 # ---------------------------------------------------------------------------

@@ -1149,6 +1149,36 @@ def q_weighted_sssp(spark, sf_dir):
 
 
 @register(
+    "widest_path_small",
+    f"""
+    WITH RECURSIVE {_SMALL_CTES},
+    we AS (SELECT src, dst,
+                  CAST(((src + dst) % 5) + 1.0 AS DOUBLE) AS w FROM sym),
+    walk(id, c) AS (
+        SELECT dst, w FROM we WHERE src = (SELECT MIN(src) FROM sym)
+        UNION
+        SELECT we.dst, CAST(LEAST(walk.c, we.w) AS DOUBLE)
+        FROM walk JOIN we ON we.src = walk.id
+        WHERE we.dst <> (SELECT MIN(src) FROM sym)
+    )
+    SELECT id, ROUND(MAX(c), 4) AS capacity FROM walk GROUP BY id
+    """,
+)
+def q_widest_path(spark, sf_dir):
+    """Bottleneck/widest path (max-min semiring — capacity routing) from
+    the smallest vertex, same deterministic weights as weighted_sssp;
+    full capacity table hash-matches the recursive-CTE oracle (finite
+    weight set => the (id, capacity) state space is finite and the CTE
+    terminates)."""
+    sym = build.symmetrize(_small_copurchase(spark, sf_dir))
+    we = sym.withColumn(
+        "weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    src = sym.agg(F.min("src")).collect()[0][0]
+    return algorithms.widest_path(we, int(src))
+
+
+@register(
     "in_out_degree",
     f"""
     WITH e AS ({COPURCHASE_EDGES_SQL}),
@@ -3397,6 +3427,34 @@ def q_domain_mixture(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         {"en": 5, "de": 2, "es": 1, "fr": 1, "zh": 1},
         domain_col="lang",
+    )
+
+
+@register(
+    "temperature_mixture",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    z AS (SELECT SUM(POWER(n, 0.5)) AS z FROM c),
+    quota AS (
+        SELECT lang, LEAST(n, CAST(FLOOR(300.0 * POWER(n, 0.5) / z)
+                                   AS BIGINT)) AS quota
+        FROM c, z
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked JOIN quota USING (lang) WHERE rn <= quota
+    """,
+)
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-weighted mixture (tau=0.5, budget 300): rare languages
+    keep a larger relative share than their natural frequency — the
+    multilingual-pretraining sampling knob, deterministic end to end."""
+    return fcorpus.temperature_mixture(
+        _t(spark, sf_dir, "documents"), budget=300, tau=0.5, domain_col="lang"
     )
 
 

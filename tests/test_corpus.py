@@ -346,3 +346,49 @@ class TestBigramSurprisal:
         assert r.n_bigrams == 3
         exp = (2 * -math.log(3 / 4) + -math.log(2 / 3)) / 3
         assert r.surprisal == round(exp, 4)
+
+
+class TestTemperatureMixture:
+    def test_flattens_toward_uniform(self, spark):
+        """tau=0.5 must give the rare domain a LARGER share than its
+        natural frequency and the dominant domain a smaller one."""
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame(
+            [(i, "t", "big" if i < 90 else "small") for i in range(100)],
+            "doc_id long, text string, lang string",
+        )
+        kept = fc.temperature_mixture(docs, budget=50, tau=0.5, domain_col="lang")
+        by = {r["lang"]: 0 for r in kept.collect()}
+        for r in kept.collect():
+            by[r["lang"]] += 1
+        # natural shares: 90/10; sqrt shares: ~0.75/0.25
+        assert by["small"] / (by["big"] + by["small"]) > 0.10 * 1.5
+        assert by["big"] + by["small"] <= 50
+
+    def test_tau_one_matches_natural_proportions(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame(
+            [(i, "t", "a" if i < 80 else "b") for i in range(100)],
+            "doc_id long, text string, lang string",
+        )
+        kept = fc.temperature_mixture(docs, budget=50, tau=1.0, domain_col="lang")
+        by = {}
+        for r in kept.collect():
+            by[r["lang"]] = by.get(r["lang"], 0) + 1
+        assert by == {"a": 40, "b": 10}  # floor(50*0.8), floor(50*0.2)
+
+    def test_quota_caps_at_domain_size(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame(
+            [(i, "t", "a" if i < 95 else "b") for i in range(100)],
+            "doc_id long, text string, lang string",
+        )
+        # tau -> 0 pushes half the budget at the 5-doc domain; cap at 5
+        kept = fc.temperature_mixture(docs, budget=80, tau=0.01, domain_col="lang")
+        by = {}
+        for r in kept.collect():
+            by[r["lang"]] = by.get(r["lang"], 0) + 1
+        assert by["b"] == 5  # saturated, not upsampled

@@ -695,3 +695,26 @@ class TestEigenvector:
         assert ev[1] == pytest.approx(ev[4], abs=1e-5)
         assert ev[2] == pytest.approx(ev[3], abs=1e-5)
         assert ev[2] > ev[1]
+
+
+class TestWidestPath:
+    def test_bottleneck_picks_max_min(self, spark):
+        # 1->2 (3), 2->3 (1), 1->4 (1), 4->3 (5): cap(3) = max(min(3,1), min(1,5)) = 1
+        e = spark.createDataFrame(
+            [
+                (1, 2, 3.0), (2, 1, 3.0), (2, 3, 1.0), (3, 2, 1.0),
+                (1, 4, 1.0), (4, 1, 1.0), (4, 3, 5.0), (3, 4, 5.0),
+            ],
+            "src long, dst long, weight double",
+        )
+        got = as_map(algorithms.widest_path(e, 1), "id", "capacity")
+        assert got == {2: 3.0, 3: 1.0, 4: 1.0}
+
+    def test_wide_detour_beats_short_narrow(self, spark):
+        # direct 1->3 capacity 1; detour 1->2->3 capacity min(9, 8) = 8
+        e = spark.createDataFrame(
+            [(1, 3, 1.0), (1, 2, 9.0), (2, 3, 8.0)],
+            "src long, dst long, weight double",
+        )
+        got = as_map(algorithms.widest_path(e, 1), "id", "capacity")
+        assert got[3] == 8.0 and got[2] == 9.0
