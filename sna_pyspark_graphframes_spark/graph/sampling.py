@@ -161,9 +161,11 @@ def split_oversized_communities(
     community (more, shorter walks — the paper's one-walk-per-community
     becomes k walks for giant communities, a deliberate scale divergence).
     """
+    # No broadcast hint on `sizes`: one row per community is unbounded at
+    # 100 TB graph scale; AQE picks broadcast at runtime when it fits.
     sizes = labels.groupBy("label").agg(F.count("*").alias("n"))
     salted = (
-        labels.join(F.broadcast(sizes), "label")
+        labels.join(sizes, "label")
         .withColumn(
             "n_splits", F.ceil(F.col("n") / F.lit(max_size)).cast("long")
         )

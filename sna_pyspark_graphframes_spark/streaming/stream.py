@@ -154,11 +154,14 @@ def stream_stream_click_purchase(
         )
         .withWatermark("purchase_ts", watermark)
     )
+    # Match window tied to the watermark delay, exactly as in the outer
+    # variant below (a hardcoded INTERVAL would silently ignore non-default
+    # watermarks and diverge from the oracle).
     joined = clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") <= F.col("click_ts"))
-        & (F.col("purchase_ts") > F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        & (F.col("purchase_ts") > F.col("click_ts") - F.expr(f"INTERVAL {watermark}")),
     ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
     return run_to_memory(joined, spark, output_mode="append")
 

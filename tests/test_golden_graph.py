@@ -696,6 +696,13 @@ class TestEigenvector:
         assert ev[2] == pytest.approx(ev[3], abs=1e-5)
         assert ev[2] > ev[1]
 
+    def test_empty_graph_returns_empty(self, spark):
+        # ADVICE r4: empty edges must yield an empty frame, not
+        # ZeroDivisionError from 1/sqrt(0).
+        out = algorithms.eigenvector_centrality(edges_df(spark, []))
+        assert out.columns == ["id", "eigenvector"]
+        assert out.count() == 0
+
 
 class TestWidestPath:
     def test_bottleneck_picks_max_min(self, spark):

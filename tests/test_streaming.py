@@ -96,6 +96,49 @@ def test_stateful_state_survives_micro_batches(spark, sf_dir, tmp_path):
     assert all(abs(b[u] - f[u]) < 0.02 for u in b)
 
 
+def test_stream_stream_join_interval_tracks_watermark(spark, sf_dir):
+    """The click↔purchase match window must be derived from the
+    ``watermark`` argument in BOTH join variants (ADVICE r3/r4: a
+    hardcoded ``INTERVAL 1 HOUR`` silently ignores non-default
+    watermarks). With a 2-minute watermark, every matched pair must be
+    within 2 minutes, and the batch join at the same bound must agree."""
+    from sna_pyspark_graphframes_spark.streaming.stream import (
+        stream_stream_click_purchase,
+        stream_stream_click_purchase_outer,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") > F.col("click_ts") - F.expr("INTERVAL 2 minutes"))
+    )
+    cols = ["click_id", "user_id", "click_ts", "purchase_id", "purchase_ts"]
+    batch_inner = clicks.join(purchases, cond).select(*cols)
+    inner = stream_stream_click_purchase(spark, sf_dir, watermark="2 minutes")
+    assert _rows(batch_inner, cols) == _rows(inner, cols)
+    # The 2-min inner join must be a strict subset of the default 1-hour
+    # one on this fixture — i.e. the argument actually changed the bound.
+    default_inner = stream_stream_click_purchase(spark, sf_dir)
+    assert len(_rows(inner, cols)) < len(_rows(default_inner, cols))
+    # Outer variant: matched pairs equal the inner join at the same bound.
+    outer = stream_stream_click_purchase_outer(
+        spark, sf_dir, watermark="2 minutes"
+    )
+    matched = outer.filter(F.col("purchase_id").isNotNull())
+    assert _rows(batch_inner, cols) == _rows(matched, cols)
+
+
 def test_late_data_filter_bounds(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     admitted = swin.late_data_filter(ev, "1 hour")
