@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sna_pyspark_graphframes_spark.graph.build import symmetrize
-from sna_pyspark_graphframes_spark.plans.iterate import cadence, checkpointed
+from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -252,14 +252,20 @@ def label_propagation(
     # edges), so the computed mode equals the dense superstep's. The
     # frontier itself falls out of the same chg column that drives the
     # convergence exit — one cheap scan of the checkpointed |V| frame per
-    # round, no extra jobs. Dense rounds (frontier > half the graph,
-    # i.e. round 1 and any churny early round) skip the two candidate
-    # semi-joins since they'd filter almost nothing.
+    # round, no extra jobs. Dense rounds skip the two candidate
+    # semi-joins: in a small-world graph the neighbor set of even a
+    # modest frontier covers most of the graph, so the prune only pays
+    # once the frontier is genuinely sparse — measured at sf0.1
+    # (REPORT.md r5): frontier sizes [20000, 15005, 14588, 13730, 751]
+    # across 5 rounds, and a frontier/2 gate was a wash (6.9 s vs 6.4 s
+    # dense, within host noise) because rounds 2-4 pruned almost nothing
+    # while paying the semi-joins. Gate at |frontier|·8 < |V| so only
+    # late, localized rounds (like that 751) take the frontier path.
     frontier = None
     n_frontier = n_vertices
     for it in range(max_iter):
         LAST_STATS["lpa_rounds"] += 1
-        if frontier is None or n_frontier * 2 > n_vertices:
+        if frontier is None or n_frontier * 8 > n_vertices:
             cand_edges = sym
         else:
             cands = (
@@ -731,6 +737,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     directed: bool = False,
+    tol: float | None = 1e-7,
 ) -> DataFrame:
     """``(id, pagerank)`` — power-iteration PageRank (= GraphFrames
     ``g.pageRank(resetProbability=1-damping, maxIter=...)``, the other
@@ -743,6 +750,19 @@ def pagerank(
     shuffles, checkpointed (SCALE.md iterative-loop hygiene). Undirected
     mode symmetrizes first (each edge contributes both directions).
     Ranks sum to 1 (probability form).
+
+    ``tol`` (VERDICT r4 Next #5): L1-delta early exit, piggybacked on the
+    existing checkpoint cadence — at every checkpointed round the
+    materialized new state is joined to the previously-checkpointed one
+    (both in block storage; |V|-sized, size-hinted) and the loop exits
+    when ``Σ|Δpr| < tol``. Power iteration with damping d is a
+    d-contraction in L1, so the remaining total movement after exit is
+    ≤ tol·d/(1-d) ≈ 5.7·tol — at the 1e-7 default, invisible at the 6-dp
+    output rounding (= GraphFrames' ``pageRank(tol=...)`` convergence
+    variant, with the maxIter contract preserved: pass ``tol=None`` to
+    run exactly ``max_iter`` supersteps). No oscillation aliasing at
+    cadence k>1: a contraction cannot cycle, so a small k-round delta
+    implies convergence.
     """
     e = edges.select("src", "dst") if directed else _sym(edges)
     e = checkpointed(e.filter(F.col("src") != F.col("dst")).distinct())
@@ -765,8 +785,11 @@ def pagerank(
     # the dangling-mass branch runs a per-round 1-row aggregate (an action
     # over the current ranks) — cadence would recompute skipped supersteps;
     # otherwise the cadence follows the state-hint rule (_state_cadence)
-    ckpt = cadence(1 if has_danglings else _state_cadence(n))
+    k = 1 if has_danglings else _state_cadence(n)
+    prev_ck = ranks  # last checkpointed state, for the tol delta
+    LAST_STATS["pagerank_rounds"] = 0
     for it in range(max_iter):
+        LAST_STATS["pagerank_rounds"] += 1
         contribs = (
             e.join(_state_hinted(ranks.withColumnRenamed("id", "src"), n), "src")
             .select(
@@ -793,7 +816,23 @@ def pagerank(
                 + F.lit(damping) * (F.coalesce("inflow", F.lit(0.0)) + dm / n)
             ).alias("pr"),
         )
-        ranks = ckpt(ranks, force=it == max_iter - 1)
+        if ((it + 1) % k == 0) or it == max_iter - 1:
+            ranks = checkpointed(ranks)
+            if tol is not None and it < max_iter - 1:
+                delta = (
+                    ranks.select("id", "pr")
+                    .join(
+                        _state_hinted(
+                            prev_ck.select("id", F.col("pr").alias("pp")), n
+                        ),
+                        "id",
+                    )
+                    .agg(F.sum(F.abs(F.col("pr") - F.col("pp"))))
+                    .first()[0]
+                )
+                if delta is not None and delta < tol:
+                    break
+            prev_ck = ranks
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
@@ -803,6 +842,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     directed: bool = False,
+    tol: float | None = 1e-7,
 ) -> DataFrame:
     """``(id, pagerank)`` — PageRank personalized to ``sources``
     (= GraphFrames ``parallelPersonalizedPageRank`` for one source set):
@@ -839,7 +879,8 @@ def personalized_pagerank(
         directed and base.filter(F.col("out_deg") == 0).limit(1).count() > 0
     )
     n_vertices = base.count()  # once, for the size-aware superstep hint
-    ckpt = cadence(1 if has_danglings else _state_cadence(n_vertices))
+    k = 1 if has_danglings else _state_cadence(n_vertices)
+    prev_ck = ranks  # last checkpointed state, for the tol delta
     for it in range(max_iter):
         contribs = (
             e.join(
@@ -871,7 +912,28 @@ def personalized_pagerank(
                 + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
             ).alias("pr"),
         )
-        ranks = ckpt(ranks, force=it == max_iter - 1)
+        # Same L1-delta early exit as pagerank(): the personalized chain
+        # is the same d-contraction, so a sub-tol delta at a checkpointed
+        # round bounds all remaining movement (pass tol=None for the
+        # exact-maxIter contract).
+        if ((it + 1) % k == 0) or it == max_iter - 1:
+            ranks = checkpointed(ranks)
+            if tol is not None and it < max_iter - 1:
+                delta = (
+                    ranks.select("id", "pr")
+                    .join(
+                        _state_hinted(
+                            prev_ck.select("id", F.col("pr").alias("pp")),
+                            n_vertices,
+                        ),
+                        "id",
+                    )
+                    .agg(F.sum(F.abs(F.col("pr") - F.col("pp"))))
+                    .first()[0]
+                )
+                if delta is not None and delta < tol:
+                    break
+            prev_ck = ranks
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
