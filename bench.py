@@ -81,6 +81,9 @@ HEADLINE = [
     "multimodal_decode_bmp",
     "bm25_search",
     "event_funnel",
+    # round-5 append: the community-quality family (modularity /
+    # conductance) is new — one representative keeps the board honest.
+    "community_modularity_cliques",
 ]
 
 

@@ -223,3 +223,98 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         .join(dd, "dst")
         .agg(F.round(F.corr("dsrc", "ddst"), 4).alias("assortativity"))
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """1-row ``(modularity)`` — Newman modularity of a vertex partition:
+
+        Q = Σ_c [ e_c/m − (deg_c / 2m)² ]
+
+    with m = #undirected edges, e_c = intra-community edges, deg_c = total
+    degree of community c (Newman & Girvan 2004; = ``nx.community.
+    modularity``). The natural grader for the reference's LPA pipeline
+    (``/root/reference/main.py:161-162`` detects communities but never
+    scores them).
+
+    Plan: label both endpoints (two joins against the |V| label table —
+    broadcast-able at ≤4M communities-worth of vertices, AQE decides),
+    one filtered aggregate for e_c, one degree aggregate for deg_c, then
+    a per-label combine and a final 1-row sum. The scalars m and 2m ride
+    a broadcast 1-row crossJoin — no driver collect, so the whole metric
+    is a single lazy plan usable inside larger pipelines. Skew-safe: all
+    aggregates are keyed by label with map-side partials.
+    """
+    e = edges.select("src", "dst")
+    lab = labels.select("id", "label")
+    ls = lab.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    both = e.join(ls, "src").join(ld, "dst")
+    intra = (
+        both.filter(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg_c = (
+        symmetrize(edges, dedup=True)
+        .join(ls, "src")
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count("*").alias("deg_c"))
+    )
+    m_row = e.agg(F.count("*").cast("double").alias("m"))
+    per_label = deg_c.join(intra, "label", "left").select(
+        "label",
+        F.coalesce("e_c", F.lit(0)).alias("e_c"),
+        "deg_c",
+    )
+    return (
+        per_label.crossJoin(F.broadcast(m_row))
+        .select(
+            (
+                F.col("e_c") / F.col("m")
+                - F.pow(F.col("deg_c") / (2.0 * F.col("m")), 2)
+            ).alias("term")
+        )
+        .agg(F.round(F.sum("term"), 6).alias("modularity"))
+    )
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """``(label, cut_edges, volume, conductance)`` — per-community
+    conductance φ(c) = cut(c) / min(vol(c), vol(V∖c)): the standard
+    community-quality / graph-partitioning metric (low φ = well-separated
+    community). cut(c) counts undirected edges with exactly one endpoint
+    in c; vol(c) = Σ degree over c.
+
+    Plan: one symmetrized endpoint-label join; cut and volume fall out of
+    the SAME labeled edge frame (each undirected cut edge appears once per
+    direction, and the direction whose src is in c charges c — so the
+    per-direction count IS cut(c); the unfiltered per-src count IS
+    vol(c)), aggregated by label with map-side partials. Total volume
+    rides a broadcast 1-row crossJoin. No driver collect, skew-safe.
+    """
+    sym = symmetrize(edges, dedup=True)
+    lab = labels.select("id", "label")
+    ls = lab.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    both = sym.join(ls, "src").join(ld, "dst")
+    per = both.groupBy(F.col("lsrc").alias("label")).agg(
+        F.sum((F.col("lsrc") != F.col("ldst")).cast("long")).alias("cut_edges"),
+        F.count("*").alias("volume"),
+    )
+    tot = per.agg(F.sum("volume").cast("double").alias("vol_all"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "cut_edges",
+            "volume",
+            F.round(
+                F.col("cut_edges")
+                / F.least(
+                    F.col("volume").cast("double"),
+                    F.col("vol_all") - F.col("volume"),
+                ),
+                6,
+            ).alias("conductance"),
+        )
+    )

@@ -1466,6 +1466,64 @@ def q_lpa_cliques(spark, sf_dir):
 
 
 @register(
+    "community_modularity_cliques",
+    f"""
+    WITH {_CLIQUE_SQL},
+    sizes AS (SELECT o_custkey, COUNT(*) AS n FROM cv GROUP BY o_custkey),
+    tot AS (SELECT SUM(n*(n-1)/2.0) AS m FROM sizes)
+    SELECT ROUND(SUM( (s.n*(s.n-1)/2.0)/t.m
+                      - POW((s.n*(s.n-1))/(2.0*t.m), 2) ), 6) AS modularity
+    FROM sizes s, tot t
+    """,
+)
+def q_community_modularity_cliques(spark, sf_dir):
+    """Newman modularity of the LPA partition (new in round 5 — the
+    reference detects communities but never scores them; modularity is
+    the standard grader). On disjoint cliques every edge is intra and
+    each community's e_c/deg_c have closed forms (C(n,2) and n(n-1)), so
+    the full LPA → modularity chain is value-checked end to end."""
+    e = _order_cliques(spark, sf_dir)
+    labels = algorithms.label_propagation(e, max_iter=4)
+    return metrics.modularity(e, labels)
+
+
+@register(
+    "community_conductance_parity",
+    f"""
+    WITH {_SMALL_CTES},
+    lab AS (SELECT id, id % 2 AS label FROM v),
+    be AS (SELECT a.label AS lsrc, b.label AS ldst
+           FROM sym s JOIN lab a ON a.id = s.src JOIN lab b ON b.id = s.dst),
+    per AS (SELECT lsrc AS label,
+                   SUM(CASE WHEN lsrc <> ldst THEN 1 ELSE 0 END) AS cut_edges,
+                   COUNT(*) AS volume
+            FROM be GROUP BY lsrc),
+    tot AS (SELECT SUM(volume) AS vol_all FROM per)
+    SELECT p.label AS label,
+           CAST(p.cut_edges AS BIGINT) AS cut_edges,
+           CAST(p.volume AS BIGINT) AS volume,
+           ROUND(p.cut_edges / LEAST(CAST(p.volume AS DOUBLE),
+                                     t.vol_all - p.volume), 6) AS conductance
+    FROM per p, tot t
+    """,
+)
+def q_community_conductance_parity(spark, sf_dir):
+    """Per-community conductance (new in round 5): cut / min-volume over
+    a closed-form parity partition of the small co-purchase graph, so
+    cut, volume and φ are all exactly SQL-computable — a non-trivial
+    value check (the parity split cuts many edges, unlike the clique
+    fixture whose cuts are all zero)."""
+    e = _small_copurchase(spark, sf_dir)
+    v = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = v.select("id", F.pmod(F.col("id"), F.lit(2)).alias("label"))
+    return metrics.community_conductance(e, labels)
+
+
+@register(
     "community_revenue_bi",
     f"""
     WITH {_CLIQUE_SQL},
@@ -3845,8 +3903,9 @@ _WINDOW = [
     "triangle_count",              # degree-ordered wedge join
     "connected_components_small",  # min-label propagation
     "diameter_small",              # exact BFS diameter
-    "induced_subgraph_small_parts",# two semi-joins
-    "edge_file_roundtrip",         # CSV edge-list scan + sink
+    # --- new in round 5 (never driver-checked; closed-form oracles) ---
+    "community_modularity_cliques",   # Newman Q of the LPA partition
+    "community_conductance_parity",   # per-community cut / min-volume
 ]
 
 

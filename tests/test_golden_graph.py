@@ -704,6 +704,52 @@ class TestEigenvector:
         assert out.count() == 0
 
 
+class TestCommunityQuality:
+    def test_modularity_two_triangles(self, spark):
+        # two disjoint triangles, perfect partition: Q = 2*(3/6 - (6/12)^2)
+        # = 0.5 (= nx.community.modularity)
+        from sna_pyspark_graphframes_spark.graph import metrics
+
+        e = edges_df(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)])
+        lab = spark.createDataFrame(
+            [(i, 0 if i < 4 else 1) for i in range(1, 7)], "id long, label long"
+        )
+        assert metrics.modularity(e, lab).first()[0] == pytest.approx(0.5)
+
+    def test_modularity_single_community_is_zero(self, spark):
+        # everything in one community: Q = m/m - (2m/2m)^2 = 0
+        from sna_pyspark_graphframes_spark.graph import metrics
+
+        e = edges_df(spark, [(1, 2), (2, 3), (1, 3)])
+        lab = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], "id long, label long")
+        assert metrics.modularity(e, lab).first()[0] == pytest.approx(0.0)
+
+    def test_conductance_c4_parity(self, spark):
+        # 4-cycle split by parity: every edge crosses -> cut=4, vol=4,
+        # phi = 4/min(4,4) = 1.0 for both sides
+        from sna_pyspark_graphframes_spark.graph import metrics
+
+        e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+        lab = spark.createDataFrame(
+            [(1, 1), (3, 1), (2, 0), (4, 0)], "id long, label long"
+        )
+        rows = {r.label: r for r in metrics.community_conductance(e, lab).collect()}
+        for lbl in (0, 1):
+            assert rows[lbl].cut_edges == 4
+            assert rows[lbl].volume == 4
+            assert rows[lbl].conductance == pytest.approx(1.0)
+
+    def test_conductance_disjoint_cliques_is_zero(self, spark):
+        from sna_pyspark_graphframes_spark.graph import metrics
+
+        e = edges_df(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)])
+        lab = spark.createDataFrame(
+            [(i, 0 if i < 4 else 1) for i in range(1, 7)], "id long, label long"
+        )
+        rows = metrics.community_conductance(e, lab).collect()
+        assert all(r.cut_edges == 0 and r.conductance == 0.0 for r in rows)
+
+
 class TestWidestPath:
     def test_bottleneck_picks_max_min(self, spark):
         # 1->2 (3), 2->3 (1), 1->4 (1), 4->3 (5): cap(3) = max(min(3,1), min(1,5)) = 1
