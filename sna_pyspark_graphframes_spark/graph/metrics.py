@@ -55,6 +55,29 @@ def degree_histogram(edges: DataFrame, normalized: bool = False) -> DataFrame:
     return h
 
 
+def _degree_oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each canonical undirected edge from the lower-rank to the
+    higher-rank endpoint, rank = (degree, id) — the node-iterator++
+    orientation shared by both triangle plans. Re-orientation is a
+    conditional swap, no symmetrization (input is one row per undirected
+    edge). The degree table is |V| rows (≪ |E|): broadcast both sides, so
+    orientation adds zero shuffles of the edge table."""
+    ds = F.broadcast(deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src")))
+    dd = F.broadcast(deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst")))
+    lower_first = (F.col("d_src") < F.col("d_dst")) | (
+        (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+    )
+    return (
+        edges.select("src", "dst")
+        .join(ds, "src")
+        .join(dd, "dst")
+        .select(
+            F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
+    )
+
+
 def triangles_per_vertex(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """``(id, triangles)`` — number of triangles through each vertex.
 
@@ -75,24 +98,7 @@ def triangles_per_vertex(edges: DataFrame, deg: DataFrame | None = None) -> Data
     Python. Degree-0..1 vertices simply don't appear (callers left-join).
     """
     deg = deg if deg is not None else degrees(edges)
-    # Re-orient each canonical edge by conditional swap — no symmetrization
-    # needed (input is already one row per undirected edge). The degree table
-    # is |V| rows (≪ |E|): broadcast both sides, so orientation adds zero
-    # shuffles of the edge table.
-    ds = F.broadcast(deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src")))
-    dd = F.broadcast(deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst")))
-    lower_first = (F.col("d_src") < F.col("d_dst")) | (
-        (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
-    )
-    oriented = (
-        edges.select("src", "dst")
-        .join(ds, "src")
-        .join(dd, "dst")
-        .select(
-            F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("src"),
-            F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("dst"),
-        )
-    )
+    oriented = _degree_oriented(edges, deg)
     e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -101,6 +107,52 @@ def triangles_per_vertex(edges: DataFrame, deg: DataFrame | None = None) -> Data
     # same join re-evaluates the join subtree per branch (Catalyst has no
     # cross-branch common-subplan elimination) — measured 2.6x slower at
     # sf0.1. explode credits all three corners in ONE pass over the join.
+    per_corner = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+    return per_corner.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
+def triangles_per_vertex_adjacency(
+    edges: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
+    """``(id, triangles)`` — adjacency-intersection triangle variant.
+
+    Same degree-ordered orientation and the same triangle SET as
+    :func:`triangles_per_vertex`, different physical plan: build each
+    vertex's oriented out-neighbor array once (one |E| shuffle), join it
+    onto both endpoints of every oriented edge, and emit the triangles as
+    ``explode(array_intersect(adj(a), adj(b)))`` inside whole-stage
+    codegen. The wedge set (Σ out-deg², the dominant exchange of the
+    wedge-join plan) is never materialized OR shuffled — the e1⋈e2
+    wedge exchange plus the (a,c) probe exchange collapse into two
+    adjacency joins whose build side is |V| rows (broadcast-able far
+    beyond fixture scale; AQE decides past the hint bound).
+
+    Scale caveat (SCALE.md "adjacency-as-array hub caveat"): per-row
+    arrays are bounded by the orientation at O(√|E|) elements, so rows
+    stay small even on power-law graphs; total adjacency payload is |E|
+    longs. Intersection is hash-based: O(|adj(a)|+|adj(b)|) per edge,
+    Chiba–Nishizeki overall — the same asymptotic work as the wedge
+    join, minus its shuffle.
+    """
+    deg = deg if deg is not None else degrees(edges)
+    oriented = _degree_oriented(edges, deg)
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    a_side = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na"))
+    b_side = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb"))
+    # No broadcast hint on the adjacency side (the unbounded-frame rule,
+    # ADVICE r3/r4): |V| rows is unbounded at graph scale; the arrays come
+    # out of a groupBy, so AQE has exact runtime sizes and picks broadcast
+    # whenever it fits (plan-verified BroadcastHashJoin at sf0.1; medians
+    # 4.8-6.0 s hinted vs un-hinted across sessions, both far under the
+    # 9.1 s wedge join — REPORT.md r5).
+    tri = (
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(a_side, "a")
+        # b-vertices with no out-edges close no triangles: inner join
+        # correctly drops those edges before the intersect.
+        .join(b_side, "b")
+        .select("a", "b", F.explode(F.array_intersect("na", "nb")).alias("c"))
+    )
     per_corner = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
     return per_corner.groupBy("id").agg(F.count("*").alias("triangles"))
 

@@ -653,11 +653,14 @@ def _deg(spark, sf_dir):
 
 
 def _tri(spark, sf_dir):
+    # adjacency-intersect plan: same triangle set as the wedge join,
+    # measured 9.1 -> 4.8 s median at sf0.1 (REPORT.md r5) because the
+    # wedge exchange is never materialized.
     return _memo(
         spark,
         sf_dir,
         "triangles",
-        lambda: metrics.triangles_per_vertex(
+        lambda: metrics.triangles_per_vertex_adjacency(
             _copurchase(spark, sf_dir), deg=_deg(spark, sf_dir)
         ),
     )
