@@ -1328,6 +1328,20 @@ _CLIQUE_SQL = """
 """
 
 
+def _clique_labels(spark, sf_dir):
+    """LPA labels of the clique fixture (maxIter=4), shared between
+    lpa_cliques / community_revenue_bi / community_modularity_cliques —
+    same one-assignment-per-graph rule as ``_lpa_labels``."""
+    return _memo(
+        spark,
+        sf_dir,
+        "clique_labels",
+        lambda: algorithms.label_propagation(
+            _order_cliques(spark, sf_dir), max_iter=4
+        ),
+    )
+
+
 @register(
     "pagerank_order_rings",
     """
@@ -1465,7 +1479,7 @@ def q_lpa_cliques(spark, sf_dir):
     min-tie-break, every clique converges to its minimum member id within
     two supersteps and stays there — the full label table is value-checked
     (the only LPA driver check that is not rows-only)."""
-    return algorithms.label_propagation(_order_cliques(spark, sf_dir), max_iter=4)
+    return _clique_labels(spark, sf_dir)
 
 
 @register(
@@ -1485,9 +1499,9 @@ def q_community_modularity_cliques(spark, sf_dir):
     the standard grader). On disjoint cliques every edge is intra and
     each community's e_c/deg_c have closed forms (C(n,2) and n(n-1)), so
     the full LPA → modularity chain is value-checked end to end."""
-    e = _order_cliques(spark, sf_dir)
-    labels = algorithms.label_propagation(e, max_iter=4)
-    return metrics.modularity(e, labels)
+    return metrics.modularity(
+        _order_cliques(spark, sf_dir), _clique_labels(spark, sf_dir)
+    )
 
 
 @register(
@@ -1547,7 +1561,7 @@ def q_community_revenue_bi(spark, sf_dir):
     LPA community. On the clique graph the community assignment has a
     closed form (min member id), so the whole chain — community detection
     feeding a relational aggregate — is value-checked end to end."""
-    labels = algorithms.label_propagation(_order_cliques(spark, sf_dir), max_iter=4)
+    labels = _clique_labels(spark, sf_dir)
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return (
         labels.join(orders, labels.id == orders.o_orderkey)
