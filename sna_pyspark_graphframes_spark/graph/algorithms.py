@@ -786,7 +786,15 @@ def pagerank(
     # over the current ranks) — cadence would recompute skipped supersteps;
     # otherwise the cadence follows the state-hint rule (_state_cadence)
     k = 1 if has_danglings else _state_cadence(n)
-    prev_ck = ranks  # last checkpointed state, for the tol delta
+    # k == 1 (broadcast-sized state / danglings — every round materializes
+    # anyway): join the update against RANKS instead of base so |Δpr|
+    # rides the superstep select and the delta is a cheap scan of the
+    # checkpointed frame — no per-round delta join (the eigenvector
+    # pattern). k > 1 (shuffle-hash state): referencing ranks twice per
+    # superstep would compound the unmaterialized plan 2^k, so keep the
+    # base-join shape and pay one delta join per CHECKPOINTED round only.
+    fold_delta = k == 1 and tol is not None
+    prev_ck = ranks  # last checkpointed state, for the k>1 delta
     LAST_STATS["pagerank_rounds"] = 0
     for it in range(max_iter):
         LAST_STATS["pagerank_rounds"] += 1
@@ -799,7 +807,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        updated = base.join(contribs, "id", "left")
+        updated = (ranks if fold_delta else base).join(contribs, "id", "left")
         if has_danglings:
             dangling = ranks.filter(F.col("out_deg") == 0).agg(
                 F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
@@ -808,14 +816,24 @@ def pagerank(
             dm = F.col("dm")
         else:
             dm = F.lit(0.0)
-        ranks = updated.select(
-            "id",
-            "out_deg",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * (F.coalesce("inflow", F.lit(0.0)) + dm / n)
-            ).alias("pr"),
+        new_pr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+            F.coalesce("inflow", F.lit(0.0)) + dm / n
         )
+        if fold_delta:
+            ranks = checkpointed(
+                updated.select(
+                    "id",
+                    "out_deg",
+                    new_pr.alias("pr"),
+                    F.abs(new_pr - F.col("pr")).alias("d"),
+                )
+            )
+            delta = ranks.agg(F.sum("d")).first()[0]
+            ranks = ranks.drop("d")
+            if it < max_iter - 1 and delta is not None and delta < tol:
+                break
+            continue
+        ranks = updated.select("id", "out_deg", new_pr.alias("pr"))
         if ((it + 1) % k == 0) or it == max_iter - 1:
             ranks = checkpointed(ranks)
             if tol is not None and it < max_iter - 1:
