@@ -370,3 +370,57 @@ def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("conductance"),
         )
     )
+
+
+def rich_club_coefficient(
+    edges: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
+    """``(k, n_nodes, n_edges, rich_club)`` — the rich-club coefficient
+    φ(k) = 2·E_k / (N_k·(N_k−1)) (Zhou & Mondragón 2004; unnormalized, =
+    ``nx.rich_club_coefficient(normalized=False)``'s formula): for each
+    degree threshold k, how densely the vertices of degree > k connect
+    among themselves. Contract: one row per DISTINCT degree value k
+    present in the graph with N_k ≥ 2; N_k = vertices with degree > k,
+    E_k = undirected edges with BOTH endpoint degrees > k.
+
+    Plan: the threshold dimension is the distinct-degree table — O(max
+    degree) rows, sublinear in the graph — so both the vertex-side and
+    edge-side theta-joins (`degree > k`) are nested-loop joins against a
+    tiny auto-broadcast dimension (the same shape as the gap-fill grid,
+    the documented small-dim exception to the no-NLJ rule); everything
+    else is keyed aggregation with map-side partials. Endpoint degrees
+    reach the edges through two equi-joins (AQE broadcasts the |V|-row
+    degree table while it fits)."""
+    deg = deg if deg is not None else degrees(edges)
+    ks = deg.select(F.col("degree").alias("k")).distinct()
+    nk = (
+        deg.join(ks, deg.degree > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst"))
+    ek = (
+        edges.select("src", "dst")
+        .join(ds, "src")
+        .join(dd, "dst")
+        .withColumn("mind", F.least("d_src", "d_dst"))
+        .join(ks, F.col("mind") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .fillna({"n_edges": 0})
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.round(
+                2.0 * F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                6,
+            ).alias("rich_club"),
+        )
+    )

@@ -1483,6 +1483,36 @@ def q_lpa_cliques(spark, sf_dir):
 
 
 @register(
+    "rich_club_small",
+    f"""
+    WITH {_SMALL_CTES},
+    deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+    ks AS (SELECT DISTINCT degree AS k FROM deg),
+    nk AS (SELECT k, COUNT(*) AS n_nodes FROM deg JOIN ks ON degree > k
+           GROUP BY k),
+    ce AS (SELECT src, dst FROM sym WHERE src < dst),
+    de AS (SELECT LEAST(a.degree, b.degree) AS mind
+           FROM ce JOIN deg a ON a.id = ce.src JOIN deg b ON b.id = ce.dst),
+    ek AS (SELECT k, COUNT(*) AS n_edges FROM de JOIN ks ON mind > k
+           GROUP BY k)
+    SELECT n.k AS k, CAST(n.n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+           ROUND(2.0 * COALESCE(e.n_edges, 0)
+                 / (n.n_nodes * (n.n_nodes - 1)), 6) AS rich_club
+    FROM nk n LEFT JOIN ek e ON n.k = e.k
+    WHERE n.n_nodes >= 2
+    """,
+)
+def q_rich_club_small(spark, sf_dir):
+    """Rich-club coefficient φ(k) over the small co-purchase graph (new
+    in round 5): whether high-degree parts co-purchase among themselves
+    more densely than the graph overall — the degree-family completion of
+    assortativity. Every threshold, count and ratio is exactly
+    SQL-computable, so the full curve is value-checked."""
+    return metrics.rich_club_coefficient(_small_copurchase(spark, sf_dir))
+
+
+@register(
     "community_modularity_cliques",
     f"""
     WITH {_CLIQUE_SQL},
@@ -3915,7 +3945,9 @@ _WINDOW = [
     "orders_status_pivot",         # pivot
     "customers_order_setops",      # INTERSECT/EXCEPT
     "sql_exists_urgent_customers", # EXISTS/NOT EXISTS SQL entry
-    "parts_never_ordered",         # anti join
+    # (parts_never_ordered rotated past 50: its anti-join mechanism
+    # overlaps the in-window EXISTS entry; slot given to the new r5 query)
+    "rich_club_small",             # rich-club curve, exact SQL twin
     "price_quantiles",             # percentiles
     "triangle_count",              # degree-ordered wedge join
     "connected_components_small",  # min-label propagation

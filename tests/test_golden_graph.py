@@ -750,6 +750,31 @@ class TestCommunityQuality:
         assert all(r.cut_edges == 0 and r.conductance == 0.0 for r in rows)
 
 
+class TestRichClub:
+    def test_path4(self, spark):
+        # degrees 1,2,2,1; k=1: N={2,3}, E={(2,3)} -> phi = 2*1/(2*1) = 1
+        from sna_pyspark_graphframes_spark.graph import metrics
+
+        rows = [
+            tuple(r)
+            for r in metrics.rich_club_coefficient(
+                edges_df(spark, PATH4)
+            ).collect()
+        ]
+        assert rows == [(1, 2, 1, 1.0)]
+
+    def test_k4_plus_pendant(self, spark):
+        # K4 on 1-4 plus pendant 5-1: k=1 keeps the K4 (N=4, E=6, phi=1);
+        # k=3 leaves only vertex 1 (N=1, filtered); nothing above.
+        from sna_pyspark_graphframes_spark.graph import metrics
+
+        e = edges_df(
+            spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+        )
+        rows = sorted(tuple(r) for r in metrics.rich_club_coefficient(e).collect())
+        assert rows == [(1, 4, 6, 1.0)]
+
+
 class TestWidestPath:
     def test_bottleneck_picks_max_min(self, spark):
         # 1->2 (3), 2->3 (1), 1->4 (1), 4->3 (5): cap(3) = max(min(3,1), min(1,5)) = 1
