@@ -236,6 +236,16 @@ class GraphFrame:
             to_dst=sendToDst,
         )
 
+    @property
+    def pregel(self):
+        """Pregel builder (= upstream ``g.pregel``): fluent
+        ``withVertexColumn / sendMsgToDst / sendMsgToSrc / aggMsgs /
+        setMaxIter / run`` message-passing programs — see
+        ``graph/pregel.py``."""
+        from sna_pyspark_graphframes_spark.graph.pregel import Pregel
+
+        return Pregel(self._g.vertices, self._g.edges)
+
     # -- lifecycle ---------------------------------------------------------
 
     def cache(self) -> "GraphFrame":

@@ -843,6 +843,52 @@ def q_cc_small(spark, sf_dir):
 
 
 @register(
+    "pregel_components_small",
+    f"""
+    WITH RECURSIVE {_SMALL_CTES},
+    reach(id, comp) AS (
+        SELECT id, id FROM v
+        UNION
+        SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+    )
+    SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def q_pregel_components_small(spark, sf_dir):
+    """Min-label connected components written as a USER Pregel program
+    (round 5: the ``g.pregel`` builder is the last GraphFrames API the
+    facade exposes) — same reachability oracle as the native
+    ``connected_components``, so the generic message-passing loop is
+    value-checked end to end against the fixed point."""
+    from sna_pyspark_graphframes_spark.graph.graphframe import GraphFrame
+    from sna_pyspark_graphframes_spark.graph.pregel import Pregel
+
+    e = _small_copurchase(spark, sf_dir)
+    v = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = (
+        GraphFrame(v, e)
+        .pregel.setMaxIter(12)
+        .withVertexColumn(
+            "component",
+            F.col("id"),
+            F.least(
+                F.col("component"),
+                F.coalesce(Pregel.msg(), F.col("component")),
+            ),
+        )
+        .sendMsgToDst(Pregel.src("component"))
+        .sendMsgToSrc(Pregel.dst("component"))
+        .aggMsgs(F.min(Pregel.msg()))
+        .run()
+    )
+    return out.select("id", "component")
+
+
+@register(
     "connected_components_twophase_small",
     f"""
     WITH RECURSIVE {_SMALL_CTES},
@@ -3940,7 +3986,9 @@ _WINDOW = [
     "stream_dedup_keys",
     # --- r1-only greens (not driver-checked since round 1) ---
     "pricing_summary",             # TPC-H Q1 aggregate
-    "top_order_per_customer",      # window rank
+    # (top_order_per_customer rotated past 50: window-rank mechanism
+    # overlaps in-window event_sliding_window; slot to the new r5 query)
+    "pregel_components_small",     # user Pregel program, reachability twin
     "part_brand_size_cube",        # CUBE
     "orders_status_pivot",         # pivot
     "customers_order_setops",      # INTERSECT/EXCEPT

@@ -113,3 +113,88 @@ class TestAlgorithms:
         )
         m = {r.id: r.max_nbr for r in out.collect()}
         assert m[1] == 3 and m[4] == 6
+
+    def test_pregel_min_component(self, g):
+        """User-written min-label CC as a Pregel program must agree with
+        the native connectedComponents on every edge-touched vertex."""
+        from sna_pyspark_graphframes_spark.graph.pregel import Pregel
+
+        out = (
+            g.pregel.setMaxIter(10)
+            .withVertexColumn(
+                "component",
+                F.col("id"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(Pregel.msg(), F.col("component")),
+                ),
+            )
+            .sendMsgToDst(Pregel.src("component"))
+            .sendMsgToSrc(Pregel.dst("component"))
+            .aggMsgs(F.min(Pregel.msg()))
+            .run()
+        )
+        native = {
+            r.id: r.component
+            for r in g.connectedComponents().collect()
+            if r.component is not None
+        }
+        got = {r.id: r.component for r in out.collect()}
+        for vid, comp in native.items():
+            assert got[vid] == comp
+
+    def test_pregel_pagerank_ring_uniform(self, spark):
+        """Textbook PageRank as a user Pregel program: on a 2-regular ring
+        the uniform vector is the exact fixed point at every superstep."""
+        from sna_pyspark_graphframes_spark.graph.graphframe import GraphFrame
+        from sna_pyspark_graphframes_spark.graph.pregel import Pregel
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1), (2, 1), (3, 2), (4, 3), (1, 4)],
+            "src long, dst long",
+        )
+        v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("out_deg")
+        )
+        pr = (
+            GraphFrame(v.join(deg, "id"), e)
+            .pregel.setMaxIter(5)
+            .withVertexColumn(
+                "rank",
+                F.lit(0.25),
+                F.lit(0.15 / 4)
+                + F.lit(0.85) * F.coalesce(Pregel.msg(), F.lit(0.0)),
+            )
+            .sendMsgToDst(Pregel.src("rank") / Pregel.src("out_deg"))
+            .aggMsgs(F.sum(Pregel.msg()))
+            .run()
+        )
+        for r in pr.collect():
+            assert r.rank == pytest.approx(0.25, abs=1e-9)
+
+    def test_pregel_null_messages_not_delivered(self, spark):
+        """Upstream contract: a null message is a non-send — vertices whose
+        only inbound messages are null keep their state untouched."""
+        from sna_pyspark_graphframes_spark.graph.graphframe import GraphFrame
+        from sna_pyspark_graphframes_spark.graph.pregel import Pregel
+
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        out = (
+            GraphFrame(v, e)
+            .pregel.setMaxIter(1)
+            .withVertexColumn(
+                "seen",
+                F.lit(0),
+                F.coalesce(Pregel.msg(), F.col("seen")),
+            )
+            # only vertex 1 sends a real value; everyone else sends null
+            .sendMsgToDst(
+                F.when(Pregel.src("id") == 1, F.lit(99)).otherwise(F.lit(None))
+            )
+            .aggMsgs(F.max(Pregel.msg()))
+            .run()
+        )
+        got = {r.id: r.seen for r in out.collect()}
+        assert got == {1: 0, 2: 99, 3: 0}
