@@ -813,6 +813,13 @@ def pagerank(
     )
     vertices = checkpointed(vertices)
     n = vertices.count()
+    if n == 0:
+        # empty edge frame: no vertices, no ranks — same empty-result
+        # convention as eigenvector_centrality (its ADVICE r4 fix),
+        # instead of 1.0/0 at the init.
+        return edges.sparkSession.createDataFrame(
+            [], "id long, pagerank double"
+        )
     out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     # dangling vertices (no out-edges) exist only in directed mode
     base = vertices.join(out_deg, "id", "left").fillna({"out_deg": 0})

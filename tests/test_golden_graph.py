@@ -703,6 +703,15 @@ class TestEigenvector:
         assert out.columns == ["id", "eigenvector"]
         assert out.count() == 0
 
+    def test_pagerank_empty_graph_returns_empty(self, spark):
+        # same class as the eigenvector ADVICE fix: 1.0/n at init —
+        # caught by the round-5 empty-graph audit across all algorithms
+        # (the only crasher; every other algorithm already returned an
+        # empty/degenerate frame).
+        out = algorithms.pagerank(edges_df(spark, []))
+        assert out.columns == ["id", "pagerank"]
+        assert out.count() == 0
+
 
 class TestCommunityQuality:
     def test_modularity_two_triangles(self, spark):
