@@ -60,14 +60,18 @@ def normalize_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """Re-key edge endpoints against a canonical vertex table.
 
     The reference does two LEFT joins against the derived vertex ids
-    (``/root/reference/main.py:33-37``). The vertex table is the small side —
-    broadcast it so the fact table never shuffles.
+    (``/root/reference/main.py:33-37``). The vertex table is the smaller
+    side but |V| rows — it grows with the data, so it carries no broadcast
+    hint (unbounded-frame rule, SCALE.md): AQE broadcasts it from exact
+    runtime sizes whenever it fits, and the fact table never shuffles in
+    that regime; past executor memory the hint would OOM where a
+    shuffle-hash join keeps working.
     """
     cols = edges.columns
     v = vertices.select(F.col("id").alias("__vsrc"))
     v2 = vertices.select(F.col("id").alias("__vdst"))
-    e = edges.join(F.broadcast(v), edges.src == F.col("__vsrc"), "left")
-    e = e.join(F.broadcast(v2), e.dst == F.col("__vdst"), "left")
+    e = edges.join(v, edges.src == F.col("__vsrc"), "left")
+    e = e.join(v2, e.dst == F.col("__vdst"), "left")
     return e.select(*cols)
 
 
@@ -94,11 +98,15 @@ def induced_subgraph(edges: DataFrame, sample_vertices: DataFrame) -> DataFrame:
     Replaces the reference's O(n²) cartesian candidate set joined against the
     edge list (``/root/reference/main.py:192-195``) with two semi-joins —
     linear in |E|, identical result set (SURVEY.md §2.1 #26). The sample is
-    usually small → broadcast both semi-joins (no shuffle of the edge table).
+    usually small but caller-supplied and unbounded (a "sample" of a 10⁹
+    vertex graph can itself be huge), so it carries no broadcast hint
+    (unbounded-frame rule, SCALE.md): AQE turns both semi-joins into
+    broadcasts from the runtime size whenever the sample fits, and the
+    edge table never shuffles in that regime.
     """
     s = sample_vertices.select("id").distinct()
-    e = edges.join(F.broadcast(s), edges.src == s.id, "left_semi")
-    return e.join(F.broadcast(s), e.dst == s.id, "left_semi")
+    e = edges.join(s, edges.src == s.id, "left_semi")
+    return e.join(s, e.dst == s.id, "left_semi")
 
 
 # ---------------------------------------------------------------------------

@@ -40,8 +40,11 @@ def link_scores(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
         centers = deg.filter(F.col("degree") <= max_degree)
     # z's degree attached before the wedge join: each wedge (a—z—b) then
     # carries 1/ln(deg(z)) with no third join. deg(z) >= 2 inside a wedge.
+    # No broadcast hints on the degree/center frames here or below: they
+    # are |V|-row frames that grow with the graph (unbounded-frame rule,
+    # SCALE.md) — AQE broadcasts from exact runtime sizes when they fit.
     sz = s.join(
-        F.broadcast(centers).withColumnRenamed("id", "src"), "src"
+        centers.withColumnRenamed("id", "src"), "src"
     ).select(F.col("src").alias("z"), "dst", "degree")
     w = (
         sz.alias("x")
@@ -61,8 +64,8 @@ def link_scores(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
         ["a", "b"],
         "left_anti",
     )
-    da = F.broadcast(deg.select(F.col("id").alias("a"), F.col("degree").alias("da")))
-    db = F.broadcast(deg.select(F.col("id").alias("b"), F.col("degree").alias("db")))
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
     return (
         non_adjacent.join(da, "a")
         .join(db, "b")

@@ -60,10 +60,15 @@ def _degree_oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
     higher-rank endpoint, rank = (degree, id) — the node-iterator++
     orientation shared by both triangle plans. Re-orientation is a
     conditional swap, no symmetrization (input is one row per undirected
-    edge). The degree table is |V| rows (≪ |E|): broadcast both sides, so
-    orientation adds zero shuffles of the edge table."""
-    ds = F.broadcast(deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src")))
-    dd = F.broadcast(deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst")))
+    edge). The degree table is |V| rows — smaller than |E| but it GROWS
+    with the graph, so per the unbounded-frame rule (SCALE.md; same rule
+    as the adjacency side below) it carries no broadcast hint: a hint is
+    mandatory to the planner and would pin a 10⁹-row build side at scale,
+    while AQE sees the exact post-aggregate size at runtime and picks
+    broadcast whenever it fits (plan-verified BroadcastHashJoin at sf0.1;
+    hinted vs un-hinted medians were within noise — REPORT.md r7)."""
+    ds = deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst"))
     lower_first = (F.col("d_src") < F.col("d_dst")) | (
         (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
     )

@@ -1412,6 +1412,53 @@ def q_pagerank_order_rings(spark, sf_dir):
 
 
 @register(
+    "pagerank_dangling_pairs",
+    """
+    WITH RECURSIVE pairs AS (
+        SELECT MIN(o_orderkey) AS src, MAX(o_orderkey) AS dst
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2
+    ),
+    p AS (SELECT 2.0 * COUNT(*) AS n FROM pairs),
+    it(k, a, b) AS (
+        SELECT 0, 1.0 / n, 1.0 / n FROM p
+        UNION ALL
+        SELECT k + 1,
+               0.15 / p.n + 0.85 * (b / 2),
+               0.15 / p.n + 0.85 * (a + b / 2)
+        FROM it, p WHERE k < 8
+    )
+    SELECT src AS id, ROUND((SELECT a FROM it WHERE k = 8), 6) AS pagerank
+    FROM pairs
+    UNION ALL
+    SELECT dst AS id, ROUND((SELECT b FROM it WHERE k = 8), 6) AS pagerank
+    FROM pairs
+    """,
+)
+def q_pagerank_dangling_pairs(spark, sf_dir):
+    """PageRank on a directed graph that is all sources and sinks: one
+    edge min(orderkey)→max(orderkey) per customer with ≥2 orders, so every
+    source has out-degree 1 and every sink is DANGLING. Exercises the
+    dangling-mass redistribution branch (the r7 driver-scalar fold) end to
+    end: by symmetry every source carries value a_k and every sink b_k,
+    and the oracle iterates that 2-variable recurrence (dm_k/N = b_k/2
+    since danglings are half the vertices) with a recursive CTE to exactly
+    the same 8 supersteps (``tol=None`` pins the exact-maxIter contract).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("src"),
+            F.max("o_orderkey").alias("dst"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return algorithms.pagerank(pairs, directed=True, max_iter=8, tol=None)
+
+
+@register(
     "eigenvector_order_rings",
     """
     WITH r AS (
@@ -3925,84 +3972,86 @@ def q_profile_documents(spark, sf_dir):
 # round-4-changed paths (49/50 green in CORRECTNESS_r04; the one red was
 # multimodal_featurize's array column, fixed this round).
 #
-# Round-5 rotation (VERDICT r4 Next #1/#3/#7): slots 1-3 are the LAST
-# three oracle-paired queries without a driver-green row across r1-r4 —
-# multimodal_featurize (r4 red: feature now projected to a canonical 6-dp
-# string, driver-hashable), plus temperature_mixture and widest_path_small
-# (landed after r4's final rotation, slots 51+). After this round every
-# oracle-paired registry query has had >=1 hard driver-green row. The
-# other 47 slots are regression sentinels, picked by (a) code paths round
-# 5 CHANGED — sssp/widest-path chg-column convergence, eigenvector
-# convergence exit, stream-stream inner-join interval parameterization,
-# LPA frontier messaging, pagerank early exit — then (b) staleness:
-# every r2-only green, every r3-only green, and one-per-mechanism r1-only
-# greens that have not been driver-checked since round 1. Rotated-out
-# greens remain registered + locally oracle-tested (all 145 pairs run in
-# tests/test_entry_oracle.py).
+# Round-5 rotation (VERDICT r4 Next #1/#3/#7): slots 1-3 were the LAST
+# three oracle-paired queries without a driver-green row across r1-r4;
+# after round 5 every oracle-paired registry query has had >=1 hard
+# driver-green row, so from round 7 on the window's only job is
+# REGRESSION COVER and rotation follows two rules, in order:
+#   (a) sentinels on every code path the current round changed, then
+#   (b) oldest-unchecked-first — the queries whose last driver check is
+#       furthest in the past fill the remaining slots.
+# Rotated-out greens remain registered + locally oracle-tested (all 150
+# pairs run in tests/test_entry_oracle.py; the 14 rows-only queries run
+# there too).
+#
+# Round-7 rotation (VERDICT r6 Next #3; r6 landed no commits so the r5
+# window ran twice): sentinels first — triangle_count /
+# link_prediction_small / induced_subgraph_small_parts on the r7
+# broadcast-hint gating (#1), lpa_cliques on the LPA edge-layout work
+# (#4), pagerank_order_rings plus the NEW pagerank_dangling_pairs on the
+# pagerank dangling-mass fold (#5). Then oldest-first: every query whose
+# last driver check was round 1 (38, including the four flagged by the
+# verdict as five-rounds-unchecked: induced_subgraph_small_parts,
+# edge_file_roundtrip, parts_never_ordered, top_order_per_customer),
+# topped up with seven round-3-last queries chosen for mechanism
+# diversity (adjacency build, motif DSL, directed degrees,
+# assortativity, aggregate-messages, text stats, exact dedup).
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- never driver-green across r1-r4: the last of the debt ---
-    "multimodal_featurize",        # r4 red -> feature string-projected
-    "temperature_mixture",         # τ-weighted domain quotas
-    "widest_path_small",           # max-min semiring Bellman-Ford
-    # --- sentinels on paths round 5 changed ---
-    "weighted_sssp_small",         # chg-column convergence fold (ADVICE r4)
-    "eigenvector_order_rings",     # empty-graph guard + L1 convergence exit
-    "stream_stream_join",          # inner-join interval now tracks watermark
-    "stream_stream_outer_join",    # shares the parameterized-interval shape
-    "lpa_cliques",                 # LPA frontier-only messaging (r5 perf)
-    "community_revenue_bi",        # LPA consumer
-    "pagerank_order_rings",        # pagerank tolerance early-exit (r5 perf)
-    # --- r2-only greens (not driver-checked since round 2) ---
-    "doc_sentiment",
-    "simhash_groups",
-    "similarity_topk",             # brute-force rerank baseline
-    "near_dup_clusters",
-    "dedup_corpus",
-    "vocab_topk",
-    "stratified_sample",
-    "event_sliding_window",
-    # --- r3-only greens (not driver-checked since round 3) ---
-    "late_data_filter",
-    "range_join_attribution",
-    "stream_session_window",
-    "orc_roundtrip",
-    "decontaminate",
-    "bow_cosine_pairs",
-    "stream_static_join",
-    "curate_corpus",
-    "domain_mixture",
-    "embedding_dedup_clusters",
-    "dedup_incremental",
-    # --- r2/r3 greens, one per engine mechanism ---
-    "betweenness_path",            # Brandes value check
-    "bfs_predicate_small",
-    "asof_click_purchase",         # as-of join
-    "ann_topk",                    # hyperplane-LSH ANN
-    "minhash_near_dup",            # banded LSH join
-    "tf_idf",
-    "multimodal_digest",
-    "stream_dedup_keys",
-    # --- r1-only greens (not driver-checked since round 1) ---
-    "pricing_summary",             # TPC-H Q1 aggregate
-    # (top_order_per_customer rotated past 50: window-rank mechanism
-    # overlaps in-window event_sliding_window; slot to the new r5 query)
-    "pregel_components_small",     # user Pregel program, reachability twin
-    "part_brand_size_cube",        # CUBE
-    "orders_status_pivot",         # pivot
-    "customers_order_setops",      # INTERSECT/EXCEPT
-    "sql_exists_urgent_customers", # EXISTS/NOT EXISTS SQL entry
-    # (parts_never_ordered rotated past 50: its anti-join mechanism
-    # overlaps the in-window EXISTS entry; slot given to the new r5 query)
-    "rich_club_small",             # rich-club curve, exact SQL twin
-    "price_quantiles",             # percentiles
-    "triangle_count",              # degree-ordered wedge join
-    "connected_components_small",  # min-label propagation
-    "diameter_small",              # exact BFS diameter
-    # --- new in round 5 (never driver-checked; closed-form oracles) ---
-    "community_modularity_cliques",   # Newman Q of the LPA partition
-    "community_conductance_parity",   # per-community cut / min-volume
+    # --- sentinels on paths round 7 changed ---
+    "triangle_count",              # _degree_oriented: broadcast hints gated
+    "link_prediction_small",       # linkpred: broadcast hints gated
+    "induced_subgraph_small_parts",  # induced_subgraph: hints gated (r1-last)
+    "lpa_cliques",                 # LPA edge-layout experiment
+    "pagerank_order_rings",        # pagerank loop (no-dangling directed)
+    "pagerank_dangling_pairs",     # NEW: dangling-mass driver-scalar fold
+    # --- last driver-checked in round 1 (oldest debt, 37 more) ---
+    "scan_project_filter",
+    "revenue_per_nation",
+    "customer_order_left_join",
+    "top_order_per_customer",      # named five-rounds-unchecked (VERDICT r6)
+    "order_priority_counts",
+    "part_type_rollup",
+    "orders_per_month",
+    "part_name_tokens",
+    "price_math",
+    "sql_shipping_priority",
+    "parts_never_ordered",         # named five-rounds-unchecked (VERDICT r6)
+    "acctbal_stats",
+    "n_parts_approx",
+    "copurchase_edges",
+    "vertices_from_edges",
+    "n_vertices",
+    "customer_nation_edges",
+    "user_session_edges",
+    "json_roundtrip",
+    "edge_file_roundtrip",         # named five-rounds-unchecked (VERDICT r6)
+    "dense_rekey_nation",
+    "degree",
+    "degree_histogram",
+    "top10_degree",
+    "avg_degree",
+    "triangles_per_vertex",        # also an r7 sentinel (_degree_oriented)
+    "avg_clustering",
+    "transitivity",
+    "connected_components",
+    "connected_components_count",
+    "lpa_community_count",         # also an r7 sentinel (LPA layout)
+    "connected_components_twophase_small",
+    "avg_closeness_small",
+    "avg_betweenness_small",
+    "motif_triangles_small",
+    "motif_open_wedges_small",
+    "scc_order_rings",
+    # --- last driver-checked in round 3 (next-oldest, 7 slots) ---
+    "adjacency",
+    "motif_four_cycles_small",
+    "in_out_degree",
+    "degree_assortativity",
+    "aggmsg_neighbor_price",
+    "token_count",
+    "dedup_exact",
 ]
 
 

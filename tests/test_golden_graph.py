@@ -473,6 +473,24 @@ class TestPPR:
         assert got == {v: round(p[v], 6) for v in adj}
         assert abs(sum(got.values()) - 1.0) < 1e-4
 
+    def test_directed_dangling_mass_returns_to_source(self, spark):
+        # directed edge 1→2, source {1}: vertex 2 is DANGLING, so its whole
+        # mass returns to the source each round (the r7 driver-scalar fold:
+        # dm enters the superstep as a literal, read off the previous
+        # checkpoint). Local mirror of the exact recurrence:
+        #   p1' = (0.15 + 0.85·dm)·1 + 0,  p2' = 0.85·p1,  dm = p2
+        p1, p2 = 1.0, 0.0
+        for _ in range(20):
+            p1, p2 = (0.15 + 0.85 * p2) * 1.0, 0.85 * p1
+        got = as_map(
+            algorithms.personalized_pagerank(
+                edges_df(spark, [(1, 2)]), [1], directed=True
+            ),
+            "id", "pagerank",
+        )
+        assert got == {1: round(p1, 6), 2: round(p2, 6)}
+        assert abs(sum(got.values()) - 1.0) < 1e-4
+
 
 class TestAggregateMessages:
     def test_degree_via_messages(self, spark):
