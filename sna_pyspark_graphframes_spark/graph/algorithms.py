@@ -25,31 +25,22 @@ def _sym(edges: DataFrame) -> DataFrame:
     return symmetrize(edges, dedup=True)
 
 
-# Per-round vertex-state frames (labels / components / ranks) are O(|V|)
-# rows of two fixed-width columns — a (long, long/double) pair is ~64 B in a
-# broadcast HashedRelation, so 4M rows ≈ the 256 MB comfort zone. Joining
-# them against |E| edges per superstep as a sort-merge join re-sorts the
-# edge table EVERY round (measured 3.3x whole-algorithm cost on LPA at
-# sf0.1). Checkpointed frames carry no catalog stats, so neither Catalyst
-# nor AQE picks the broadcast on its own — the loop must say so.
-STATE_BROADCAST_MAX_ROWS = 4_000_000
+# Joining per-round vertex-state frames against |E| edges per superstep as
+# a sort-merge join re-sorts the edge table EVERY round (measured 3.3x
+# whole-algorithm cost on LPA at sf0.1). Checkpointed frames carry no
+# catalog stats, so neither Catalyst nor AQE picks the broadcast on its
+# own — the loop must say so, via the shared size gate (plans/hints.py;
+# moved there in r7 so metrics/linkpred reuse the same rule).
+from sna_pyspark_graphframes_spark.plans.hints import (  # noqa: E402
+    STATE_BROADCAST_MAX_ROWS,
+    state_hinted as _state_hinted,
+)
 
 # Peel-loop observability (SCALE.md round-count audit): each k_core/k_truss
 # call records its executed round count here; the decomposition drivers
 # (core_numbers/truss_numbers) accumulate outer and inner totals. Driver-side
 # plain ints — no effect on plans.
 LAST_STATS: dict[str, int] = {}
-
-
-def _state_hinted(state: DataFrame, n_rows: int) -> DataFrame:
-    """Size-aware join hint for the vertex-state side of a superstep join:
-    broadcast while the state fits executor memory (|V| known exactly —
-    counted once per algorithm, never per round), shuffle-hash beyond it
-    (builds a hash table instead of sorting |E| per round; the state side
-    is always the smaller side)."""
-    if n_rows <= STATE_BROADCAST_MAX_ROWS:
-        return state.hint("broadcast")
-    return state.hint("shuffle_hash")
 
 
 def _state_cadence(n_rows: int, refs_per_step: int = 1) -> int:

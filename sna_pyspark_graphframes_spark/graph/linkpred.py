@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sna_pyspark_graphframes_spark.graph.build import canonical_edges, symmetrize
+from sna_pyspark_graphframes_spark.plans.hints import state_hinted
+from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
 
 
 def link_scores(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
@@ -34,17 +36,23 @@ def link_scores(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     """
     canon = canonical_edges(edges)
     s = symmetrize(canon, dedup=True)
-    deg = s.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    # The degree table is a |V|-row frame that grows with the graph, so it
+    # must not carry an unconditional broadcast hint (unbounded-frame
+    # rule, SCALE.md). Checkpoint it once — the three joins below all scan
+    # the materialized frame — and hint each join through the shared size
+    # gate (broadcast while |V| fits, shuffle-hash beyond).
+    deg = checkpointed(
+        s.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    )
+    n_vertices = deg.count()
     centers = deg
     if max_degree is not None:
         centers = deg.filter(F.col("degree") <= max_degree)
     # z's degree attached before the wedge join: each wedge (a—z—b) then
     # carries 1/ln(deg(z)) with no third join. deg(z) >= 2 inside a wedge.
-    # No broadcast hints on the degree/center frames here or below: they
-    # are |V|-row frames that grow with the graph (unbounded-frame rule,
-    # SCALE.md) — AQE broadcasts from exact runtime sizes when they fit.
     sz = s.join(
-        centers.withColumnRenamed("id", "src"), "src"
+        state_hinted(centers.withColumnRenamed("id", "src"), n_vertices),
+        "src",
     ).select(F.col("src").alias("z"), "dst", "degree")
     w = (
         sz.alias("x")
@@ -64,8 +72,14 @@ def link_scores(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
         ["a", "b"],
         "left_anti",
     )
-    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
-    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
+    da = state_hinted(
+        deg.select(F.col("id").alias("a"), F.col("degree").alias("da")),
+        n_vertices,
+    )
+    db = state_hinted(
+        deg.select(F.col("id").alias("b"), F.col("degree").alias("db")),
+        n_vertices,
+    )
     return (
         non_adjacent.join(da, "a")
         .join(db, "b")

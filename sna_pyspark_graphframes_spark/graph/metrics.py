@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sna_pyspark_graphframes_spark.graph.build import symmetrize
+from sna_pyspark_graphframes_spark.plans.hints import state_hinted
+from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -55,20 +57,32 @@ def degree_histogram(edges: DataFrame, normalized: bool = False) -> DataFrame:
     return h
 
 
-def _degree_oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
+def _degree_oriented(
+    edges: DataFrame, deg: DataFrame, n_vertices: int | None = None
+) -> DataFrame:
     """Orient each canonical undirected edge from the lower-rank to the
     higher-rank endpoint, rank = (degree, id) — the node-iterator++
     orientation shared by both triangle plans. Re-orientation is a
     conditional swap, no symmetrization (input is one row per undirected
     edge). The degree table is |V| rows — smaller than |E| but it GROWS
-    with the graph, so per the unbounded-frame rule (SCALE.md; same rule
-    as the adjacency side below) it carries no broadcast hint: a hint is
-    mandatory to the planner and would pin a 10⁹-row build side at scale,
-    while AQE sees the exact post-aggregate size at runtime and picks
-    broadcast whenever it fits (plan-verified BroadcastHashJoin at sf0.1;
-    hinted vs un-hinted medians were within noise — REPORT.md r7)."""
-    ds = deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src"))
-    dd = deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst"))
+    with the graph, so per the unbounded-frame rule (SCALE.md) it must
+    not carry an unconditional broadcast hint (a hint is mandatory to the
+    planner; at 10⁹ vertices it would OOM executors). It is hinted
+    through the shared SIZE GATE instead (``plans.hints.state_hinted``,
+    |V| counted once by the caller): broadcast while it fits, shuffle-hash
+    beyond. Fully un-hinted was measured 1.5x slower at sf0.1 (7.3 s vs
+    5.0 s median — AQE's broadcast conversion still pays the |E| side's
+    shuffle writes before converting; REPORT.md r7)."""
+    if n_vertices is None:
+        n_vertices = deg.count()
+    ds = state_hinted(
+        deg.select(F.col("id").alias("src"), F.col("degree").alias("d_src")),
+        n_vertices,
+    )
+    dd = state_hinted(
+        deg.select(F.col("id").alias("dst"), F.col("degree").alias("d_dst")),
+        n_vertices,
+    )
     lower_first = (F.col("d_src") < F.col("d_dst")) | (
         (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
     )
@@ -101,8 +115,13 @@ def triangles_per_vertex(edges: DataFrame, deg: DataFrame | None = None) -> Data
     The produced triangle SET is identical, so per-vertex counts and every
     downstream metric are unchanged. Two shuffles; whole-stage codegen; no
     Python. Degree-0..1 vertices simply don't appear (callers left-join).
+
+    When ``deg`` is not supplied it is checkpointed before use: the
+    orientation's size gate needs its row count anyway, and both degree
+    joins then scan the materialized |V| frame instead of re-running the
+    degree aggregate once per join subtree.
     """
-    deg = deg if deg is not None else degrees(edges)
+    deg = checkpointed(degrees(edges)) if deg is None else deg
     oriented = _degree_oriented(edges, deg)
     e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -138,8 +157,12 @@ def triangles_per_vertex_adjacency(
     longs. Intersection is hash-based: O(|adj(a)|+|adj(b)|) per edge,
     Chiba–Nishizeki overall — the same asymptotic work as the wedge
     join, minus its shuffle.
+
+    ``deg`` handling matches :func:`triangles_per_vertex` (checkpointed
+    when derived here, so the size-gate count and both degree joins read
+    one materialized frame).
     """
-    deg = deg if deg is not None else degrees(edges)
+    deg = checkpointed(degrees(edges)) if deg is None else deg
     oriented = _degree_oriented(edges, deg)
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     a_side = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na"))

@@ -1,0 +1,36 @@
+"""Size-gated join hints — the ONLY sanctioned way to hint a frame whose
+row count grows with the data.
+
+The unbounded-frame rule (SCALE.md): a join hint is mandatory to the
+planner, so an unconditional ``F.broadcast`` on a |V|-row frame pins a
+build side that OOMs executors at billion-vertex scale. But dropping the
+hint entirely is not free either: AQE's broadcast conversion plans the
+join as sort-merge first and only converts AFTER both sides' shuffle maps
+have been written, so the |E| side still pays its shuffle write (measured
+on the triangle orientation at sf0.1: un-hinted 7.3 s vs gated-hint 5.0 s
+median — REPORT.md r7). The resolution is a SIZE-GATED hint: callers that
+know the frame's exact row count (counted once, never per round) hint
+broadcast while it fits executor memory and shuffle-hash beyond — both
+scale-safe, and the planning-time hint skips the big side's shuffle
+entirely in the common regime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Vertex-state frames (labels / components / ranks / degrees) are O(|V|)
+# rows of two fixed-width columns — a (long, long/double) pair is ~64 B in
+# a broadcast HashedRelation, so 4M rows ≈ the 256 MB comfort zone.
+STATE_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def state_hinted(state: DataFrame, n_rows: int) -> DataFrame:
+    """Size-aware join hint for a |V|-row side of a join: broadcast while
+    the frame fits executor memory (``n_rows`` known exactly — counted
+    once per algorithm, never per round), shuffle-hash beyond it (builds a
+    hash table instead of sorting the big side; the state side is always
+    the smaller side)."""
+    if n_rows <= STATE_BROADCAST_MAX_ROWS:
+        return state.hint("broadcast")
+    return state.hint("shuffle_hash")
