@@ -58,6 +58,27 @@ def _state_cadence(n_rows: int, refs_per_step: int = 1) -> int:
     return 3
 
 
+def _edges_partitioned(e: DataFrame, key: str) -> DataFrame:
+    """Iterative-loop edge layout (r7): dedup + hash-partition on ``key``
+    + persist in the cache layer. One upfront shuffle — dropDuplicates'
+    required clustering on (src,dst) is satisfied by the ``key``
+    partitioning, so the dedup adds no second exchange. Each superstep's
+    broadcast state join then preserves the streamed side's partitioning,
+    and the per-round aggregate keyed on ``key`` (through an alias) needs
+    NO exchange — zero per-round exchanges of edge-derived rows. Pick
+    ``key`` = the aggregate's key (LPA/CC group by src; PageRank groups
+    contributions by dst). Measured on LPA at sf0.1: 6.37 s → 4.70 s
+    median vs the localCheckpoint layout (REPORT.md r7). Callers must
+    ``.unpersist()`` once the loop's final state is materialized."""
+    from pyspark import StorageLevel
+
+    return (
+        e.repartition(key)
+        .dropDuplicates(["src", "dst"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def _sym_by(edges: DataFrame, key: str) -> DataFrame:
     """Symmetrized edges, hash-partitioned on ``key`` and cached — the
     CLUSTER-mode variant of ``checkpointed(_sym(edges))`` for iterative
@@ -92,7 +113,17 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     simple propagation is kept here because social graphs have small
     diameter and the code stays one join + one aggregate per round.
     """
-    sym = checkpointed(_sym(edges))
+    # src-partitioned persistent layout: the per-round min aggregate
+    # groups by src, so its exchange is elided every round (see
+    # _edges_partitioned). A/B'd at sf0.1 (REPORT.md r7): a WASH locally
+    # (median 7.5 vs 7.4 s — CC's 4-round loop amortizes the layout less
+    # than LPA/PageRank's longer ones); kept anyway for the same reason as
+    # the r5 frontier form: one fewer per-round exchange of edge-derived
+    # rows is what matters at 1000-executor scale, and it costs nothing
+    # here.
+    sym = _edges_partitioned(
+        symmetrize(edges, dedup=False), "src"
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -150,6 +181,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = new_labels.drop("chg")
         if not changed:
             break
+    sym.unpersist(blocking=False)  # labels is checkpointed; cache is dead
     return labels.select("id", "component")
 
 
@@ -257,27 +289,17 @@ def label_propagation(
     if assume_symmetric:
         sym = edges
     elif edge_layout == "partitioned":
-        # Default layout (VERDICT r6 Next #4, adopted r7): symmetrized
-        # edges hash-partitioned on src and persisted in the cache layer
-        # instead of localCheckpoint. One upfront shuffle — dropDuplicates'
-        # required clustering on (src,dst) is already satisfied by the src
-        # partitioning, so the dedup adds no second exchange. Every
-        # superstep then streams the cached src-partitioned edges through
-        # the broadcast label join (streamed-side partitioning preserved)
-        # into the mode aggregate, whose ClusteredDistribution(id←src) is
-        # satisfied through the alias — ZERO per-round exchanges of
-        # edge-derived rows (plan-verified: partial_mode feeds mode with no
-        # Exchange between). Measured at sf0.1, solo, median of 5
-        # alternating reps: 6.37 s (checkpoint) → 4.70 s, non-overlapping
-        # rep ranges (REPORT.md r7). On a cluster the same layout keeps
-        # each round's join shuffling only the |V| state frame.
-        from pyspark import StorageLevel
-
-        persisted_sym = (
-            symmetrize(edges, dedup=False)
-            .repartition("src")
-            .dropDuplicates(["src", "dst"])
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # Default layout (VERDICT r6 Next #4, adopted r7): src-partitioned
+        # persistent edges (see _edges_partitioned) — the mode aggregate's
+        # ClusteredDistribution(id←src) is satisfied through the broadcast
+        # label join, so NO per-round exchange of edge-derived rows
+        # (plan-verified: partial_mode feeds mode with no Exchange
+        # between). Measured at sf0.1, solo, median of 5 alternating reps:
+        # 6.37 s (checkpoint layout) → 4.70 s, non-overlapping rep ranges
+        # (REPORT.md r7). On a cluster the same layout keeps each round's
+        # join shuffling only the |V| state frame.
+        persisted_sym = _edges_partitioned(
+            symmetrize(edges, dedup=False), "src"
         )
         sym = persisted_sym
     else:
@@ -835,8 +857,13 @@ def pagerank(
     cadence k>1: a contraction cannot cycle, so a small k-round delta
     implies convergence.
     """
-    e = edges.select("src", "dst") if directed else _sym(edges)
-    e = checkpointed(e.filter(F.col("src") != F.col("dst")).distinct())
+    # dst-partitioned persistent layout: the per-round contribution
+    # aggregate groups by dst, so its exchange is elided every round (see
+    # _edges_partitioned). A/B'd at sf0.1 (REPORT.md r7): median 8.62 →
+    # 7.53 s, new layout faster in every warmed rep despite running first
+    # in each alternating pair.
+    e = edges.select("src", "dst") if directed else symmetrize(edges, dedup=False)
+    e = _edges_partitioned(e.filter(F.col("src") != F.col("dst")), "dst")
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -848,6 +875,7 @@ def pagerank(
         # empty edge frame: no vertices, no ranks — same empty-result
         # convention as eigenvector_centrality (its ADVICE r4 fix),
         # instead of 1.0/0 at the init.
+        e.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame(
             [], "id long, pagerank double"
         )
@@ -949,6 +977,7 @@ def pagerank(
                 if delta is not None and delta < tol:
                     break
             prev_ck = ranks
+    e.unpersist(blocking=False)  # ranks is checkpointed; cache is dead
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
@@ -971,8 +1000,9 @@ def personalized_pagerank(
     """
     if not sources:
         raise ValueError("sources must be non-empty")
-    e = edges.select("src", "dst") if directed else _sym(edges)
-    e = checkpointed(e.filter(F.col("src") != F.col("dst")).distinct())
+    # same dst-partitioned persistent layout as pagerank()
+    e = edges.select("src", "dst") if directed else symmetrize(edges, dedup=False)
+    e = _edges_partitioned(e.filter(F.col("src") != F.col("dst")), "dst")
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -1063,6 +1093,7 @@ def personalized_pagerank(
                 if delta is not None and delta < tol:
                     break
             prev_ck = ranks
+    e.unpersist(blocking=False)  # ranks is checkpointed; cache is dead
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
