@@ -84,6 +84,8 @@ HEADLINE = [
     # round-5 append: the community-quality family (modularity /
     # conductance) is new — one representative keeps the board honest.
     "community_modularity_cliques",
+    # round-7 append: the new Gopher-repetition text-quality operator.
+    "repetition_quality",
 ]
 
 

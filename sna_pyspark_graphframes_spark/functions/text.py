@@ -155,3 +155,68 @@ def fingerprint(col: Column) -> Column:
     identity the normalized digest is the standard exact-dup key.)
     """
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1), adapted to word n-grams:
+    ``(doc_id, n_words, distinct_word_frac, top_word_frac,
+    top_bigram_frac)``. (``corpus.repetition_features`` is the cheap
+    shuffle-free dup-ratio cousin; this one is the frequency-weighted
+    Gopher family, which needs the explode → count aggregates.)
+
+    The Gopher rules flag documents dominated by repeated content
+    (duplicate lines / most-frequent n-gram coverage). This corpus is
+    single-line, so the signals are the word-level family: fraction of
+    distinct words, fraction of occurrences held by the most frequent
+    word, and by the most frequent word bigram. All three are MAX-COUNT
+    based, so no tie-break order ever enters the result (exact-oracle
+    friendly).
+
+    Plan: two explode → count aggregates keyed on (doc_id, gram) — both
+    partial-aggregated map-side, shuffles keyed on doc_id, zero UDFs
+    (bigrams are a JVM ``transform`` over the token array). Scale-safe:
+    per-document cardinality bounds every group.
+    """
+    c = F.col(text_col)
+    toks = df.select("doc_id", tokens(c).alias("w"))
+    words = toks.select("doc_id", F.explode("w").alias("g"))
+    wstats = (
+        words.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("n").alias("top_n"),
+        )
+    )
+    bigrams = toks.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> concat(x, ' ', w[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    bstats = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bi"), F.max("n").alias("top_bi"))
+    )
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(F.col("n_distinct") / F.col("n_words"), 4).alias(
+                "distinct_word_frac"
+            ),
+            F.round(F.col("top_n") / F.col("n_words"), 4).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("top_bi") / F.col("n_bi"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+        )
+    )

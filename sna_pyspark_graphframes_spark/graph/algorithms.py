@@ -239,8 +239,21 @@ def connected_components_twophase(edges: DataFrame, max_iter: int = 50) -> DataF
     vertices = checkpointed(vertices)
     for _ in range(max_iter):
         e2 = checkpointed(_small_star(_large_star(e)))
-        # converged when the edge multiset is a fixed point
-        delta = e2.exceptAll(e).count() + e.exceptAll(e2).count()
+        # Converged when the edge SET is a fixed point. Both frames are
+        # distinct, so the symmetric difference is exactly the rows that
+        # appear in only one of the two — ONE aggregate action over the
+        # two checkpointed frames, vs the previous two exceptAll counts
+        # (2 extra shuffles + 1 extra action per round; the per-round
+        # action count is what dominates this O(log²) loop at fixture
+        # scale, same finding as the CC/SSSP chg-column folds).
+        delta = (
+            e.union(e2)
+            .groupBy("u", "v")
+            .count()
+            .filter(F.col("count") == 1)
+            .limit(1)
+            .count()
+        )
         e = e2
         if delta == 0:
             break
@@ -1108,20 +1121,30 @@ def multi_source_bfs(
     landmark to every reachable vertex.
 
     Frontier expansion: the frontier (newly-settled vertices) joins the
-    symmetrized edges, anti-joins already-settled pairs, repeat until the
-    frontier is empty. Rounds = graph diameter; per round one join + one
-    anti-join, all keyed shuffles (SURVEY.md §2.2 M6/M7 plan).
+    symmetrized edges, anti-joins the LAST TWO levels, repeat until the
+    frontier is empty. The graph is symmetrized, so a neighbor of a
+    distance-(d-1) vertex has distance in {d-2, d-1, d} — a distance-d
+    candidate can only collide with levels d-1 and d-2, never older ones
+    (per landmark; the pair key scopes it). Two consequences vs the
+    classic settled-set form (r7): the anti-join's build side is two
+    LEVELS instead of the whole settled set (which for all-pairs grows to
+    |V|² rows), and settled is never re-materialized per round — the
+    result is a lazy union of the per-level checkpoints, so each settled
+    row is written once instead of once per remaining round. Rounds =
+    graph diameter; per round one join + one anti-join, all keyed
+    shuffles (SURVEY.md §2.2 M6/M7 plan).
 
     ``landmarks``: DataFrame with column ``id``. All-pairs = pass all
     vertices (test scale); at 100 TB pass a sample (HADI/HyperANF-style
     approximations are the scale path, documented not implemented).
     """
     sym = checkpointed(_sym(edges))
-    settled = landmarks.select(
+    level0 = landmarks.select(
         F.col("id").alias("landmark"), F.col("id"), F.lit(0).alias("dist")
     )
-    settled = checkpointed(settled)
-    frontier = settled
+    level0 = checkpointed(level0)
+    levels = [level0]
+    frontier, prev = level0, None
     for _ in range(max_iter):
         # hash-build on the edge side's probe partner (the frontier can be
         # |landmarks|x|V| pairs, so no broadcast; shuffle-hash avoids
@@ -1132,13 +1155,19 @@ def multi_source_bfs(
             .groupBy("landmark", "id")
             .agg(F.min("dist").alias("dist"))
         )
-        new_frontier = expanded.join(settled, ["landmark", "id"], "left_anti")
+        seen = frontier if prev is None else frontier.unionByName(prev)
+        new_frontier = expanded.join(
+            seen.select("landmark", "id"), ["landmark", "id"], "left_anti"
+        )
         new_frontier = checkpointed(new_frontier)
         if new_frontier.isEmpty():
             break
-        settled = checkpointed(settled.unionByName(new_frontier))
-        frontier = new_frontier
-    return settled
+        levels.append(new_frontier)
+        frontier, prev = new_frontier, frontier
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def bfs(
@@ -1173,8 +1202,9 @@ def bfs(
         e = e.filter(edge_filter)
     sym = checkpointed(e if directed else _sym(e))
     sources = vertices.filter(from_expr).select("id").distinct()
-    settled = checkpointed(sources.withColumn("dist", F.lit(0)))
-    frontier = settled
+    level0 = checkpointed(sources.withColumn("dist", F.lit(0)))
+    levels = [level0]
+    frontier, prev = level0, None
     for depth in range(1, max_path_length + 1):
         # frontier ≤ |V| rows vs |E| edges: hash-build the frontier side,
         # never sort the edge table per round
@@ -1184,11 +1214,28 @@ def bfs(
             .distinct()
             .withColumn("dist", F.lit(depth))
         )
-        new_frontier = checkpointed(expanded.join(settled, "id", "left_anti"))
+        if directed:
+            # a directed successor can close a cycle back to ANY older
+            # level — exclude the whole settled set (lazy union of the
+            # per-level checkpoints; never re-materialized per round)
+            seen = levels[0]
+            for lv in levels[1:]:
+                seen = seen.unionByName(lv)
+        else:
+            # symmetric graph: a neighbor of a depth-(d-1) vertex has
+            # depth ≥ d-2, so only the last two levels can collide
+            # (same argument as multi_source_bfs, r7)
+            seen = frontier if prev is None else frontier.unionByName(prev)
+        new_frontier = checkpointed(
+            expanded.join(seen.select("id"), "id", "left_anti")
+        )
         if new_frontier.isEmpty():
             break
-        settled = checkpointed(settled.unionByName(new_frontier))
-        frontier = new_frontier
+        levels.append(new_frontier)
+        frontier, prev = new_frontier, frontier
+    settled = levels[0]
+    for lv in levels[1:]:
+        settled = settled.unionByName(lv)
     targets = vertices.filter(to_expr).select("id")
     return settled.join(targets, "id", "left_semi").select("id", "dist")
 
@@ -1378,15 +1425,21 @@ def betweenness_centrality(
         k = src_df.count()
         scale_up = float(n) / float(k) if k else 1.0
 
-    # --- forward: settled(source, id, dist, sigma) -------------------------
-    settled = src_df.select(
+    # --- forward: per-level (source, id, dist, sigma) ----------------------
+    # Two-level anti-join (r7, same argument as multi_source_bfs): the
+    # graph is symmetric, so a depth-d candidate can only collide with
+    # levels d-1/d-2 — the anti-join never rescans the whole settled set,
+    # and settled is a lazy union of the per-level checkpoints (each row
+    # written once, not once per remaining round).
+    level0 = src_df.select(
         F.col("id").alias("source"),
         F.col("id"),
         F.lit(0).alias("dist"),
         F.lit(1.0).alias("sigma"),
     )
-    settled = checkpointed(settled)
-    frontier = settled
+    level0 = checkpointed(level0)
+    levels = [level0]
+    frontier, prev = level0, None
     depth = 0
     for it in range(max_iter):
         expanded = (
@@ -1400,14 +1453,20 @@ def betweenness_centrality(
             .groupBy("source", "id", "dist")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        new_frontier = expanded.join(settled, ["source", "id"], "left_anti")
+        seen = frontier if prev is None else frontier.unionByName(prev)
+        new_frontier = expanded.join(
+            seen.select("source", "id"), ["source", "id"], "left_anti"
+        )
         new_frontier = checkpointed(new_frontier)
         if new_frontier.isEmpty():
             depth = it
             break
-        settled = checkpointed(settled.unionByName(new_frontier))
-        frontier = new_frontier
+        levels.append(new_frontier)
+        frontier, prev = new_frontier, frontier
         depth = it + 1
+    settled = levels[0]
+    for lv in levels[1:]:
+        settled = settled.unionByName(lv)
 
     # --- backward: per-level dependency accumulation -----------------------
     # succ edge (source, v -> w) exists iff dist(w) = dist(v) + 1 and (v,w) edge
@@ -1426,16 +1485,23 @@ def betweenness_centrality(
     )
     dag = checkpointed(dag)
 
-    # delta starts at 0 for every (source, id); process levels deepest-first
-    delta = settled.select("source", "id", "dist").withColumn("delta", F.lit(0.0))
-    delta = checkpointed(delta)
+    # Per-level delta frames, deepest-first (r7): every vertex sits in
+    # exactly one BFS level per source and all its DAG successors are at
+    # exactly dist+1, so δ for the level-(l-1) vertices is fully
+    # determined by one pass over the level-l DAG edges. The old shape
+    # joined the contribution into the FULL (source, id) delta table and
+    # re-checkpointed all of it every level — O(levels × |settled|)
+    # writes; this one touches only the level being computed. Deepest-
+    # level δ = 0 contributes nothing to the final sum, so those rows are
+    # skipped outright.
+    delta_prev = levels[depth].select(
+        "source", F.col("id").alias("w"), F.lit(0.0).alias("delta_w")
+    )
+    per_level_delta = []
     for level in range(depth, 0, -1):
-        dw_delta = delta.filter(F.col("dist") == level).select(
-            "source", F.col("id").alias("w"), F.col("delta").alias("delta_w")
-        )
         contrib = (
             dag.filter(F.col("dw") == level)
-            .join(dw_delta, ["source", "w"])
+            .join(delta_prev, ["source", "w"])
             .select(
                 "source",
                 F.col("v").alias("id"),
@@ -1446,17 +1512,26 @@ def betweenness_centrality(
             .groupBy("source", "id")
             .agg(F.sum("c").alias("inc"))
         )
-        delta = (
-            delta.join(contrib, ["source", "id"], "left")
+        lvl_delta = (
+            levels[level - 1]
+            .select("source", "id")
+            .join(contrib, ["source", "id"], "left")
             .select(
-                "source",
-                "id",
-                "dist",
-                (F.col("delta") + F.coalesce("inc", F.lit(0.0))).alias("delta"),
+                "source", "id", F.coalesce("inc", F.lit(0.0)).alias("delta")
             )
         )
-        delta = checkpointed(delta)
+        lvl_delta = checkpointed(lvl_delta)
+        per_level_delta.append(lvl_delta)
+        delta_prev = lvl_delta.select(
+            "source", F.col("id").alias("w"), F.col("delta").alias("delta_w")
+        )
 
+    if per_level_delta:
+        delta = per_level_delta[0]
+        for lv in per_level_delta[1:]:
+            delta = delta.unionByName(lv)
+    else:
+        delta = settled.select("source", "id").withColumn("delta", F.lit(0.0))
     acc = (
         delta.filter(F.col("source") != F.col("id"))
         .groupBy("id")

@@ -1942,6 +1942,42 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+REPETITION_SQL = r"""
+WITH wl AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w FROM documents
+), words AS (
+    SELECT doc_id, UNNEST(w) AS g FROM wl
+), wc AS (
+    SELECT doc_id, g, COUNT(*) AS n FROM words GROUP BY doc_id, g
+), ws AS (
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct, MAX(n) AS top_n
+    FROM wc GROUP BY doc_id
+), bg AS (
+    SELECT wl.doc_id AS doc_id, wl.w[s.i] || ' ' || wl.w[s.i + 1] AS g
+    FROM wl, UNNEST(generate_series(1, len(wl.w) - 1)) AS s(i)
+), bc AS (
+    SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY doc_id, g
+), bs AS (
+    SELECT doc_id, SUM(n) AS n_bi, MAX(n) AS top_bi FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id AS doc_id, ws.n_words AS n_words,
+       ROUND(ws.n_distinct * 1.0 / ws.n_words, 4) AS distinct_word_frac,
+       ROUND(ws.top_n * 1.0 / ws.n_words, 4) AS top_word_frac,
+       ROUND(COALESCE(bs.top_bi * 1.0 / bs.n_bi, 0.0), 4) AS top_bigram_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+@register("repetition_quality", REPETITION_SQL)
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 SA1.1)
+    over the documents table: distinct-word / top-word / top-bigram
+    fractions — the repeated-content filters a pretraining curation
+    pipeline applies alongside quality_score's length/punct rules."""
+    return ftext.gopher_repetition(_t(spark, sf_dir, "documents"))
+
+
 def _sentiment_sql() -> str:
     pos = [w for w, s in ftext.SENTIMENT_LEXICON.items() if s > 0]
     neg = [w for w, s in ftext.SENTIMENT_LEXICON.items() if s < 0]
@@ -3980,7 +4016,7 @@ def q_profile_documents(spark, sf_dir):
 #   (a) sentinels on every code path the current round changed, then
 #   (b) oldest-unchecked-first — the queries whose last driver check is
 #       furthest in the past fill the remaining slots.
-# Rotated-out greens remain registered + locally oracle-tested (all 150
+# Rotated-out greens remain registered + locally oracle-tested (all 151
 # pairs run in tests/test_entry_oracle.py; the 14 rows-only queries run
 # there too).
 #
@@ -3993,9 +4029,13 @@ def q_profile_documents(spark, sf_dir):
 # last driver check was round 1 (38, including the four flagged by the
 # verdict as five-rounds-unchecked: induced_subgraph_small_parts,
 # edge_file_roundtrip, parts_never_ordered, top_order_per_customer),
-# topped up with seven round-3-last queries chosen for mechanism
-# diversity (adjacency build, motif DSL, directed degrees,
-# assortativity, aggregate-messages, text stats, exact dedup).
+# topped up with four round-3-last queries chosen for mechanism
+# diversity (adjacency build, motif DSL, aggregate-messages, exact
+# dedup), two hard-oracle sentinels on the r7 BFS-family rewrite
+# (betweenness_path — per-level Brandes deltas; diameter_small —
+# two-level anti-join), and the NEW r7 repetition_quality operator in
+# the text-stats slot (new queries get their driver check in the round
+# that lands them).
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
@@ -4047,10 +4087,10 @@ _WINDOW = [
     # --- last driver-checked in round 3 (next-oldest, 7 slots) ---
     "adjacency",
     "motif_four_cycles_small",
-    "in_out_degree",
-    "degree_assortativity",
+    "betweenness_path",  # r7 sentinel: per-level Brandes delta rewrite
+    "diameter_small",    # r7 sentinel: two-level BFS anti-join rewrite
     "aggmsg_neighbor_price",
-    "token_count",
+    "repetition_quality",  # NEW r7 operator (text stats slot) — never checked
     "dedup_exact",
 ]
 

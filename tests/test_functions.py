@@ -44,6 +44,26 @@ class TestText:
         fps = [r.fp for r in df.select(ftext.fingerprint(F.col("text")).alias("fp")).collect()]
         assert fps[0] == fps[1] != fps[2]
 
+    def test_gopher_repetition(self, spark):
+        df = docs_df(spark, ["a b a b a", "unique words only here", "solo"])
+        rows = {
+            r.doc_id: r
+            for r in ftext.gopher_repetition(df).collect()
+        }
+        # "a b a b a": 5 words, 2 distinct, top word "a" x3;
+        # bigrams: "a b" x2, "b a" x2 of 4 -> 0.5
+        assert rows[0].n_words == 5
+        assert rows[0].distinct_word_frac == 0.4
+        assert rows[0].top_word_frac == 0.6
+        assert rows[0].top_bigram_frac == 0.5
+        # all-distinct doc
+        assert rows[1].distinct_word_frac == 1.0
+        assert rows[1].top_word_frac == 0.25
+        assert rows[1].top_bigram_frac == round(1.0 / 3, 4)
+        # single word: no bigrams -> 0.0 via the left-join coalesce
+        assert rows[2].n_words == 1
+        assert rows[2].top_bigram_frac == 0.0
+
 
 class TestDedup:
     def test_exact_dedup(self, spark):
