@@ -84,8 +84,12 @@ HEADLINE = [
     # round-5 append: the community-quality family (modularity /
     # conductance) is new — one representative keeps the board honest.
     "community_modularity_cliques",
-    # round-7 append: the new Gopher-repetition text-quality operator.
+    # round-7 appends: the new Gopher-repetition text-quality operator,
+    # the corpus-global duplicated-trigram signal, and the Lloyd's
+    # k-means codebook refinement.
     "repetition_quality",
+    "dup_ngram_coverage",
+    "kmeans_centroids_small",
 ]
 
 

@@ -423,3 +423,59 @@ def dedup_against(
             .alias("drop_reason"),
         )
     )
+
+
+def duplicate_ngram_coverage(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-global duplicated-span signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", the
+    exact-substring criterion at word-n-gram granularity): for every
+    document, the fraction of its DISTINCT word n-grams that also occur
+    in at least one OTHER document — ``(doc_id, n_ngrams,
+    dup_ngram_frac)``. Pairwise ops (MinHash/Jaccard above) find near-dup
+    *pairs*; this is the per-document contamination score a curation
+    pipeline thresholds on.
+
+    Plan: n-grams are built and de-duplicated INSIDE each row
+    (``transform`` over the token array + ``array_distinct`` — map-side,
+    no window, no shuffle), then one explode feeds exactly three keyed
+    shuffles: gram → distinct-doc count (map-side partials), gram-keyed
+    join back, doc_id rollup. Docs shorter than ``n`` words score 0 over
+    0 grams. Hot grams (stopword runs) are AQE-skew-join territory; the
+    count aggregate itself is partial-aggregated so the hot key ships one
+    row per map task.
+    """
+    grams_arr = F.array_distinct(
+        F.expr(
+            f"transform(slice(w, 1, size(w) - {n - 1}),"
+            f" (x, i) -> concat_ws(' ', slice(w, i + 1, {n})))"
+        )
+    )
+    grams = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w")
+        )
+        .filter(F.size("w") >= n)
+        .select("doc_id", F.explode(grams_arr).alias("g"))
+    )
+    gram_docs = grams.groupBy("g").agg(F.count("*").alias("nd"))
+    per_doc = (
+        grams.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("dup"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.round(
+                F.coalesce(F.col("dup") / F.col("n_ngrams"), F.lit(0.0)), 4
+            ).alias("dup_ngram_frac"),
+        )
+    )

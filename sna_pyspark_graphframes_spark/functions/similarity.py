@@ -277,3 +277,74 @@ def ann_topk(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    stride: int = 40,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, pure DataFrame ops —
+    the production refinement of the stride codebook ``ivf_centroids``
+    documents: ``(centroid_id, n_members, cv)``.
+
+    Init = the deterministic stride sample (so both engines start from
+    the identical codebook). Each iteration: broadcast the k-row centroid
+    frame — k = N/stride DOES grow with data, but under the documented
+    stride ≈ √N policy it is √N-scale (31k rows at 10⁹ vectors), and
+    Lloyd's assignment inherently needs the full codebook against every
+    vector, so broadcast IS the distribution strategy (same posture as
+    ``ivf_assign``; a codebook too big to broadcast needs sharded
+    assignment — documented, not implemented). Then assign
+    every vector to its nearest centroid by cosine ROUNDED to 6 dp with
+    centroid_id tie-break (the ``ivf_assign`` reproducibility recipe),
+    then recompute each non-empty cluster's centroid as the per-dimension
+    mean — ONE groupBy carrying ``dim`` codegen'd avg aggregates, no UDF,
+    and each component re-rounded to 6 dp so the next iteration's inputs
+    are byte-identical across engines. Empty clusters drop (standard
+    Lloyd's); k can only shrink.
+
+    Scale: per iteration one broadcast-join scan of N rows + one keyed
+    shuffle of k·dim partial means — the textbook distributed Lloyd's.
+    ``checkpointed`` truncates the per-iteration lineage so the plan does
+    not nest crossJoin+window n_iter deep.
+    """
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    v = checkpointed(v)
+    c = embeddings.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id").asc()
+    )
+    best = None
+    for _ in range(n_iter):
+        scored = v.crossJoin(F.broadcast(c)).select(
+            "id",
+            "v",
+            "centroid_id",
+            F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6).alias("cos"),
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "v", "centroid_id")
+        )
+        c = best.groupBy("centroid_id").agg(
+            F.count("*").alias("n_members"),
+            F.array(
+                *[F.round(F.avg(F.col("v")[d]), 6) for d in range(dim)]
+            ).alias("cv"),
+        )
+        c = checkpointed(c)
+    return c.select("centroid_id", "n_members", "cv")

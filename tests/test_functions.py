@@ -72,6 +72,26 @@ class TestDedup:
         groups = {r.keep_doc_id: r.n_dups for r in out.collect()}
         assert groups == {0: 2, 2: 1}
 
+    def test_duplicate_ngram_coverage(self, spark):
+        df = docs_df(
+            spark,
+            [
+                "the cat sat on the mat",   # shares "the cat sat"/"cat sat on" with doc 1
+                "the cat sat on a log",
+                "entirely different words here",
+                "too short",                 # < 3 words -> 0 grams
+            ],
+        )
+        rows = {r.doc_id: r for r in fdedup.duplicate_ngram_coverage(df).collect()}
+        # doc 0: grams {the cat sat, cat sat on, sat on the, on the mat} — first two shared
+        assert rows[0].n_ngrams == 4
+        assert rows[0].dup_ngram_frac == 0.5
+        assert rows[1].n_ngrams == 4
+        assert rows[1].dup_ngram_frac == 0.5
+        assert rows[2].dup_ngram_frac == 0.0
+        assert rows[3].n_ngrams == 0
+        assert rows[3].dup_ngram_frac == 0.0
+
     def test_minhash_identical_docs_collide(self, spark):
         df = docs_df(
             spark,
@@ -191,6 +211,30 @@ class TestSimilarity:
         r3 = recall(fsim.ivf_topk(df, k=3, stride=20, n_probe=3))
         assert r3 >= r1
         assert r3 > 0.4  # probing 3 of 6 lists recovers a solid fraction
+
+    def test_kmeans_centroids_converge_on_separable_clusters(self, spark):
+        """Two tight, well-separated direction clusters + a 2-sample stride
+        init: Lloyd's must send every vector to its own cluster's centroid
+        and the refined centroids must be the per-cluster means."""
+        a = [[1.0, 0.0, 0.05 * i, 0.0] for i in range(4)]   # ids 0,2,4,6
+        b = [[0.0, 1.0, 0.0, 0.05 * i] for i in range(4)]   # ids 1,3,5,7
+        vecs = [(2 * i, a[i]) for i in range(4)] + [(2 * i + 1, b[i]) for i in range(4)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        # stride=2 -> init centroids = every even id = all of cluster A;
+        # cluster B has no seed, so convergence must still split A-seeds
+        # across the two directions? No: all seeds are A-like, every vector
+        # assigns somewhere, empty seeds drop. Use stride=7 -> seeds 0 and 7
+        # (one per cluster).
+        out = {
+            r.centroid_id: r
+            for r in fsim.kmeans_centroids(df, stride=7, n_iter=3, dim=4).collect()
+        }
+        assert set(out) == {0, 7}
+        assert out[0].n_members == 4 and out[7].n_members == 4
+        mean_a = [round(sum(v[d] for v in a) / 4, 6) for d in range(4)]
+        mean_b = [round(sum(v[d] for v in b) / 4, 6) for d in range(4)]
+        assert [round(x, 6) for x in out[0].cv] == pytest.approx(mean_a, abs=1e-6)
+        assert [round(x, 6) for x in out[7].cv] == pytest.approx(mean_b, abs=1e-6)
 
     def test_ann_topk_runs_and_ranks(self, spark):
         vecs = [(i, [float(i % 5), float((i * 7) % 3), 1.0]) for i in range(40)]
