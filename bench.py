@@ -90,6 +90,8 @@ HEADLINE = [
     "repetition_quality",
     "dup_ngram_coverage",
     "kmeans_centroids_small",
+    # round-7 append: HITS fills the classic-SNA gap next to PageRank.
+    "hits_customer_orders",
 ]
 
 

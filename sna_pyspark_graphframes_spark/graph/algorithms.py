@@ -1897,3 +1897,71 @@ def truss_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
             prev.select("src", "dst", F.lit(max_k).alias("truss"))
         )
     return out
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``(id, hub, auth)`` — Kleinberg's HITS (JACM 1999) on the DIRECTED
+    edge set: exactly ``n_iter`` rounds of auth ← normalize(Aᵀ·hub),
+    hub ← normalize(A·auth), each half-step L2-normalized and ROUNDED to
+    6 dp. The reference's library family (GraphFrames/GraphX) ships
+    PageRank but not HITS; this fills the classic-SNA gap alongside
+    eigenvector centrality.
+
+    Fixed iteration count + per-half-step rounding is the kmeans-codebook
+    reproducibility recipe: every half-step's inputs are identical
+    decimals on both engines, so the registry oracle can unroll the SAME
+    ``n_iter`` rounds as chained SQL CTEs over an arbitrary graph and
+    match value-for-value — fp accumulation-order differences never
+    compound across rounds.
+
+    Plan per half-step: one edge-state join (state side size-gated
+    through ``_state_hinted``) + one keyed sum, checkpointed; the L2 norm
+    is a driver scalar read OFF the materialized sums (the PageRank
+    dangling-mass pattern — one cheap scan of cached blocks, not a
+    broadcast whose build re-executes the half-step), and the normalize
+    is a lazy projection entering the next half-step as a literal
+    divisor. Zero-degree vertices keep score 0 through the left join.
+    At 100 TB: |E|-keyed shuffles only, state is |V| rows.
+    """
+    e = checkpointed(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    verts = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    verts = checkpointed(verts)
+    n = verts.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "id long, hub double, auth double"
+        )
+    hub = verts.withColumn("hub", F.lit(1.0))
+    auth = None
+
+    def _half(state: DataFrame, val: str, join_on: str, group_to: str):
+        """One half-step: sum ``val`` over ``join_on``-matched edges onto
+        ``group_to`` endpoints, L2-normalize, round 6 dp."""
+        summed = (
+            e.join(_state_hinted(state, n), F.col(join_on) == state["id"])
+            .groupBy(F.col(group_to).alias("id"))
+            .agg(F.sum(val).alias("r"))
+        )
+        raw = checkpointed(
+            verts.join(summed, "id", "left").select(
+                "id", F.coalesce("r", F.lit(0.0)).alias("r")
+            )
+        )
+        nrm = raw.agg(F.sqrt(F.sum(F.col("r") * F.col("r")))).first()[0]
+        out_col = "auth" if group_to == "dst" else "hub"
+        return raw.select(
+            "id", F.round(F.col("r") / F.lit(nrm), 6).alias(out_col)
+        )
+
+    for _ in range(n_iter):
+        auth = _half(hub, "hub", "src", "dst")
+        hub = _half(auth, "auth", "dst", "src")
+    return hub.join(auth, "id").select("id", "hub", "auth")

@@ -798,12 +798,58 @@ _SMALL_BFS_CTES = f"""{_SMALL_CTES},
 """
 
 
-@register("connected_components", None)
+def _cc_minlabel_sql(n_rounds: int = 8) -> tuple[str, str]:
+    """DuckDB twin of ``algorithms.connected_components`` on the
+    co-purchase graph — unrolled min-label propagation, integer-exact
+    like the LPA twin. The round count is data-dependent in the Spark
+    loop, but min-label is MONOTONE: once the unroll reaches the fixed
+    point, further stages are identity, so any unroll ≥ rounds-to-
+    fixpoint yields the true per-component minimum regardless of the
+    loop's exit round (and of formulation differences — the fixed point
+    is min-over-component, full stop). Measured rounds-to-fixpoint on
+    this graph: 2 (sf0.001/sf0.01), 3 (sf0.1); 8 stages is a wide
+    margin at ~zero cost."""
+    parts = [
+        f"""WITH ce AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+e AS MATERIALIZED (
+    SELECT src, dst FROM ce UNION SELECT dst AS src, src AS dst FROM ce
+), m0 AS MATERIALIZED (
+    SELECT DISTINCT src AS id, src AS lbl FROM e
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""", m{i} AS MATERIALIZED (
+    SELECT l.id, LEAST(l.lbl, COALESCE(MIN(p.lbl), l.lbl)) AS lbl
+    FROM m{i - 1} l
+    LEFT JOIN e ON e.src = l.id
+    LEFT JOIN m{i - 1} p ON p.id = e.dst
+    GROUP BY l.id, l.lbl
+)"""
+        )
+    return "".join(parts), f"m{n_rounds}"
+
+
+_CC_STAGES, _CC_FINAL = _cc_minlabel_sql(8)
+
+
+@register(
+    "connected_components",
+    f"{_CC_STAGES}\nSELECT id, lbl AS component FROM {_CC_FINAL}",
+)
 def q_connected_components(spark, sf_dir):
+    """Full (id, component) table of the co-purchase graph, hard-checked
+    against the unrolled min-label CTE twin (upgraded from rows-only in
+    r7 — the frontier loop's result is now value-checked on the real
+    graph, not only on closed-form fixtures)."""
     return algorithms.connected_components(_copurchase(spark, sf_dir))
 
 
-@register("connected_components_count", None)
+@register(
+    "connected_components_count",
+    f"{_CC_STAGES}\nSELECT COUNT(DISTINCT lbl) AS n_components "
+    f"FROM {_CC_FINAL}",
+)
 def q_cc_count(spark, sf_dir):
     cc = algorithms.connected_components(_copurchase(spark, sf_dir))
     return cc.agg(F.countDistinct("component").alias("n_components"))
@@ -821,7 +867,67 @@ def _lpa_labels(spark, sf_dir):
     )
 
 
-@register("lpa_community_count", None)
+def _lpa_sql(n_iter: int = 5) -> str:
+    """DuckDB twin of ``algorithms.label_propagation`` on the co-purchase
+    graph: synchronous LPA is pure INTEGER arithmetic (neighbor-label
+    counts, most-frequent with min-label tie-break), so the unrolled-CTE
+    oracle is EXACT — no fp drift to manage, unlike the kmeans/HITS
+    twins. One stage per superstep: per-(vertex, label) count over the
+    symmetrized edges, then row_number argmax (count DESC, label ASC =
+    ``F.mode(label, deterministic=True)``). Every vertex of an
+    edge-derived graph has ≥1 neighbor, so no carry-over branch is
+    needed; the Spark loop's frontier gating and early exit are
+    exactness-preserving (a fixed point stays fixed under further
+    rounds), so maxIter-unrolled SQL matches regardless of where the
+    loop stopped. MATERIALIZED pins linear plan growth (each stage is
+    referenced by the next)."""
+    parts = [
+        f"""WITH ce AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+e AS MATERIALIZED (
+    SELECT src, dst FROM ce UNION SELECT dst AS src, src AS dst FROM ce
+), l0 AS MATERIALIZED (
+    SELECT DISTINCT src AS id, src AS label FROM e
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", c{i} AS MATERIALIZED (
+    SELECT e.src AS id, p.label AS label, COUNT(*) AS c
+    FROM e JOIN l{i - 1} p ON p.id = e.dst
+    GROUP BY e.src, p.label
+), l{i} AS MATERIALIZED (
+    SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+        FROM c{i}
+    ) WHERE rn = 1
+)"""
+        )
+    return "".join(parts), f"l{n_iter}"
+
+
+_LPA_STAGES, _LPA_FINAL = _lpa_sql(5)
+
+
+@register(
+    "lpa_labels_exact",
+    f"{_LPA_STAGES}\nSELECT id, label FROM {_LPA_FINAL}",
+)
+def q_lpa_labels_exact(spark, sf_dir):
+    """The full LPA label assignment of the co-purchase graph (maxIter=5),
+    value-checked row-for-row against the unrolled integer-exact CTE
+    twin — upgrades the LPA loop from closed-form-fixture checks to a
+    hard check on the real graph. Reuses the memoized assignment
+    (one-assignment-per-graph rule)."""
+    return _lpa_labels(spark, sf_dir)
+
+
+@register(
+    "lpa_community_count",
+    f"{_LPA_STAGES}\nSELECT COUNT(DISTINCT label) AS n_communities "
+    f"FROM {_LPA_FINAL}",
+)
 def q_lpa_count(spark, sf_dir):
     return algorithms.community_count(_lpa_labels(spark, sf_dir))
 
@@ -1797,6 +1903,67 @@ def q_core_numbers(spark, sf_dir):
     return algorithms.core_numbers(_small_copurchase(spark, sf_dir))
 
 
+def _hits_sql(n_iter: int = 4) -> str:
+    """DuckDB twin of ``algorithms.hits`` on the customer→order bipartite
+    graph — the fixed iteration count unrolls into chained CTE stages
+    (the kmeans-codebook recipe applied to a graph loop): each half-step
+    left-joins ALL vertices (zero-degree rows score 0), L2-normalizes by
+    a scalar subquery over the raw sums, and rounds to 6 dp so the next
+    stage's inputs are identical decimals on both engines. Every stage is
+    MATERIALIZED: DuckDB inlines plain CTEs, and each stage referencing
+    the previous one more than once (scalar norm subquery + outer select)
+    makes the inlined plan grow 2^stages — measured 0.1 s materialized vs
+    a >120 s timeout inlined at sf0.01. Customers are negated so the
+    o_custkey/o_orderkey ranges (which overlap) stay disjoint vertex
+    ids."""
+    parts = [
+        "WITH e AS MATERIALIZED (\n"
+        "    SELECT DISTINCT -o_custkey AS src, o_orderkey AS dst FROM orders\n"
+        "), v AS MATERIALIZED (\n"
+        "    SELECT src AS id FROM e UNION SELECT dst FROM e\n"
+        "), h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM v)"
+    ]
+    prev = "h0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", ra{i} AS MATERIALIZED (
+    SELECT v.id, COALESCE(SUM(h.hub), 0.0) AS r
+    FROM v LEFT JOIN e ON e.dst = v.id LEFT JOIN {prev} h ON h.id = e.src
+    GROUP BY v.id
+), a{i} AS MATERIALIZED (
+    SELECT id, ROUND(r / (SELECT SQRT(SUM(r * r)) FROM ra{i}), 6) AS auth
+    FROM ra{i}
+), rh{i} AS MATERIALIZED (
+    SELECT v.id, COALESCE(SUM(a.auth), 0.0) AS r
+    FROM v LEFT JOIN e ON e.src = v.id LEFT JOIN a{i} a ON a.id = e.dst
+    GROUP BY v.id
+), h{i} AS MATERIALIZED (
+    SELECT id, ROUND(r / (SELECT SQRT(SUM(r * r)) FROM rh{i}), 6) AS hub
+    FROM rh{i}
+)"""
+        )
+        prev = f"h{i}"
+    parts.append(
+        f"""
+SELECT h{n_iter}.id AS id, h{n_iter}.hub AS hub, a{n_iter}.auth AS auth
+FROM h{n_iter} JOIN a{n_iter} ON a{n_iter}.id = h{n_iter}.id"""
+    )
+    return "".join(parts)
+
+
+@register("hits_customer_orders", _hits_sql())
+def q_hits(spark, sf_dir):
+    """Kleinberg HITS (4 rounds) on the customer→order bipartite graph:
+    hubs = customers weighted by how much authority their orders
+    accumulate, authorities = orders of strong hubs. Hard value-check of
+    an arbitrary-graph iterative loop via the unrolled-CTE oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    e = orders.select(
+        (-F.col("o_custkey")).alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    return algorithms.hits(e, n_iter=4)
+
+
 @register("pagerank_top20", None)
 def q_pagerank(spark, sf_dir):
     """PageRank over the co-purchase graph, top-20 by rank (deterministic
@@ -2377,7 +2544,7 @@ def _kmeans_sql(n_iter: int = 3, stride: int = 40, dim: int = 64) -> str:
                  / (sqrt(list_dot_product(v.v, v.v))
                     * sqrt(list_dot_product({prev}.cv, {prev}.cv))), 6) AS cos
     FROM v, {prev}
-), b{i} AS (
+), b{i} AS MATERIALIZED (
     SELECT id, v, centroid_id FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY id ORDER BY cos DESC, centroid_id ASC) AS rn
@@ -4120,7 +4287,7 @@ def q_profile_documents(spark, sf_dir):
 #   (a) sentinels on every code path the current round changed, then
 #   (b) oldest-unchecked-first — the queries whose last driver check is
 #       furthest in the past fill the remaining slots.
-# Rotated-out greens remain registered + locally oracle-tested (all 153
+# Rotated-out greens remain registered + locally oracle-tested (all 158
 # pairs run in tests/test_entry_oracle.py; the 14 rows-only queries run
 # there too).
 #
@@ -4133,8 +4300,8 @@ def q_profile_documents(spark, sf_dir):
 # last driver check was round 1 (36, including the four flagged by the
 # verdict as five-rounds-unchecked: induced_subgraph_small_parts,
 # edge_file_roundtrip, parts_never_ordered, top_order_per_customer;
-# price_math and orders_per_month yielded their slots to the two other
-# NEW r7 pairs — never-checked beats checked-once-in-r1),
+# price_math, orders_per_month, and acctbal_stats yielded their slots to
+# the three other NEW r7 pairs — never-checked beats checked-once-in-r1),
 # topped up with four round-3-last queries chosen for mechanism
 # diversity (adjacency build, motif DSL, aggregate-messages, exact
 # dedup), two hard-oracle sentinels on the r7 BFS-family rewrite
@@ -4164,7 +4331,7 @@ _WINDOW = [
     "dup_ngram_coverage",  # NEW r7: corpus-global duplicated-trigram signal
     "sql_shipping_priority",
     "parts_never_ordered",         # named five-rounds-unchecked (VERDICT r6)
-    "acctbal_stats",
+    "hits_customer_orders",  # NEW r7: Kleinberg HITS, unrolled-CTE oracle
     "n_parts_approx",
     "copurchase_edges",
     "vertices_from_edges",
@@ -4181,9 +4348,9 @@ _WINDOW = [
     "triangles_per_vertex",        # also an r7 sentinel (_degree_oriented)
     "avg_clustering",
     "transitivity",
-    "connected_components",
-    "connected_components_count",
-    "lpa_community_count",         # also an r7 sentinel (LPA layout)
+    "connected_components",        # r7: upgraded rows-only → min-label CTE oracle
+    "lpa_labels_exact",            # NEW r7: full LPA table, integer-exact oracle
+    "lpa_community_count",         # r7 LPA-layout sentinel; now oracle-backed
     "connected_components_twophase_small",
     "avg_closeness_small",
     "avg_betweenness_small",

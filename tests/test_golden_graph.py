@@ -823,3 +823,51 @@ class TestWidestPath:
         )
         got = as_map(algorithms.widest_path(e, 1), "id", "capacity")
         assert got[3] == 8.0 and got[2] == 9.0
+
+
+class TestHITS:
+    def _ref(self, edges, n_iter):
+        """Pure-Python HITS mirroring the per-half-step normalize+round."""
+        verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+        hub = {v: 1.0 for v in verts}
+        auth = {}
+        for _ in range(n_iter):
+            ra = {v: sum(hub[u] for u, w in edges if w == v) for v in verts}
+            nrm = sum(x * x for x in ra.values()) ** 0.5
+            auth = {v: round(ra[v] / nrm, 6) for v in verts}
+            rh = {u: sum(auth[w] for x, w in edges if x == u) for u in verts}
+            nrm = sum(x * x for x in rh.values()) ** 0.5
+            hub = {u: round(rh[u] / nrm, 6) for u in verts}
+        return hub, auth
+
+    def test_hits_bipartite_star(self, spark):
+        """Customers→orders star: c1 with two orders out-hubs c2 with one;
+        orders of the bigger hub out-auth the other. Exact per-step match
+        against the Python mirror (same normalize+round schedule)."""
+        edges = [(1, 101), (1, 102), (2, 103)]
+        out = {
+            r.id: (r.hub, r.auth)
+            for r in algorithms.hits(edges_df(spark, edges), n_iter=3).collect()
+        }
+        hub, auth = self._ref(edges, 3)
+        assert set(out) == set(hub)
+        for v in hub:
+            assert out[v][0] == pytest.approx(hub[v], abs=2e-6)
+            assert out[v][1] == pytest.approx(auth[v], abs=2e-6)
+        assert out[1][0] > out[2][0] > 0.0          # c1 the stronger hub
+        assert out[101][1] == out[102][1] > out[103][1]  # its orders stronger auths
+        assert out[101][0] == 0.0                   # orders point nowhere
+
+    def test_hits_cycle_uniform(self, spark):
+        """On a directed cycle every vertex has in=out=1, so the uniform
+        vector is the exact fixed point of both half-steps."""
+        cyc = [(1, 2), (2, 3), (3, 1)]
+        out = {r.id: (r.hub, r.auth) for r in algorithms.hits(edges_df(spark, cyc), n_iter=2).collect()}
+        u = round(1 / 3 ** 0.5, 6)
+        for v in (1, 2, 3):
+            assert out[v][0] == pytest.approx(u, abs=2e-6)
+            assert out[v][1] == pytest.approx(u, abs=2e-6)
+
+    def test_hits_empty(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        assert algorithms.hits(df).count() == 0
