@@ -1890,16 +1890,83 @@ def q_ppr(spark, sf_dir):
     return pr.orderBy(F.col("pagerank").desc(), F.col("id").asc()).limit(20)
 
 
-@register("k_core_small", None)
+def _k_core_sql(k: int = 2, n_rounds: int = 10) -> str:
+    """DuckDB twin of ``algorithms.k_core``: unrolled peeling (drop all
+    vertices of degree < k, repeat) over the small canonical subgraph.
+    Integer-exact and MONOTONE (the edge set only shrinks), so any unroll
+    ≥ rounds-to-fixpoint returns the exact k-core regardless of where
+    the Spark loop's convergence test fires. Measured peel depth on this
+    fixture: 1 (sf0.001), 3 (sf0.01), 4 (sf0.1); 10 stages shipped."""
+    parts = [
+        f"""WITH e0 AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+p0 AS MATERIALIZED (
+    SELECT src, dst FROM e0 WHERE src < 100 AND dst < 100
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""", k{i} AS MATERIALIZED (
+    SELECT id FROM (
+        SELECT src AS id FROM p{i - 1} UNION ALL SELECT dst FROM p{i - 1}
+    ) GROUP BY id HAVING COUNT(*) >= {k}
+), p{i} AS MATERIALIZED (
+    SELECT src, dst FROM p{i - 1}
+    WHERE src IN (SELECT id FROM k{i}) AND dst IN (SELECT id FROM k{i})
+)"""
+        )
+    parts.append(f"\nSELECT src, dst FROM p{n_rounds}")
+    return "".join(parts)
+
+
+def _core_numbers_sql(n_rounds: int = 24) -> str:
+    """DuckDB twin of ``algorithms.core_numbers`` via the h-index
+    iteration (Lü et al., Nature Communications 2016): c₀ = degree,
+    c_{t+1}(v) = H-index of neighbors' c_t — monotone non-increasing and
+    its fixed point IS the core number, so the peeling loop and this
+    twin agree exactly once the unroll passes the fixpoint (the same
+    formulation-independence argument as the min-label CC twin).
+    Measured rounds-to-fixpoint on this fixture: 9 (sf0.001),
+    4 (sf0.01), 2 (sf0.1); 24 stages shipped. H-index per vertex =
+    max rank r (neighbors' values desc) with value ≥ r."""
+    parts = [
+        f"""WITH e0 AS MATERIALIZED ({COPURCHASE_EDGES_SQL}),
+sym AS MATERIALIZED (
+    SELECT src, dst FROM e0 WHERE src < 100 AND dst < 100
+    UNION
+    SELECT dst, src FROM e0 WHERE src < 100 AND dst < 100
+), h0 AS MATERIALIZED (
+    SELECT src AS id, COUNT(*) AS c FROM sym GROUP BY src
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""", h{i} AS MATERIALIZED (
+    SELECT id, COALESCE(MAX(CASE WHEN val >= rn THEN rn END), 0) AS c
+    FROM (
+        SELECT s.src AS id, p.c AS val,
+               ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY p.c DESC) AS rn
+        FROM sym s JOIN h{i - 1} p ON p.id = s.dst
+    ) GROUP BY id
+)"""
+        )
+    parts.append(f"\nSELECT id, CAST(c AS BIGINT) AS core FROM h{n_rounds}")
+    return "".join(parts)
+
+
+@register("k_core_small", _k_core_sql())
 def q_k_core(spark, sf_dir):
-    """2-core of the small co-purchase subgraph (iterative peeling;
-    value-level correctness in tests/test_golden_graph.py::TestKCore)."""
+    """2-core of the small co-purchase subgraph — upgraded from rows-only
+    in r7: the peeling loop's edge output is value-checked against the
+    unrolled integer-exact peeling twin (plus the golden tests in
+    tests/test_golden_graph.py::TestKCore)."""
     return algorithms.k_core(_small_copurchase(spark, sf_dir), k=2)
 
 
-@register("core_numbers_small", None)
+@register("core_numbers_small", _core_numbers_sql())
 def q_core_numbers(spark, sf_dir):
-    """Core number per vertex of the small co-purchase subgraph."""
+    """Core number per vertex of the small co-purchase subgraph —
+    upgraded from rows-only in r7 via the h-index-iteration twin (the
+    fixed point equals peeling coreness, Lü et al. 2016)."""
     return algorithms.core_numbers(_small_copurchase(spark, sf_dir))
 
 
@@ -4287,7 +4354,7 @@ def q_profile_documents(spark, sf_dir):
 #   (a) sentinels on every code path the current round changed, then
 #   (b) oldest-unchecked-first — the queries whose last driver check is
 #       furthest in the past fill the remaining slots.
-# Rotated-out greens remain registered + locally oracle-tested (all 158
+# Rotated-out greens remain registered + locally oracle-tested (all 160
 # pairs run in tests/test_entry_oracle.py; the 14 rows-only queries run
 # there too).
 #
@@ -4342,8 +4409,8 @@ _WINDOW = [
     "edge_file_roundtrip",         # named five-rounds-unchecked (VERDICT r6)
     "dense_rekey_nation",
     "degree",
-    "degree_histogram",
-    "top10_degree",
+    "k_core_small",        # r7: upgraded rows-only → unrolled peeling oracle
+    "core_numbers_small",  # r7: upgraded rows-only → h-index-iteration oracle
     "avg_degree",
     "triangles_per_vertex",        # also an r7 sentinel (_degree_oriented)
     "avg_clustering",
