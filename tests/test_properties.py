@@ -168,3 +168,75 @@ def test_harmonic_bounds(spark, pairs):
     n = len({v for p in pairs for v in p})
     for r in out:
         assert 0 < r.harmonic <= n - 1 + 1e-9
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_hits_matches_python_mirror(spark, pairs):
+    """HITS on ANY directed graph equals the pure-Python mirror of the
+    same normalize+round schedule (r7) — and hub/auth are L2-unit up to
+    the 6-dp rounding."""
+    n_iter = 2
+    out = {
+        r.id: (r.hub, r.auth)
+        for r in algorithms.hits(_df(spark, pairs), n_iter=n_iter).collect()
+    }
+    edges = sorted({(a, b) for a, b in pairs})
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {v: 1.0 for v in verts}
+    auth = {}
+    for _ in range(n_iter):
+        ra = {v: sum(hub[u] for u, w in edges if w == v) for v in verts}
+        nrm = sum(x * x for x in ra.values()) ** 0.5
+        auth = {v: round(ra[v] / nrm, 6) for v in verts}
+        rh = {u: sum(auth[w] for x, w in edges if x == u) for u in verts}
+        nrm = sum(x * x for x in rh.values()) ** 0.5
+        hub = {u: round(rh[u] / nrm, 6) for u in verts}
+    assert set(out) == set(verts)
+    for v in verts:
+        assert abs(out[v][0] - hub[v]) < 2e-6, (v, out[v], hub[v])
+        assert abs(out[v][1] - auth[v]) < 2e-6, (v, out[v], auth[v])
+    for i in (0, 1):
+        s = sum(out[v][i] ** 2 for v in verts)
+        assert abs(s - 1.0) < 1e-3
+
+
+docs_lists = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=6
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=docs_lists)
+@settings(**SETTINGS)
+def test_duplicate_ngram_coverage_matches_brute_force(spark, docs):
+    """dup-trigram coverage on ANY tiny corpus equals the brute-force
+    Python computation over per-doc distinct trigrams (r7)."""
+    from sna_pyspark_graphframes_spark.functions import dedup as fdedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_ngrams, r.dup_ngram_frac)
+        for r in fdedup.duplicate_ngram_coverage(df, n=3).collect()
+    }
+    # brute force; NB empty text tokenizes to [""] (split semantics)
+    grams = {
+        i: {
+            " ".join((words or [""])[j : j + 3])
+            for j in range(len(words or [""]) - 2)
+        }
+        for i, words in enumerate(docs)
+    }
+    for i, g in grams.items():
+        dup = sum(
+            1 for x in g if any(x in g2 for j, g2 in grams.items() if j != i)
+        )
+        assert out[i][0] == len(g), (i, docs)
+        expect = round(dup / len(g), 4) if g else 0.0
+        assert abs(out[i][1] - expect) < 1e-9, (i, docs)
