@@ -776,3 +776,39 @@ def word_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: ``(doc_id, shard, pos)`` where the corpus is re-ordered by
+    ``md5(seed || id)`` (a stable pseudo-random permutation — same
+    everywhere, no RNG state across 1000 executors, re-runnable) and
+    dealt round-robin into ``n_shards`` by hash so every shard is an
+    unbiased sample of the corpus; ``pos`` is the 0-based within-shard
+    read order.
+
+    Plan: one projection + ONE per-shard window sort (partitionBy shard —
+    each shard sorts independently, never a global sort). At 100 TB the
+    downstream writer is ``partitionBy("shard")`` + ``sortWithinPartitions
+    ("pos")``; the md5 keys are uniform so shard sizes are balanced by
+    construction (no skew salting needed).
+    """
+    h = F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string")))
+    assigned = docs.select(
+        F.col(id_col),
+        F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return assigned.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

@@ -2309,6 +2309,29 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+SHUFFLE_SHARDS_SQL = """
+WITH h AS (
+    SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), a AS (
+    SELECT doc_id, hx,
+           CAST(CAST('0x' || SUBSTR(hx, 1, 4) AS INT) % 8 AS INT) AS shard
+    FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+FROM a
+"""
+
+
+@register("shuffle_shards", SHUFFLE_SHARDS_SQL)
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + 8-way shard assignment for training
+    export: stable md5(seed||id) permutation, hash-dealt shards, 0-based
+    within-shard positions — per-shard window sort only, never global."""
+    return fcorpus.shuffle_shards(_t(spark, sf_dir, "documents"), n_shards=8, seed=42)
+
+
 @register("dup_ngram_coverage", DUP_NGRAM_SQL)
 def q_dup_ngram_coverage(spark, sf_dir):
     """Per-document duplicated-trigram coverage across the whole corpus
@@ -4354,7 +4377,7 @@ def q_profile_documents(spark, sf_dir):
 #   (a) sentinels on every code path the current round changed, then
 #   (b) oldest-unchecked-first — the queries whose last driver check is
 #       furthest in the past fill the remaining slots.
-# Rotated-out greens remain registered + locally oracle-tested (all 160
+# Rotated-out greens remain registered + locally oracle-tested (all 161
 # pairs run in tests/test_entry_oracle.py; the 14 rows-only queries run
 # there too).
 #
@@ -4404,7 +4427,7 @@ _WINDOW = [
     "vertices_from_edges",
     "n_vertices",
     "customer_nation_edges",
-    "user_session_edges",
+    "shuffle_shards",  # NEW r7: deterministic training-shard shuffle
     "json_roundtrip",
     "edge_file_roundtrip",         # named five-rounds-unchecked (VERDICT r6)
     "dense_rekey_nation",

@@ -392,3 +392,27 @@ class TestTemperatureMixture:
         for r in kept.collect():
             by[r["lang"]] = by.get(r["lang"], 0) + 1
         assert by["b"] == 5  # saturated, not upsampled
+
+
+class TestShuffleShards:
+    def test_shuffle_shards_partition_and_determinism(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(64)], "doc_id long, text string"
+        )
+        out = corpus.shuffle_shards(df, n_shards=4, seed=7).collect()
+        # permutation completeness: every doc exactly once
+        assert sorted(r.doc_id for r in out) == list(range(64))
+        # positions are 0..len-1 within each shard
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert set(by_shard) <= set(range(4))
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(len(ps)))
+        # deterministic under re-run; different under a different seed
+        again = corpus.shuffle_shards(df, n_shards=4, seed=7).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        other = corpus.shuffle_shards(df, n_shards=4, seed=8).collect()
+        assert sorted(map(tuple, out)) != sorted(map(tuple, other))
