@@ -92,6 +92,8 @@ HEADLINE = [
     "kmeans_centroids_small",
     # round-7 append: HITS fills the classic-SNA gap next to PageRank.
     "hits_customer_orders",
+    # round-7 append: deterministic training-shard shuffle (export step).
+    "shuffle_shards",
 ]
 
 
