@@ -1953,6 +1953,87 @@ sym AS MATERIALIZED (
     return "".join(parts)
 
 
+def _betweenness_sql(depth: int = 10) -> str:
+    """DuckDB twin of exact Brandes on the small subgraph, unrolled.
+    Forward phase (integer-exact): per-stage BFS levels keyed by
+    (source, id) with σ = sum of predecessor σ — stage d is exactly the
+    distance-d level because candidates anti-join everything seen so
+    far. Backward phase: δ for level d from level d+1 via
+    σ_v/σ_w·(1+δ_w) — the only fp arithmetic, summed over identical
+    small sets on both engines, then the final score is rounded at 6 dp.
+    Stages past the measured max BFS depth (6 across SFs; 10 shipped)
+    are empty and propagate empty — the monotone-unroll safety argument.
+    Exact mode: every vertex is a source; normalization 1/((n-1)(n-2))
+    (NetworkX default — pair double-count folded in)."""
+    parts = [
+        f"""WITH {_SMALL_CTES},
+f0 AS MATERIALIZED (
+    SELECT id AS source, id, CAST(1.0 AS DOUBLE) AS sigma FROM v
+), seen0 AS MATERIALIZED (
+    SELECT source, id FROM f0
+)"""
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f""", f{d} AS MATERIALIZED (
+    SELECT x.source, x.id, SUM(x.sigma) AS sigma
+    FROM (
+        SELECT f.source AS source, s.dst AS id, f.sigma AS sigma
+        FROM f{d - 1} f JOIN sym s ON s.src = f.id
+    ) x
+    WHERE NOT EXISTS (
+        SELECT 1 FROM seen{d - 1} p WHERE p.source = x.source AND p.id = x.id)
+    GROUP BY x.source, x.id
+), seen{d} AS MATERIALIZED (
+    SELECT source, id FROM seen{d - 1} UNION ALL SELECT source, id FROM f{d}
+)"""
+        )
+    parts.append(
+        f""", dl{depth} AS MATERIALIZED (
+    SELECT source, id, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f{depth}
+)"""
+    )
+    for d in range(depth - 1, 0, -1):
+        parts.append(
+            f""", dl{d} AS MATERIALIZED (
+    SELECT q.source, q.id, q.sigma,
+           COALESCE(SUM(q.sigma / q.wsigma * (1 + q.wdelta)), 0.0) AS delta
+    FROM (
+        SELECT f.source, f.id, f.sigma, w.sigma AS wsigma, w.delta AS wdelta
+        FROM f{d} f
+        LEFT JOIN sym s ON s.src = f.id
+        LEFT JOIN dl{d + 1} w ON w.source = f.source AND w.id = s.dst
+    ) q
+    GROUP BY q.source, q.id, q.sigma
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT source, id, delta FROM dl{d}" for d in range(1, depth + 1)
+    )
+    parts.append(
+        f""", alldelta AS MATERIALIZED (
+    {union}
+), acc AS MATERIALIZED (
+    SELECT id, SUM(delta) AS raw FROM alldelta GROUP BY id
+), nn AS (SELECT COUNT(*) AS n FROM v)
+SELECT v.id AS id,
+       ROUND(COALESCE(acc.raw, 0.0) / ((nn.n - 1.0) * (nn.n - 2.0)), 6)
+           AS betweenness
+FROM v LEFT JOIN acc ON acc.id = v.id, nn"""
+    )
+    return "".join(parts)
+
+
+@register("betweenness_exact_small", _betweenness_sql())
+def q_betweenness_exact_small(spark, sf_dir):
+    """Exact all-source Brandes betweenness per vertex on the small
+    co-purchase subgraph, value-checked against the unrolled two-phase
+    CTE twin (r7) — the per-vertex hard check behind the rows-only
+    `avg_betweenness_small`/`betweenness_sampled` scalars."""
+    bc = algorithms.betweenness_centrality(_small_copurchase(spark, sf_dir))
+    return bc.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
 @register("k_core_small", _k_core_sql())
 def q_k_core(spark, sf_dir):
     """2-core of the small co-purchase subgraph — upgraded from rows-only
@@ -4377,7 +4458,7 @@ def q_profile_documents(spark, sf_dir):
 #   (a) sentinels on every code path the current round changed, then
 #   (b) oldest-unchecked-first — the queries whose last driver check is
 #       furthest in the past fill the remaining slots.
-# Rotated-out greens remain registered + locally oracle-tested (all 161
+# Rotated-out greens remain registered + locally oracle-tested (all 162
 # pairs run in tests/test_entry_oracle.py; the 14 rows-only queries run
 # there too).
 #
@@ -4443,7 +4524,7 @@ _WINDOW = [
     "lpa_community_count",         # r7 LPA-layout sentinel; now oracle-backed
     "connected_components_twophase_small",
     "avg_closeness_small",
-    "avg_betweenness_small",
+    "betweenness_exact_small",  # NEW r7: per-vertex exact-Brandes oracle
     "motif_triangles_small",
     "motif_open_wedges_small",
     "scc_order_rings",
