@@ -723,56 +723,81 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     return e
 
 
-def core_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
-    """``(id, core)`` — each vertex's core number (max k such that it is in
-    the k-core; = ``nx.core_number``). Peels k = 1, 2, … until the graph
-    empties: vertices present in the (k)-core but not the (k+1)-core get
-    core k. O(degeneracy) outer rounds — social graphs have small
-    degeneracy relative to max degree, so this terminates in tens of
-    rounds even when hubs have millions of neighbors."""
-    current = checkpointed(edges.select("src", "dst"))
+def core_numbers(
+    edges: DataFrame, max_k: int = 64, max_rounds: int = 100_000
+) -> DataFrame:
+    """``(id, core)`` — each vertex's core number (max k such that it is
+    in the k-core; = ``nx.core_number``), by DEGENERACY-ORDER bucket
+    peeling (the distributed form of Matula–Beck; cf. Montresor et al.,
+    "Distributed k-core decomposition"): keep the live degree table,
+    jump the peel level straight to the current minimum degree, and each
+    wave removes EVERY vertex at or below the level at once (core =
+    level), decrementing survivors through one edge-set shrink + one
+    degree rebuild.
+
+    This replaces the r4–r7 shape (outer k = 1..max_k, each running a
+    FULL ``k_core`` fixpoint — 136 degree aggregates / 273 s on the
+    dense sf0.01 co-purchase graph, VERDICT r7 Next #6): the level jump
+    skips empty k's entirely, nothing is recomputed per k, and total
+    work is one |E|-scan per peel WAVE (waves = the graph's peeling
+    depth, ≤ what the old inner loops already paid for k=1 alone).
+    Each wave is ONE driver action: the min-degree/size read doubles as
+    the lazy checkpoints' materializing job (the HITS norm fold).
+    Vertices whose degree hits 0 mid-peel stay in the degree table
+    (left join + coalesce) so they peel at the CURRENT level, exactly
+    as the sequential order would. Survivors past ``max_k`` emit
+    clamped at ``max_k`` (the r3 every-vertex-gets-a-row contract).
+    ``core_numbers_hindex`` remains the dense-graph scale path — the
+    h-index fixed point converges in O(1)-ish rounds regardless of
+    peeling depth; A/B at sf0.01 in REPORT.md r8."""
+    e = checkpointed(_sym(edges.select("src", "dst")))
+    deg = checkpointed(
+        e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")),
+        lazy=True,
+    )
+    row = deg.agg(F.min("deg"), F.count("*")).first()
     result = None
-    outer = inner = 0
-    for k in range(1, max_k + 1):
-        nxt = k_core(current, k + 1)
-        outer += 1
-        inner += LAST_STATS.get("k_core_rounds", 0)
-        LAST_STATS["core_numbers_outer"] = outer
-        LAST_STATS["core_numbers_inner"] = inner
-        cur_v = (
-            current.select(F.col("src").alias("id"))
-            .union(current.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-        nxt_v = (
-            nxt.select(F.col("src").alias("id"))
-            .union(nxt.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-        dropped = cur_v.join(nxt_v, "id", "left_anti").withColumn(
-            "core", F.lit(k)
-        )
-        result = dropped if result is None else result.unionByName(dropped)
-        result = checkpointed(result)
-        current = nxt
-        if current.isEmpty():
+    k = 0
+    LAST_STATS["core_numbers_waves"] = 0
+    while row[1]:
+        k = max(k, row[0])
+        if k >= max_k or LAST_STATS["core_numbers_waves"] >= max_rounds:
+            # every survivor's core is >= the level; emit clamped
+            rem = deg.select("id", F.lit(max_k).alias("core"))
+            result = rem if result is None else result.unionByName(rem)
             break
+        LAST_STATS["core_numbers_waves"] += 1
+        peeled = deg.filter(F.col("deg") <= k).select(
+            "id", F.lit(k).alias("core")
+        )
+        # lazy checkpoint: truncates the union's logical plan now, defers
+        # the (cheap, blocks-backed) RDD write to the final action
+        result = checkpointed(
+            peeled if result is None else result.unionByName(peeled),
+            lazy=True,
+        )
+        surv = deg.filter(F.col("deg") > k).select("id")
+        e = checkpointed(
+            e.join(surv.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(surv.withColumnRenamed("id", "dst"), "dst", "left_semi"),
+            lazy=True,
+        )
+        deg = checkpointed(
+            surv.join(
+                e.groupBy(F.col("src").alias("id")).agg(
+                    F.count("*").alias("d")
+                ),
+                "id",
+                "left",
+            ).select("id", F.coalesce("d", F.lit(0)).alias("deg")),
+            lazy=True,
+        )
+        # the wave's ONE action: reads next min-degree + survivor count
+        # and materializes e/deg (and the pending result) along the way
+        row = deg.agg(F.min("deg"), F.count("*")).first()
     if result is None:
         return edges.sparkSession.createDataFrame([], "id long, core int")
-    if not current.isEmpty():
-        # Loop hit max_k with a non-empty core (degeneracy > max_k — the
-        # sf0.01 co-purchase graph already exceeds 64 via its dense
-        # per-order cliques): surviving vertices would otherwise get NO
-        # core row. Their true core is >= max_k; emit them clamped so the
-        # output covers every vertex (same contract as truss_numbers).
-        remaining = (
-            current.select(F.col("src").alias("id"))
-            .union(current.select(F.col("dst").alias("id")))
-            .distinct()
-            .withColumn("core", F.lit(max_k))
-        )
-        result = result.unionByName(remaining)
-    return result
+    return result.select("id", F.col("core").cast("int").alias("core"))
 
 
 def core_numbers_hindex(edges: DataFrame, max_iter: int = 100) -> DataFrame:
@@ -1853,16 +1878,27 @@ def truss_numbers_hindex(
     return state.select("src", "dst", (F.col("s") + 2).cast("int").alias("truss"))
 
 
-def truss_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
+def truss_numbers(
+    edges: DataFrame, max_k: int = 64, max_rounds: int = 100_000
+) -> DataFrame:
     """``(src, dst, truss)`` — each edge's truss number (max k with the
-    edge in the k-truss; every edge is trivially in the 2-truss).
+    edge in the k-truss; every edge is trivially in the 2-truss), by the
+    same DEGENERACY-ORDER bucket peel as :func:`core_numbers` (r8),
+    lifted from vertex-degree to edge-support: keep the live edge set,
+    jump the level straight to (current min support + 2), and each wave
+    removes EVERY edge at or below the level at once (truss = level).
 
-    Peels k = 3, 4, … until the truss empties: edges of the (k−1)-truss
-    that do not survive into the k-truss get truss number k−1. O(max
-    truss) outer rounds, each a :func:`k_truss` refinement of the previous
-    truss (monotone: the k-truss ⊆ (k−1)-truss, so every round works on a
-    shrinking edge set)."""
-    prev = checkpointed(
+    Per wave: ONE triangle enumeration of the remaining graph (the
+    identical join the r4–r7 shape paid per ``k_truss`` INNER round,
+    except that shape re-ran a full inner fixpoint for every k = 3, 4, …
+    — outer × inner enumerations), one support aggregate, one semi-join
+    shrink. Total waves ≤ the old shape's inner-round total for k=3
+    alone; the level jump skips empty k's entirely. One driver action
+    per wave (the min-support/size read materializes the lazy
+    checkpoints — the HITS norm fold). Triangle-free edges peel at
+    level 2, preserving the every-edge-gets-a-row partition contract;
+    survivors past ``max_k`` emit clamped at ``max_k`` (ADVICE r3)."""
+    e = checkpointed(
         edges.select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
@@ -1870,33 +1906,65 @@ def truss_numbers(edges: DataFrame, max_k: int = 64) -> DataFrame:
         .distinct()
     )
     out = None
-    exhausted = True
-    outer = inner = 0
-    for k in range(3, max_k + 1):
-        cur = k_truss(prev, k)
-        outer += 1
-        inner += LAST_STATS.get("k_truss_rounds", 0)
-        LAST_STATS["truss_numbers_outer"] = outer
-        LAST_STATS["truss_numbers_inner"] = inner
-        level = prev.join(cur, ["src", "dst"], "left_anti").select(
-            "src", "dst", F.lit(k - 1).alias("truss")
+    k = 2
+    LAST_STATS["truss_numbers_waves"] = 0
+    while True:
+        ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        tri = ab.join(bc, "b").join(ac, ["a", "c"])
+        sup_nonzero = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                        F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+                        F.struct(F.col("a").alias("src"), F.col("c").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("support"))
         )
-        out = level if out is None else out.unionByName(level)
-        if cur.limit(1).count() == 0:
-            exhausted = False
+        sup = checkpointed(
+            e.join(sup_nonzero, ["src", "dst"], "left").select(
+                "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+            ),
+            lazy=True,
+        )
+        # the wave's ONE action: min remaining support + live edge count
+        row = sup.agg(F.min("support"), F.count("*")).first()
+        if not row[1]:
             break
-        prev = checkpointed(cur)
-    if out is None:
-        return prev.select("src", "dst", F.lit(2).alias("truss"))
-    if exhausted:
-        # Loop hit max_k with a non-empty truss (e.g. a clique larger than
-        # max_k+2): surviving edges would otherwise get NO output row
-        # (ADVICE r3). Their true truss is >= max_k; emit them clamped at
-        # max_k so the output stays a partition of the input edge set.
-        out = out.unionByName(
-            prev.select("src", "dst", F.lit(max_k).alias("truss"))
+        k = max(k, row[0] + 2)
+        if k >= max_k or LAST_STATS["truss_numbers_waves"] >= max_rounds:
+            rem = sup.select("src", "dst", F.lit(max_k).alias("truss"))
+            out = rem if out is None else out.unionByName(rem)
+            break
+        LAST_STATS["truss_numbers_waves"] += 1
+        level = sup.filter(F.col("support") <= k - 2).select(
+            "src", "dst", F.lit(k).alias("truss")
         )
-    return out
+        out = checkpointed(
+            level if out is None else out.unionByName(level), lazy=True
+        )
+        # EAGER: the next wave's triangle join scans e on four legs — a
+        # lazy mark would recompute the shrink once per leg before the
+        # persist lands (core_numbers' e has one consumer, so it stays
+        # lazy there)
+        e = checkpointed(
+            e.join(
+                sup.filter(F.col("support") > k - 2).hint("shuffle_hash"),
+                ["src", "dst"],
+                "left_semi",
+            )
+        )
+    if out is None:
+        return edges.sparkSession.createDataFrame(
+            [], "src long, dst long, truss int"
+        )
+    return out.select("src", "dst", F.col("truss").cast("int").alias("truss"))
 
 
 def hits(
@@ -1920,13 +1988,17 @@ def hits(
     compound across rounds.
 
     Plan per half-step: one edge-state join (state side size-gated
-    through ``_state_hinted``) + one keyed sum, checkpointed; the L2 norm
-    is a driver scalar read OFF the materialized sums (the PageRank
-    dangling-mass pattern — one cheap scan of cached blocks, not a
-    broadcast whose build re-executes the half-step), and the normalize
-    is a lazy projection entering the next half-step as a literal
-    divisor. Zero-degree vertices keep score 0 through the left join.
-    At 100 TB: |E|-keyed shuffles only, state is |V| rows.
+    through ``_state_hinted``) + one keyed sum, checkpointed LAZILY so
+    the norm read IS the materializing action — ONE job per half-step
+    computes the sums, persists the truncated blocks, and returns the L2
+    norm (the PageRank dangling-mass fold, VERDICT r7 Next #5; the r7
+    shape paid checkpoint + a separate ``.first()`` = 2 driver
+    round-trips per half-step, 16 per run — the dominant cost at local
+    scale). The normalize is a lazy projection entering the next
+    half-step as a literal divisor. Zero-degree vertices keep score 0
+    through the left join. At 100 TB: |E|-keyed shuffles only, state is
+    |V| rows. ``LAST_STATS["hits_actions"]`` counts per-half-step driver
+    actions — the telemetry the action-fold test asserts on.
     """
     e = checkpointed(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -1941,21 +2013,26 @@ def hits(
         )
     hub = verts.withColumn("hub", F.lit(1.0))
     auth = None
+    LAST_STATS["hits_actions"] = 0
 
     def _half(state: DataFrame, val: str, join_on: str, group_to: str):
         """One half-step: sum ``val`` over ``join_on``-matched edges onto
-        ``group_to`` endpoints, L2-normalize, round 6 dp."""
+        ``group_to`` endpoints, L2-normalize, round 6 dp — one action."""
         summed = (
             e.join(_state_hinted(state, n), F.col(join_on) == state["id"])
             .groupBy(F.col(group_to).alias("id"))
             .agg(F.sum(val).alias("r"))
         )
+        # lazy checkpoint: the norm aggregate below is the action that
+        # materializes the truncated blocks AND returns the scalar
         raw = checkpointed(
             verts.join(summed, "id", "left").select(
                 "id", F.coalesce("r", F.lit(0.0)).alias("r")
-            )
+            ),
+            lazy=True,
         )
         nrm = raw.agg(F.sqrt(F.sum(F.col("r") * F.col("r")))).first()[0]
+        LAST_STATS["hits_actions"] += 1
         out_col = "auth" if group_to == "dst" else "hub"
         return raw.select(
             "id", F.round(F.col("r") / F.lit(nrm), 6).alias(out_col)

@@ -18,8 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def checkpointed(df: DataFrame, eager_reliable: bool = False) -> DataFrame:
-    """Materialize ``df`` and return a lineage-free frame."""
+def checkpointed(
+    df: DataFrame, eager_reliable: bool = False, lazy: bool = False
+) -> DataFrame:
+    """Materialize ``df`` and return a lineage-free frame.
+
+    ``lazy=True`` marks the frame for checkpointing but defers
+    materialization to the CALLER'S next action — for loops that read a
+    driver scalar off the freshly-truncated state anyway (HITS L2 norm,
+    PageRank delta), the scalar read and the checkpoint write then share
+    ONE job instead of two (VERDICT r7 Next #5). The caller must run an
+    action before deriving further lineage from the result."""
     if eager_reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=not lazy)
+    return df.localCheckpoint(eager=not lazy)

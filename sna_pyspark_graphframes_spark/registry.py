@@ -470,14 +470,30 @@ def q_acctbal_stats(spark, sf_dir):
     )
 
 
-@register("n_parts_approx", None)
+@register(
+    "n_parts_approx",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+               <= 0.05 * COUNT(DISTINCT l_partkey) AS within_5pct
+    FROM lineitem
+    """,
+)
 def q_n_parts_approx(spark, sf_dir):
     """HLL++ sketch distinct count — the 100 TB path for cardinality
-    (mergeable, one pass, no exact-distinct shuffle). Rows-only: sketch
-    estimates are engine-specific by design; the exact twin is n_vertices."""
+    (mergeable, one pass, no exact-distinct shuffle). Sketch estimates
+    are engine-specific by design, so the raw estimate cannot hash-match;
+    the TOLERANCE TWIN (VERDICT r7 What's wrong #2) compares what both
+    engines CAN agree on — the exact count plus a 1-row boolean asserting
+    each engine's own sketch lands within ±5% of it (Spark HLL++ at
+    rsd=0.02 ≈ 2.5σ headroom; DuckDB's default HLL comparable) — turning
+    the permanent ``err: no_oracle`` window slot into a hard value check."""
     li = _t(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
     return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+        exact.cast("long").alias("n_parts_exact"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("within_5pct"),
     )
 
 
@@ -867,7 +883,7 @@ def _lpa_labels(spark, sf_dir):
     )
 
 
-def _lpa_sql(n_iter: int = 5) -> str:
+def _lpa_sql(n_iter: int = 5) -> tuple[str, str]:
     """DuckDB twin of ``algorithms.label_propagation`` on the co-purchase
     graph: synchronous LPA is pure INTEGER arithmetic (neighbor-label
     counts, most-frequent with min-label tie-break), so the unrolled-CTE
@@ -2751,7 +2767,10 @@ def q_kmeans_centroids(spark, sf_dir):
     stride sample) — the documented production refinement of the IVF
     coarse quantizer. The centroid array is projected to the canonical
     6-dp comma-joined STRING for the compare (array cells are unhashable
-    in the driver's canonicalizer; see multimodal_featurize)."""
+    in the driver's canonicalizer; see multimodal_featurize).
+    ``format_string('%.6f')`` not ``format_number`` — the latter's
+    grouping commas would diverge from the DuckDB printf twin and split
+    cells at the array_join separator for |x| >= 1000 (ADVICE r7)."""
     c = fsim.kmeans_centroids(
         _t(spark, sf_dir, "embeddings"), stride=40, n_iter=3, dim=64
     )
@@ -2759,7 +2778,7 @@ def q_kmeans_centroids(spark, sf_dir):
         "centroid_id",
         F.col("n_members").cast("long").alias("n_members"),
         F.array_join(
-            F.transform("cv", lambda x: F.format_number(x, 6)), ","
+            F.transform("cv", lambda x: F.format_string("%.6f", x)), ","
         ).alias("cv"),
     )
 
@@ -3588,7 +3607,11 @@ def q_multimodal_featurize(spark, sf_dir):
     recovers the exact decimal on both engines (verified over all 256
     byte values: Spark ``format_number`` == DuckDB ``printf('%.6f')``;
     the float32 absolute error < 6e-8 never reaches the 5e-7 half-ulp
-    rounding boundary). The array-typed API surface stays in
+    rounding boundary). ``format_string('%.6f')`` mirrors printf exactly
+    — unlike ``format_number``, it never inserts thousands-grouping
+    commas (ADVICE r7: a comma both diverges from printf AND collides
+    with the array_join separator for |x| >= 1000). The array-typed API
+    surface stays in
     :func:`sna_pyspark_graphframes_spark.functions.multimodal.featurize`;
     only this registry projection is string-typed."""
     media = fmm.documents_as_media(_t(spark, sf_dir, "documents"))
@@ -3600,7 +3623,8 @@ def q_multimodal_featurize(spark, sf_dir):
         "digest",
         F.array_join(
             F.transform(
-                "feature", lambda x: F.format_number(x.cast("double"), 6)
+                "feature",
+                lambda x: F.format_string("%.6f", x.cast("double")),
             ),
             ",",
         ).alias("feature"),

@@ -236,6 +236,32 @@ class TestSimilarity:
         assert [round(x, 6) for x in out[0].cv] == pytest.approx(mean_a, abs=1e-6)
         assert [round(x, 6) for x in out[7].cv] == pytest.approx(mean_b, abs=1e-6)
 
+    def test_auto_stride_policy(self):
+        """stride = ceil(N / target_k), default target_k = ⌊√N⌋ — the
+        enforced form of the docstrings' "stride ≈ √N" posture."""
+        assert fsim.auto_stride(0) == 1
+        assert fsim.auto_stride(100) == 10        # k=10 → stride 10
+        assert fsim.auto_stride(1_000_000) == 1000
+        assert fsim.auto_stride(100, target_k=4) == 25
+        assert fsim.auto_stride(5, target_k=100) == 1  # never below 1
+
+    def test_auto_stride_resolves_from_count(self, spark):
+        vecs = [(i, [1.0, float(i)]) for i in range(100)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        c = fsim.ivf_centroids(df, stride=None)  # auto: stride 10
+        assert sorted(r.centroid_id for r in c.collect()) == list(range(0, 100, 10))
+
+    def test_kmeans_empty_input_and_bad_n_iter(self, spark):
+        """ADVICE r7: an empty embeddings frame returns an empty codebook
+        (same convention as pagerank/hits), and n_iter=0 — whose init
+        codebook has no n_members — is rejected up front."""
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        out = fsim.kmeans_centroids(empty)
+        assert out.columns == ["centroid_id", "n_members", "cv"]
+        assert out.count() == 0
+        with pytest.raises(ValueError, match="n_iter"):
+            fsim.kmeans_centroids(empty, n_iter=0)
+
     def test_ann_topk_runs_and_ranks(self, spark):
         vecs = [(i, [float(i % 5), float((i * 7) % 3), 1.0]) for i in range(40)]
         df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
