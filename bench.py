@@ -94,6 +94,8 @@ HEADLINE = [
     "hits_customer_orders",
     # round-7 append: deterministic training-shard shuffle (export step).
     "shuffle_shards",
+    # round-8 append: degeneracy-order bucket-peel truss decomposition.
+    "truss_peel_cliques",
 ]
 
 

@@ -99,7 +99,11 @@ def _sym_by(edges: DataFrame, key: str) -> DataFrame:
 # Connected components
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    sym_layout: DataFrame | None = None,
+) -> DataFrame:
     """``(id, component)`` with component = min vertex id in the component.
 
     Min-label propagation: each round every vertex takes
@@ -112,7 +116,14 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     "Connected Components in MapReduce", SoCC'14) halves round count; the
     simple propagation is kept here because social graphs have small
     diameter and the code stays one join + one aggregate per round.
-    """
+
+    ``sym_layout`` (r8, VERDICT r7 Next #7): a caller-held SHARED edge
+    layout — ``_edges_partitioned(symmetrize(edges, dedup=False),
+    "src")`` — reused across the whole graph-query family (CC / LPA /
+    PageRank / degrees all consume the same persisted frame; a
+    deployment holds one graph layout, not one per query). When passed,
+    this function neither rebuilds nor unpersists it — the caller owns
+    its lifetime."""
     # src-partitioned persistent layout: the per-round min aggregate
     # groups by src, so its exchange is elided every round (see
     # _edges_partitioned). A/B'd at sf0.1 (REPORT.md r7): a WASH locally
@@ -121,8 +132,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     # the r5 frontier form: one fewer per-round exchange of edge-derived
     # rows is what matters at 1000-executor scale, and it costs nothing
     # here.
-    sym = _edges_partitioned(
-        symmetrize(edges, dedup=False), "src"
+    owns_layout = sym_layout is None
+    sym = (
+        _edges_partitioned(symmetrize(edges, dedup=False), "src")
+        if owns_layout
+        else sym_layout
     )
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -168,12 +182,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         # monotone non-increasing, so "changed" is exactly new < old — carry
         # it as a 0/1 column through the SAME join and sum it off the
         # checkpointed result; the same column IS the next frontier.
+        # lazy: the convergence read below is the materializing action
+        # (the HITS norm fold) — one job per superstep, not two
         new_labels = checkpointed(
             labels.join(nbr_min, "id", "left").select(
                 "id",
                 new_comp.alias("component"),
                 (new_comp < F.col("component")).cast("int").alias("chg"),
-            )
+            ),
+            lazy=True,
         )
         changed = new_labels.agg(F.sum("chg")).first()[0]
         frontier = new_labels.filter(F.col("chg") == 1).select("id", "component")
@@ -181,7 +198,8 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = new_labels.drop("chg")
         if not changed:
             break
-    sym.unpersist(blocking=False)  # labels is checkpointed; cache is dead
+    if owns_layout:  # shared layouts outlive the call (caller-owned)
+        sym.unpersist(blocking=False)  # labels is checkpointed; cache is dead
     return labels.select("id", "component")
 
 
@@ -275,6 +293,7 @@ def label_propagation(
     max_iter: int = 5,
     assume_symmetric: bool = False,
     edge_layout: str = "partitioned",
+    sym_layout: DataFrame | None = None,
 ) -> DataFrame:
     """Synchronous LPA: ``(id, label)`` after ``max_iter`` supersteps.
 
@@ -299,7 +318,12 @@ def label_propagation(
 
     """
     persisted_sym = None
-    if assume_symmetric:
+    if sym_layout is not None:
+        # shared caller-owned layout (same contract as
+        # connected_components.sym_layout): already symmetrized,
+        # src-partitioned, persisted — reuse, never unpersist
+        sym = sym_layout
+    elif assume_symmetric:
         sym = edges
     elif edge_layout == "partitioned":
         # Default layout (VERDICT r6 Next #4, adopted r7): src-partitioned
@@ -378,7 +402,8 @@ def label_propagation(
                 (F.coalesce("new_label", "label") != F.col("label"))
                 .cast("int")
                 .alias("chg"),
-            )
+            ),
+            lazy=True,  # the frontier-size read materializes it (one job)
         )
         n_frontier = new_labels.agg(F.sum("chg")).first()[0] or 0
         LAST_STATS["lpa_frontier_sizes"].append(int(n_frontier))
@@ -605,7 +630,8 @@ def weighted_sssp(
                     F.col("dist").isNull()
                     | (F.col("nbr_dist") < F.col("dist"))
                 ).cast("int").alias("chg"),
-            )
+            ),
+            lazy=True,  # convergence read = materializing action
         )
         changed = new_dist.agg(F.sum("chg")).first()[0]
         frontier = new_dist.filter(F.col("chg") == 1).select("id", "dist")
@@ -678,7 +704,8 @@ def widest_path(edges: DataFrame, source: int, max_iter: int = 64) -> DataFrame:
                     F.col("capacity").isNull()
                     | (F.col("nbr_cap") > F.col("capacity"))
                 ).cast("int").alias("chg"),
-            )
+            ),
+            lazy=True,  # convergence read = materializing action
         )
         changed = new_cap.agg(F.sum("chg")).first()[0]
         frontier = new_cap.filter(F.col("chg") == 1).select("id", "capacity")
@@ -848,7 +875,8 @@ def core_numbers_hindex(edges: DataFrame, max_iter: int = 100) -> DataFrame:
                 "id",
                 new_c.alias("c"),
                 (new_c < F.col("c")).cast("int").alias("chg"),
-            )
+            ),
+            lazy=True,  # convergence read = materializing action
         )
         changed = new_state.agg(F.sum("chg")).first()[0]
         state = new_state.drop("chg")
@@ -867,6 +895,7 @@ def pagerank(
     max_iter: int = 20,
     directed: bool = False,
     tol: float | None = 1e-7,
+    sym_layout: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, pagerank)`` — power-iteration PageRank (= GraphFrames
     ``g.pageRank(resetProbability=1-damping, maxIter=...)``, the other
@@ -900,8 +929,26 @@ def pagerank(
     # _edges_partitioned). A/B'd at sf0.1 (REPORT.md r7): median 8.62 →
     # 7.53 s, new layout faster in every warmed rep despite running first
     # in each alternating pair.
-    e = edges.select("src", "dst") if directed else symmetrize(edges, dedup=False)
-    e = _edges_partitioned(e.filter(F.col("src") != F.col("dst")), "dst")
+    owns_layout = sym_layout is None
+    if not owns_layout:
+        # Shared SRC-partitioned symmetric layout (the CC/LPA frame,
+        # VERDICT r7 Next #7): a symmetric edge set is invariant under
+        # swapping the column names, and the swap re-keys the SAME
+        # persisted frame by what this loop calls dst — the per-round
+        # contribution aggregate stays exchange-free without a second
+        # |E| repartition+persist. Undirected only (a symmetric layout
+        # has no direction to preserve).
+        assert not directed, "sym_layout implies an undirected graph"
+        e = sym_layout.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+    else:
+        e = (
+            edges.select("src", "dst")
+            if directed
+            else symmetrize(edges, dedup=False)
+        )
+        e = _edges_partitioned(e.filter(F.col("src") != F.col("dst")), "dst")
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -913,7 +960,8 @@ def pagerank(
         # empty edge frame: no vertices, no ranks — same empty-result
         # convention as eigenvector_centrality (its ADVICE r4 fix),
         # instead of 1.0/0 at the init.
-        e.unpersist(blocking=False)
+        if owns_layout:
+            e.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame(
             [], "id long, pagerank double"
         )
@@ -969,7 +1017,8 @@ def pagerank(
                     "out_deg",
                     new_pr.alias("pr"),
                     F.abs(new_pr - F.col("pr")).alias("d"),
-                )
+                ),
+                lazy=True,  # the delta/dangling read below materializes
             )
             # ONE action reads both the L1 delta and (when needed) the
             # next round's dangling mass off the just-materialized state.
@@ -988,7 +1037,10 @@ def pagerank(
             continue
         ranks = updated.select("id", "out_deg", new_pr.alias("pr"))
         if ((it + 1) % k == 0) or it == max_iter - 1:
-            ranks = checkpointed(ranks)
+            # lazy: whichever comes first — the dangling/delta read below
+            # or the next superstep's state join — is the materializing
+            # action; the logical plan is truncated either way
+            ranks = checkpointed(ranks, lazy=True)
             if has_danglings and it < max_iter - 1:
                 # tol=None path (exact-maxIter contract): the mass refresh
                 # is the round's single 1-row action
@@ -1015,7 +1067,8 @@ def pagerank(
                 if delta is not None and delta < tol:
                     break
             prev_ck = ranks
-    e.unpersist(blocking=False)  # ranks is checkpointed; cache is dead
+    if owns_layout:  # shared layouts outlive the call (caller-owned)
+        e.unpersist(blocking=False)  # ranks is checkpointed; cache is dead
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
@@ -1026,6 +1079,7 @@ def personalized_pagerank(
     max_iter: int = 20,
     directed: bool = False,
     tol: float | None = 1e-7,
+    sym_layout: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, pagerank)`` — PageRank personalized to ``sources``
     (= GraphFrames ``parallelPersonalizedPageRank`` for one source set):
@@ -1038,9 +1092,21 @@ def personalized_pagerank(
     """
     if not sources:
         raise ValueError("sources must be non-empty")
-    # same dst-partitioned persistent layout as pagerank()
-    e = edges.select("src", "dst") if directed else symmetrize(edges, dedup=False)
-    e = _edges_partitioned(e.filter(F.col("src") != F.col("dst")), "dst")
+    # same dst-partitioned persistent layout as pagerank(); same shared
+    # src-partitioned-layout column swap when the caller holds one
+    owns_layout = sym_layout is None
+    if not owns_layout:
+        assert not directed, "sym_layout implies an undirected graph"
+        e = sym_layout.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+    else:
+        e = (
+            edges.select("src", "dst")
+            if directed
+            else symmetrize(edges, dedup=False)
+        )
+        e = _edges_partitioned(e.filter(F.col("src") != F.col("dst")), "dst")
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -1105,7 +1171,8 @@ def personalized_pagerank(
         # round bounds all remaining movement (pass tol=None for the
         # exact-maxIter contract).
         if ((it + 1) % k == 0) or it == max_iter - 1:
-            ranks = checkpointed(ranks)
+            # lazy: same fold as pagerank() — first read materializes
+            ranks = checkpointed(ranks, lazy=True)
             if has_danglings and it < max_iter - 1:
                 dangling_mass = (
                     ranks.agg(
@@ -1131,7 +1198,8 @@ def personalized_pagerank(
                 if delta is not None and delta < tol:
                     break
             prev_ck = ranks
-    e.unpersist(blocking=False)  # ranks is checkpointed; cache is dead
+    if owns_layout:  # shared layouts outlive the call (caller-owned)
+        e.unpersist(blocking=False)  # ranks is checkpointed; cache is dead
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
@@ -1386,7 +1454,8 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
                 "id",
                 (F.col("y") / F.col("nrm")).alias("x"),
                 F.abs(F.col("y") / F.col("nrm") - F.col("x")).alias("d"),
-            )
+            ),
+            lazy=True,  # the delta read below materializes (one job)
         )
         delta = new_x.agg(F.sum("d")).first()[0]
         x = new_x.drop("d")
@@ -1868,7 +1937,8 @@ def truss_numbers_hindex(
                 "dst",
                 new_s.alias("s"),
                 (new_s < F.col("s")).cast("int").alias("chg"),
-            )
+            ),
+            lazy=True,  # convergence read = materializing action
         )
         changed = new_state.agg(F.sum("chg")).first()[0]
         frontier = new_state.filter(F.col("chg") == 1).select("src", "dst")

@@ -23,23 +23,30 @@ from sna_pyspark_graphframes_spark.plans.hints import state_hinted
 from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
 
 
-def degrees(edges: DataFrame) -> DataFrame:
+def degrees(edges: DataFrame, sym: DataFrame | None = None) -> DataFrame:
     """Per-vertex degree of the undirected graph: ``(id, degree)``.
 
     = GraphFrames ``g.degrees`` (used via ``nx.degree`` at
     ``/root/reference/main.py:142-144``). Symmetrize (narrow) + one
     count aggregate (map-side combine, single shuffle on id).
-    """
-    return (
-        symmetrize(edges, dedup=True)
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.count("*").alias("degree"))
+
+    ``sym`` (r8): a caller-held shared symmetrized-deduped edge frame
+    (the CC/LPA/PageRank ``sym_layout``); when src-partitioned the count
+    aggregate needs NO exchange at all — degree becomes a free read off
+    the family's one persisted graph layout."""
+    e = symmetrize(edges, dedup=True) if sym is None else sym
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree")
     )
 
 
-def average_degree(edges: DataFrame) -> DataFrame:
+def average_degree(
+    edges: DataFrame, sym: DataFrame | None = None
+) -> DataFrame:
     """1-row ``(avg_degree)`` — paper Table 1's "average degree"."""
-    return degrees(edges).agg(F.round(F.avg("degree"), 4).alias("avg_degree"))
+    return degrees(edges, sym=sym).agg(
+        F.round(F.avg("degree"), 4).alias("avg_degree")
+    )
 
 
 def degree_histogram(edges: DataFrame, normalized: bool = False) -> DataFrame:
