@@ -431,5 +431,8 @@ def kmeans_centroids(
                 *[F.round(F.avg(F.col("v")[d]), 6) for d in range(dim)]
             ).alias("cv"),
         )
-        c = checkpointed(c)
+        # lazy: the plan is truncated now; the k-row frame materializes
+        # inside the next iteration's scoring job (or the caller's final
+        # action) — no dedicated checkpoint job per iteration
+        c = checkpointed(c, lazy=True)
     return c.select("centroid_id", "n_members", "cv")
