@@ -1113,11 +1113,6 @@ def q_avg_closeness_small(spark, sf_dir):
     return algorithms.average_closeness(_small_copurchase(spark, sf_dir))
 
 
-@register("avg_betweenness_small", None)
-def q_avg_betweenness_small(spark, sf_dir):
-    return algorithms.average_betweenness(_small_copurchase(spark, sf_dir))
-
-
 @register(
     "harmonic_small",
     f"""
@@ -2056,7 +2051,9 @@ sym AS MATERIALIZED (
     return "".join(parts)
 
 
-def _betweenness_sql(depth: int = 10) -> str:
+def _betweenness_sql(
+    depth: int = 10, n_sources: int | None = None, avg: bool = False
+) -> str:
     """DuckDB twin of exact Brandes on the small subgraph, unrolled.
     Forward phase (integer-exact): per-stage BFS levels keyed by
     (source, id) with σ = sum of predecessor σ — stage d is exactly the
@@ -2067,11 +2064,23 @@ def _betweenness_sql(depth: int = 10) -> str:
     Stages past the measured max BFS depth (6 across SFs; 10 shipped)
     are empty and propagate empty — the monotone-unroll safety argument.
     Exact mode: every vertex is a source; normalization 1/((n-1)(n-2))
-    (NetworkX default — pair double-count folded in)."""
+    (NetworkX default — pair double-count folded in).
+
+    r8 variants, sharing the two-phase body: ``n_sources=k`` runs only
+    the k lowest-id sources and scales by n/k (the Spark sampler's exact
+    source set and extrapolation — sampling is DETERMINISTIC here, so
+    the "approximate" path is hard-oracle-able); ``avg=True`` emits the
+    1-row mean over UNROUNDED per-vertex scores (matching
+    ``average_betweenness``, which averages before any rounding)."""
+    src_rel = (
+        f"(SELECT id FROM v ORDER BY id LIMIT {n_sources})"
+        if n_sources
+        else "v"
+    )
     parts = [
         f"""WITH {_SMALL_CTES},
 f0 AS MATERIALIZED (
-    SELECT id AS source, id, CAST(1.0 AS DOUBLE) AS sigma FROM v
+    SELECT id AS source, id, CAST(1.0 AS DOUBLE) AS sigma FROM {src_rel}
 ), seen0 AS MATERIALIZED (
     SELECT source, id FROM f0
 )"""
@@ -2113,16 +2122,32 @@ f0 AS MATERIALIZED (
     union = " UNION ALL ".join(
         f"SELECT source, id, delta FROM dl{d}" for d in range(1, depth + 1)
     )
+    # kk counts the ACTUAL source set (LIMIT can return fewer than k on a
+    # tiny graph) — mirrors the Spark side's counted scale_up = n/k
+    scale = "(nn.n / CAST(kk.k AS DOUBLE))" if n_sources else "1.0"
+    tail = ", nn, kk" if n_sources else ", nn"
+    bc_expr = (
+        f"COALESCE(acc.raw, 0.0) * {scale}"
+        " / ((nn.n - 1.0) * (nn.n - 2.0))"
+    )
+    if avg:
+        final = f"""
+SELECT ROUND(AVG(bc), 6) AS avg_betweenness FROM (
+    SELECT {bc_expr} AS bc FROM v LEFT JOIN acc ON acc.id = v.id{tail}
+)"""
+    else:
+        final = f"""
+SELECT v.id AS id, ROUND({bc_expr}, 6) AS betweenness
+FROM v LEFT JOIN acc ON acc.id = v.id{tail}"""
+    kk = (
+        f",\nkk AS (SELECT COUNT(*) AS k FROM {src_rel})" if n_sources else ""
+    )
     parts.append(
         f""", alldelta AS MATERIALIZED (
     {union}
 ), acc AS MATERIALIZED (
     SELECT id, SUM(delta) AS raw FROM alldelta GROUP BY id
-), nn AS (SELECT COUNT(*) AS n FROM v)
-SELECT v.id AS id,
-       ROUND(COALESCE(acc.raw, 0.0) / ((nn.n - 1.0) * (nn.n - 2.0)), 6)
-           AS betweenness
-FROM v LEFT JOIN acc ON acc.id = v.id, nn"""
+), nn AS (SELECT COUNT(*) AS n FROM v){kk}{final}"""
     )
     return "".join(parts)
 
@@ -2135,6 +2160,17 @@ def q_betweenness_exact_small(spark, sf_dir):
     `avg_betweenness_small`/`betweenness_sampled` scalars."""
     bc = algorithms.betweenness_centrality(_small_copurchase(spark, sf_dir))
     return bc.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+@register("avg_betweenness_small", _betweenness_sql(avg=True))
+def q_avg_betweenness_small(spark, sf_dir):
+    """Mean exact betweenness (upgraded from rows-only in r8): the same
+    unrolled two-phase Brandes CTE as ``betweenness_exact_small``, with
+    the mean taken over the UNROUNDED per-vertex scores on both engines
+    before the single 6-dp round — matching ``average_betweenness``.
+    (Registered here, after the CTE builder; pre-window registration
+    order past slot 50 carries no meaning.)"""
+    return algorithms.average_betweenness(_small_copurchase(spark, sf_dir))
 
 
 @register("k_core_small", _k_core_sql())
@@ -2228,10 +2264,15 @@ def q_pagerank(spark, sf_dir):
     return pr.orderBy(F.col("pagerank").desc(), F.col("id").asc()).limit(20)
 
 
-@register("betweenness_sampled", None)
+@register("betweenness_sampled", _betweenness_sql(n_sources=16))
 def q_betweenness_sampled(spark, sf_dir):
     """Sampled-source Brandes (K=16 deterministic sources, n/K
-    extrapolation) — the scale path for betweenness (SURVEY.md §2.2 M5)."""
+    extrapolation) — the scale path for betweenness (SURVEY.md §2.2 M5).
+    Upgraded from rows-only in r8: the source sample is DETERMINISTIC
+    (the 16 lowest vertex ids), so the "approximate" path hard-oracles
+    against the same two-phase CTE restricted to those sources with the
+    identical n/k scale — approximation here is source subsetting, not
+    randomness."""
     e = _small_copurchase(spark, sf_dir)
     sources = (
         e.select(F.col("src").alias("id"))
@@ -2240,7 +2281,8 @@ def q_betweenness_sampled(spark, sf_dir):
         .orderBy("id")
         .limit(16)
     )
-    return algorithms.betweenness_centrality(e, sources=sources)
+    bc = algorithms.betweenness_centrality(e, sources=sources)
+    return bc.select("id", F.round("betweenness", 6).alias("betweenness"))
 
 
 def _vertex_cc(spark, sf_dir):
