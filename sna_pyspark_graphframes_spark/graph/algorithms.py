@@ -2065,10 +2065,18 @@ def hits(
     shape paid checkpoint + a separate ``.first()`` = 2 driver
     round-trips per half-step, 16 per run — the dominant cost at local
     scale). The normalize is a lazy projection entering the next
-    half-step as a literal divisor. Zero-degree vertices keep score 0
-    through the left join. At 100 TB: |E|-keyed shuffles only, state is
-    |V| rows. ``LAST_STATS["hits_actions"]`` counts per-half-step driver
-    actions — the telemetry the action-fold test asserts on.
+    half-step as a literal divisor.
+
+    State stays SPARSE through the loop (r8): a vertex missing from a
+    half-step's sum has score exactly 0 — it adds nothing to the L2 norm
+    and nothing to the next half-step's edge join — so the per-half-step
+    |V|-row left join the r7 shape paid to densify is pure waste; zeros
+    are re-attached ONCE, in the final projection (zero-in-degree
+    vertices get auth 0, zero-out-degree vertices hub 0 — same output
+    table, same oracle). At 100 TB: |E|-keyed shuffles only, state
+    ≤ |active| rows. ``LAST_STATS["hits_actions"]`` counts
+    per-half-step driver actions — the telemetry the action-fold test
+    asserts on.
     """
     e = checkpointed(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -2087,7 +2095,8 @@ def hits(
 
     def _half(state: DataFrame, val: str, join_on: str, group_to: str):
         """One half-step: sum ``val`` over ``join_on``-matched edges onto
-        ``group_to`` endpoints, L2-normalize, round 6 dp — one action."""
+        ``group_to`` endpoints, L2-normalize, round 6 dp — one action,
+        sparse state (absent id ⇔ score 0)."""
         summed = (
             e.join(_state_hinted(state, n), F.col(join_on) == state["id"])
             .groupBy(F.col(group_to).alias("id"))
@@ -2095,12 +2104,7 @@ def hits(
         )
         # lazy checkpoint: the norm aggregate below is the action that
         # materializes the truncated blocks AND returns the scalar
-        raw = checkpointed(
-            verts.join(summed, "id", "left").select(
-                "id", F.coalesce("r", F.lit(0.0)).alias("r")
-            ),
-            lazy=True,
-        )
+        raw = checkpointed(summed, lazy=True)
         nrm = raw.agg(F.sqrt(F.sum(F.col("r") * F.col("r")))).first()[0]
         LAST_STATS["hits_actions"] += 1
         out_col = "auth" if group_to == "dst" else "hub"
@@ -2111,4 +2115,14 @@ def hits(
     for _ in range(n_iter):
         auth = _half(hub, "hub", "src", "dst")
         hub = _half(auth, "auth", "dst", "src")
-    return hub.join(auth, "id").select("id", "hub", "auth")
+    # densify ONCE: zero-out-degree vertices carry hub 0, zero-in-degree
+    # vertices auth 0 — identical to the r7 per-half-step left joins
+    return (
+        verts.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+    )
