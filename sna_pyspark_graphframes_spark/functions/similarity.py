@@ -151,35 +151,47 @@ def ivf_centroids(
     )
 
 
-def _scored_pairs(v: DataFrame, c: DataFrame, k_rows: int) -> DataFrame:
+def _scored_pairs(
+    v: DataFrame, c: DataFrame, k_rows: int, dim: int = 64
+) -> DataFrame:
     """Every (vector, codebook-row) cosine score:
     ``(id, v, centroid_id, cos)`` with cos rounded to 6 dp.
 
-    The distribution strategy is the codebook's row count, size-gated
+    The distribution strategy is the codebook's BYTE size, size-gated
     like every other growing frame (SCALE.md unbounded-frame rule;
-    ``plans/hints.py``):
+    ``plans/hints.py``). The shared gate constant was calibrated for
+    ~64 B (long, long) vertex-state rows (4M rows ≈ 256 MB), so a
+    codebook row of ``dim`` doubles counts as its real width — at
+    dim 1024 a row is ~8 KB and the row-count gate alone would have
+    pinned a 32 GB broadcast (the exact failure the gate exists to
+    prevent):
 
-    * ``k_rows`` within the executor-memory gate → broadcast cross-join
-      (the codebook IS the build side; one codegen'd scan of N rows).
-    * beyond the gate → SHARDED assignment: the codebook hash-deals into
-      ``ceil(k / gate)`` shards of gate-sized pieces, vectors replicate
-      once per shard, and the product becomes an equi-join on
-      ``(shard, salt)`` — the deterministic vector-id salt (retry-safe,
-      ``operators/scale.py`` convention) spreads each shard over 32
-      reduce tasks so per-task build memory stays ≤ the gate while
-      parallelism stays ≥ shuffle-partitions. Same pair set, same
-      scores — only the physical plan changes.
+    * within the byte budget → broadcast cross-join (the codebook IS
+      the build side; one codegen'd scan of N rows).
+    * beyond it → SHARDED assignment: the codebook hash-deals into
+      byte-budget-sized shards, vectors replicate once per shard, and
+      the product becomes an equi-join on ``(shard, salt)`` — the
+      deterministic vector-id salt (retry-safe, ``operators/scale.py``
+      convention) spreads each shard over 32 reduce tasks so per-task
+      build memory stays ≤ the budget while parallelism stays ≥
+      shuffle-partitions. Same pair set, same scores — only the
+      physical plan changes.
 
     This closes the "codebook too big to broadcast needs sharded
     assignment — documented, not implemented" hole (VERDICT r7 Missing
     #3) for BOTH Lloyd's and IVF assignment."""
     from sna_pyspark_graphframes_spark.plans import hints
 
-    gate = hints.STATE_BROADCAST_MAX_ROWS  # read at call time (testable)
-    if k_rows <= gate:
+    # read at call time (testable); calibration: 1 gate row ≈ 64 B
+    budget_bytes = hints.STATE_BROADCAST_MAX_ROWS * 64
+    row_bytes = dim * 8 + 32  # array of doubles + id/offset overhead
+    if k_rows * row_bytes <= budget_bytes:
         pairs = v.crossJoin(c.hint("broadcast"))
     else:
-        n_shards = math.ceil(k_rows / max(gate, 1))
+        # a shard is never smaller than one codebook row
+        n_shards = min(
+            k_rows, math.ceil(k_rows * row_bytes / max(budget_bytes, 1))
+        )
         salt_buckets = 32
         cs = c.withColumn(
             "_shard", F.pmod(F.hash("centroid_id"), F.lit(n_shards))
@@ -205,6 +217,7 @@ def ivf_assign(
     stride: int | None = 40,
     n_probe: int = 1,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """``(id, centroid_id, probe_rank)`` — each vector's ``n_probe``
     nearest centroids by cosine (rank 1 = its home list).
@@ -219,12 +232,15 @@ def ivf_assign(
     reproducible across engines — unrounded last-ulp differences would
     make list assignment itself engine-dependent."""
     stride = _resolve_stride(embeddings, stride)
+    if dim is None:
+        first = embeddings.select("embedding").first()
+        dim = len(first[0]) if first is not None else 0
     v = embeddings.select(
         F.col(id_col).alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
     c = ivf_centroids(embeddings, stride, id_col)
-    scored = _scored_pairs(v, c, k_rows=c.count()).select(
+    scored = _scored_pairs(v, c, k_rows=c.count(), dim=dim).select(
         "id", "centroid_id", "cos"
     )
     w = Window.partitionBy("id").orderBy(
@@ -415,7 +431,7 @@ def kmeans_centroids(
     # (Lloyd's k can only shrink, so the gate decision stays valid)
     k_rows = c.count()
     for _ in range(n_iter):
-        scored = _scored_pairs(v, c.select("centroid_id", "cv"), k_rows)
+        scored = _scored_pairs(v, c.select("centroid_id", "cv"), k_rows, dim=dim)
         best = scored.groupBy("id").agg(
             F.max_by(
                 "centroid_id",
