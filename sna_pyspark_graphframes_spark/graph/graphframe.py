@@ -43,6 +43,27 @@ class GraphFrame:
 
     def __init__(self, v: DataFrame, e: DataFrame) -> None:
         self._g = Graph(vertices=v, edges=e)
+        self._sym_layout: DataFrame | None = None
+
+    def _shared_sym_layout(self) -> DataFrame:
+        """One persisted src-partitioned symmetrized edge layout per
+        GraphFrame, built lazily on first undirected-algorithm call and
+        shared by every later one (the r8 family-layout rule: a
+        deployment holds one graph layout, not one per query). Only the
+        UNDIRECTED algorithms (connectedComponents, labelPropagation)
+        consume it — pageRank/PPR keep GraphFrames' directed semantics
+        and stay off it. ``unpersist()`` releases it with the rest of
+        the graph's caches."""
+        from sna_pyspark_graphframes_spark.graph.build import symmetrize
+
+        if self._sym_layout is None:
+            self._sym_layout = algorithms._edges_partitioned(
+                symmetrize(
+                    self._g.edges.select("src", "dst"), dedup=False
+                ),
+                "src",
+            )
+        return self._sym_layout
 
     # -- data accessors ----------------------------------------------------
 
@@ -158,6 +179,7 @@ class GraphFrame:
     def connectedComponents(self, **kw) -> DataFrame:  # noqa: N802
         """Vertex attributes + ``component`` (min vertex id in component —
         upstream also labels by a member id)."""
+        kw.setdefault("sym_layout", self._shared_sym_layout())
         cc = algorithms.connected_components(self._g.edges, **kw)
         return self._g.vertices.join(cc, "id", "left")
 
@@ -169,7 +191,11 @@ class GraphFrame:
     def labelPropagation(self, maxIter: int = 5) -> DataFrame:  # noqa: N802,N803
         """The reference's community-detection call
         (``/root/reference/main.py:161``): ``(id, label)``."""
-        return algorithms.label_propagation(self._g.edges, max_iter=maxIter)
+        return algorithms.label_propagation(
+            self._g.edges,
+            max_iter=maxIter,
+            sym_layout=self._shared_sym_layout(),
+        )
 
     def pageRank(  # noqa: N802
         self,
@@ -257,4 +283,7 @@ class GraphFrame:
 
     def unpersist(self) -> "GraphFrame":
         self._g.unpersist()
+        if self._sym_layout is not None:
+            self._sym_layout.unpersist()
+            self._sym_layout = None
         return self

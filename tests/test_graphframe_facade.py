@@ -198,3 +198,30 @@ class TestAlgorithms:
         )
         got = {r.id: r.seen for r in out.collect()}
         assert got == {1: 0, 2: 99, 3: 0}
+
+
+class TestSharedLayout:
+    def test_facade_reuses_one_sym_layout(self, spark):
+        """connectedComponents then labelPropagation on one GraphFrame
+        build the persisted symmetrized layout ONCE and share it (the r8
+        family-layout rule surfaced at the facade); unpersist releases
+        it."""
+        from pyspark.sql import functions as F
+
+        from sna_pyspark_graphframes_spark.graph.graphframe import GraphFrame
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+        )
+        v = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+        g = GraphFrame(v, e)
+        cc = {r.id: r.component for r in g.connectedComponents().collect()}
+        layout_after_cc = g._sym_layout
+        assert layout_after_cc is not None
+        lpa = g.labelPropagation(maxIter=3)
+        assert lpa.count() == 5
+        assert g._sym_layout is layout_after_cc  # shared, not rebuilt
+        assert layout_after_cc.storageLevel.useMemory  # consumers never evict
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+        g.unpersist()
+        assert g._sym_layout is None
