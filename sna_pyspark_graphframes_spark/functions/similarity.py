@@ -239,6 +239,12 @@ def ivf_assign(
         F.col(id_col).alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    # pre-partition by id: the per-id probe window needs this exchange
+    # anyway — paying it BEFORE the scoring join parallelizes the N×k
+    # dot products past the source file's partition count (the kmeans
+    # single-partition finding, r8; count pinned — AQE would coalesce
+    # the byte-small, compute-dense rows back to 1 partition)
+    v = v.repartition(v.sparkSession.sparkContext.defaultParallelism, "id")
     c = ivf_centroids(embeddings, stride, id_col)
     scored = _scored_pairs(v, c, k_rows=c.count(), dim=dim).select(
         "id", "centroid_id", "cos"
@@ -422,7 +428,21 @@ def kmeans_centroids(
         F.col(id_col).alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    v = checkpointed(v)
+    # hash-partition the vectors by id BEFORE checkpointing (r8): a
+    # single-file parquet scan arrives as 1 partition, so the broadcast
+    # cross-join scored N×k×dim dot products on ONE core (measured at
+    # sf0.1: 6.6 → 3.3 s median from this line alone); the id
+    # clustering also feeds the argmin groupBy("id") so its exchange is
+    # satisfied up front, once, instead of per iteration. The partition
+    # COUNT is pinned explicitly: embedding rows are byte-small but
+    # compute-dense (k×dim FLOPs each), and AQE sizes by bytes — an
+    # unpinned repartition("id") was coalesced back to 1 partition,
+    # silently undoing the parallelism (measured, same session).
+    v = checkpointed(
+        v.repartition(
+            v.sparkSession.sparkContext.defaultParallelism, "id"
+        )
+    )
     c = embeddings.filter(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
