@@ -48,6 +48,12 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         F.col("embedding").cast("array<double>").alias("vq"),
     ).withColumn("nq", _norm("vq"))
+    # the query side streams through the nested-loop join, so ITS
+    # partition count is the scoring parallelism — a single-file scan
+    # arrives as 1 partition and would score |Q|×|C|×dim on one core
+    # (the kmeans finding, r8); pinned — AQE would coalesce byte-small
+    # compute-dense rows right back
+    q = q.repartition(q.sparkSession.sparkContext.defaultParallelism, "query_id")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("vc"),
