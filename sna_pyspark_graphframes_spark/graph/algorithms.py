@@ -789,8 +789,11 @@ def core_numbers(
     while row[1]:
         k = max(k, row[0])
         if k >= max_k or LAST_STATS["core_numbers_waves"] >= max_rounds:
-            # every survivor's core is >= the level; emit clamped
-            rem = deg.select("id", F.lit(max_k).alias("core"))
+            # every survivor's core is >= the CURRENT level; emit that
+            # level (on the max_k trigger min(k, max_k) == max_k — the r3
+            # clamp contract; on the max_rounds trigger it is k, a valid
+            # lower bound — emitting max_k there would overstate, ADVICE r8)
+            rem = deg.select("id", F.lit(min(k, max_k)).alias("core"))
             result = rem if result is None else result.unionByName(rem)
             break
         LAST_STATS["core_numbers_waves"] += 1
@@ -937,8 +940,11 @@ def pagerank(
         # persisted frame by what this loop calls dst — the per-round
         # contribution aggregate stays exchange-free without a second
         # |E| repartition+persist. Undirected only (a symmetric layout
-        # has no direction to preserve).
-        assert not directed, "sym_layout implies an undirected graph"
+        # has no direction to preserve). ValueError, not assert: under
+        # ``python -O`` an assert is stripped and a directed=True call
+        # would silently return undirected ranks (ADVICE r8).
+        if directed:
+            raise ValueError("sym_layout requires directed=False")
         e = sym_layout.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         ).filter(F.col("src") != F.col("dst"))
@@ -994,6 +1000,7 @@ def pagerank(
     # base-join shape and pay one delta join per CHECKPOINTED round only.
     fold_delta = k == 1 and tol is not None
     prev_ck = ranks  # last checkpointed state, for the k>1 delta
+    converged = False  # True ⇔ the loop broke after a materializing read
     LAST_STATS["pagerank_rounds"] = 0
     for it in range(max_iter):
         LAST_STATS["pagerank_rounds"] += 1
@@ -1033,6 +1040,7 @@ def pagerank(
                 dangling_mass = row[1] or 0.0
             ranks = ranks.drop("d")
             if it < max_iter - 1 and delta is not None and delta < tol:
+                converged = True
                 break
             continue
         ranks = updated.select("id", "out_deg", new_pr.alias("pr"))
@@ -1065,10 +1073,19 @@ def pagerank(
                     .first()[0]
                 )
                 if delta is not None and delta < tol:
+                    converged = True
                     break
             prev_ck = ranks
     if owns_layout:  # shared layouts outlive the call (caller-owned)
-        e.unpersist(blocking=False)  # ranks is checkpointed; cache is dead
+        if not fold_delta and not converged:
+            # tol=None / cadence>1 run-to-max_iter path: the final round's
+            # lazy checkpoint got no follow-up read (dangling/delta reads
+            # are gated off the last round), so materialize it NOW while
+            # the edge cache is live — otherwise the caller's first action
+            # silently re-runs the last superstep plus the layout build
+            # against the just-unpersisted frame (ADVICE r8).
+            ranks.agg(F.count(F.lit(1))).first()
+        e.unpersist(blocking=False)  # ranks is materialized; cache is dead
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
@@ -1096,7 +1113,9 @@ def personalized_pagerank(
     # src-partitioned-layout column swap when the caller holds one
     owns_layout = sym_layout is None
     if not owns_layout:
-        assert not directed, "sym_layout implies an undirected graph"
+        # ValueError, not assert: stripped under python -O (ADVICE r8)
+        if directed:
+            raise ValueError("sym_layout requires directed=False")
         e = sym_layout.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         ).filter(F.col("src") != F.col("dst"))
@@ -1143,6 +1162,7 @@ def personalized_pagerank(
     n_vertices = base.count()  # once, for the size-aware superstep hint
     k = 1 if has_danglings else _state_cadence(n_vertices)
     prev_ck = ranks  # last checkpointed state, for the tol delta
+    converged = False  # True ⇔ the loop broke after a materializing read
     for it in range(max_iter):
         contribs = (
             e.join(
@@ -1196,10 +1216,16 @@ def personalized_pagerank(
                     .first()[0]
                 )
                 if delta is not None and delta < tol:
+                    converged = True
                     break
             prev_ck = ranks
     if owns_layout:  # shared layouts outlive the call (caller-owned)
-        e.unpersist(blocking=False)  # ranks is checkpointed; cache is dead
+        if not converged:
+            # run-to-max_iter: the final lazy checkpoint got no follow-up
+            # read — materialize before dropping the edge cache (ADVICE r8,
+            # same fix as pagerank())
+            ranks.agg(F.count(F.lit(1))).first()
+        e.unpersist(blocking=False)  # ranks is materialized; cache is dead
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
 
@@ -2009,7 +2035,9 @@ def truss_numbers(
             break
         k = max(k, row[0] + 2)
         if k >= max_k or LAST_STATS["truss_numbers_waves"] >= max_rounds:
-            rem = sup.select("src", "dst", F.lit(max_k).alias("truss"))
+            # min(k, max_k): max_k trigger → the r3 clamp; max_rounds
+            # trigger → the current level, a valid lower bound (ADVICE r8)
+            rem = sup.select("src", "dst", F.lit(min(k, max_k)).alias("truss"))
             out = rem if out is None else out.unionByName(rem)
             break
         LAST_STATS["truss_numbers_waves"] += 1

@@ -33,7 +33,14 @@ def degrees(edges: DataFrame, sym: DataFrame | None = None) -> DataFrame:
     ``sym`` (r8): a caller-held shared symmetrized-deduped edge frame
     (the CC/LPA/PageRank ``sym_layout``); when src-partitioned the count
     aggregate needs NO exchange at all — degree becomes a free read off
-    the family's one persisted graph layout."""
+    the family's one persisted graph layout.
+
+    CONTRACT (ADVICE r8): ``sym`` must hold exactly ONE row per directed
+    arc of the symmetric closure — i.e. a DEDUPED symmetric frame, the
+    shape ``_edges_partitioned(symmetrize(canonical_edges))`` produces
+    (canonical input is already distinct, so both closure directions are
+    distinct by construction). Passing ``symmetrize(raw, dedup=False)``
+    over a multigraph-ish edge list would double-count degrees."""
     e = symmetrize(edges, dedup=True) if sym is None else sym
     return e.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("degree")

@@ -74,7 +74,16 @@ def _memo(spark, sf_dir, tag: str, make) -> DataFrame:
     queries — pay the heavy join once)."""
     key = f"{id(spark)}:{sf_dir}:{tag}"
     if key not in _MEMO_CACHE:
-        _MEMO_CACHE[key] = make().cache()
+        df = make()
+        # frames already persisted by their builder (_edges_partitioned)
+        # must NOT be re-wrapped in .cache(): Spark's CacheManager is
+        # plan-keyed, so the second registration is a warning/no-op at
+        # best and deepens the fragile plan-key coupling the shared-layout
+        # tests document (ADVICE r8)
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            _MEMO_CACHE[key] = df
+        else:
+            _MEMO_CACHE[key] = df.cache()
     return _MEMO_CACHE[key]
 
 
@@ -669,7 +678,13 @@ def _copurchase_sym(spark, sf_dir):
     (connected components, LPA, PageRank/PPR via the column swap, and the
     degree queries), which previously each rebuilt and re-shuffled their
     own copy. One |E| exchange feeds every loop; ``clear_session_caches``
-    owns eviction (bench reps re-pay the build like a fresh session)."""
+    owns eviction (bench reps re-pay the build like a fresh session).
+
+    CacheManager is PLAN-KEYED (ADVICE r8): an own-layout algorithm run
+    that builds + unpersists the same co-purchase plan in-session would
+    evict this shared entry out from under later queries — every consumer
+    of the co-purchase graph must route through this memo, never build
+    its own layout over the same edges."""
     return _memo(
         spark,
         sf_dir,
