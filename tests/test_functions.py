@@ -212,6 +212,33 @@ class TestSimilarity:
         assert r3 >= r1
         assert r3 > 0.4  # probing 3 of 6 lists recovers a solid fraction
 
+    def test_ivf_assign_stat_gate_matches_exact_k_rows(self, spark):
+        """The r9 plan-statistics byte gate (no per-call count() job) must
+        produce the identical assignment as an exact caller-supplied
+        k_rows, on BOTH sides of the gate: estimate path vs exact path,
+        and exact path forced past the gate (sharded)."""
+        import random
+
+        from sna_pyspark_graphframes_spark.plans import hints
+
+        rng = random.Random(11)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(90)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        est = fsim.ivf_assign(df, stride=15, n_probe=2).collect()
+        exact = fsim.ivf_assign(df, stride=15, n_probe=2, k_rows=6).collect()
+        key = lambda rows: sorted((r.id, r.centroid_id, r.probe_rank) for r in rows)
+        assert key(est) == key(exact)
+        # statistics never run a job and overestimate only toward sharding
+        c = fsim.ivf_centroids(df, stride=15)
+        assert fsim._plan_stat_bytes(c) > 0
+        old = hints.STATE_BROADCAST_MAX_ROWS
+        hints.STATE_BROADCAST_MAX_ROWS = 0  # force the sharded path
+        try:
+            sharded = fsim.ivf_assign(df, stride=15, n_probe=2).collect()
+        finally:
+            hints.STATE_BROADCAST_MAX_ROWS = old
+        assert key(sharded) == key(exact)
+
     def test_kmeans_centroids_converge_on_separable_clusters(self, spark):
         """Two tight, well-separated direction clusters + a 2-sample stride
         init: Lloyd's must send every vector to its own cluster's centroid
