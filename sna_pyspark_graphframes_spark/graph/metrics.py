@@ -72,7 +72,10 @@ def degree_histogram(edges: DataFrame, normalized: bool = False) -> DataFrame:
 
 
 def _degree_oriented(
-    edges: DataFrame, deg: DataFrame, n_vertices: int | None = None
+    edges: DataFrame,
+    deg: DataFrame,
+    n_vertices: int | None = None,
+    sym: DataFrame | None = None,
 ) -> DataFrame:
     """Orient each canonical undirected edge from the lower-rank to the
     higher-rank endpoint, rank = (degree, id) — the node-iterator++
@@ -86,7 +89,19 @@ def _degree_oriented(
     |V| counted once by the caller): broadcast while it fits, shuffle-hash
     beyond. Fully un-hinted was measured 1.5x slower at sf0.1 (7.3 s vs
     5.0 s median — AQE's broadcast conversion still pays the |E| side's
-    shuffle writes before converting; REPORT.md r7)."""
+    shuffle writes before converting; REPORT.md r7).
+
+    ``sym`` (r9, VERDICT r8 Next #3): the family's shared persisted
+    SRC-partitioned symmetric layout (the CC/LPA/degrees frame — the
+    deduped closure of a distinct canonical edge set). The closure holds
+    BOTH arcs of every undirected edge, so orientation becomes a FILTER —
+    keep exactly the lower-rank→higher-rank arc — instead of a
+    conditional swap over a re-derived canonical edge set: the triangle
+    family then reads the one persisted graph layout (no per-call |E|
+    re-shuffle), and because the degree sides broadcast (size-gated) and
+    a filter preserves partitioning, the downstream adjacency
+    ``groupBy("src")`` rides the layout's partitioning with NO Exchange.
+    Same oriented edge set either way."""
     if n_vertices is None:
         n_vertices = deg.count()
     ds = state_hinted(
@@ -100,6 +115,14 @@ def _degree_oriented(
     lower_first = (F.col("d_src") < F.col("d_dst")) | (
         (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
     )
+    if sym is not None:
+        return (
+            sym.select("src", "dst")
+            .join(ds, "src")
+            .join(dd, "dst")
+            .filter(lower_first)
+            .select("src", "dst")
+        )
     return (
         edges.select("src", "dst")
         .join(ds, "src")
@@ -111,7 +134,11 @@ def _degree_oriented(
     )
 
 
-def triangles_per_vertex(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+def triangles_per_vertex(
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    sym: DataFrame | None = None,
+) -> DataFrame:
     """``(id, triangles)`` — number of triangles through each vertex.
 
     Plan (SURVEY.md §2.2 M3): orient each undirected edge from the
@@ -134,9 +161,11 @@ def triangles_per_vertex(edges: DataFrame, deg: DataFrame | None = None) -> Data
     orientation's size gate needs its row count anyway, and both degree
     joins then scan the materialized |V| frame instead of re-running the
     degree aggregate once per join subtree.
+
+    ``sym``: shared persisted symmetric layout (see ``_degree_oriented``).
     """
-    deg = checkpointed(degrees(edges)) if deg is None else deg
-    oriented = _degree_oriented(edges, deg)
+    deg = checkpointed(degrees(edges, sym=sym)) if deg is None else deg
+    oriented = _degree_oriented(edges, deg, sym=sym)
     e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -150,7 +179,9 @@ def triangles_per_vertex(edges: DataFrame, deg: DataFrame | None = None) -> Data
 
 
 def triangles_per_vertex_adjacency(
-    edges: DataFrame, deg: DataFrame | None = None
+    edges: DataFrame,
+    deg: DataFrame | None = None,
+    sym: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, triangles)`` — adjacency-intersection triangle variant.
 
@@ -175,9 +206,16 @@ def triangles_per_vertex_adjacency(
     ``deg`` handling matches :func:`triangles_per_vertex` (checkpointed
     when derived here, so the size-gate count and both degree joins read
     one materialized frame).
+
+    ``sym`` (r9): shared persisted SRC-partitioned symmetric layout —
+    orientation becomes a filter over the layout (see
+    ``_degree_oriented``) and THIS plan's one |E| shuffle (the adjacency
+    ``groupBy("src")``) is elided outright: broadcast joins and the
+    filter preserve the layout's src hash-partitioning, so the aggregate
+    runs exchange-free on the cached blocks.
     """
-    deg = checkpointed(degrees(edges)) if deg is None else deg
-    oriented = _degree_oriented(edges, deg)
+    deg = checkpointed(degrees(edges, sym=sym)) if deg is None else deg
+    oriented = _degree_oriented(edges, deg, sym=sym)
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     a_side = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na"))
     b_side = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb"))

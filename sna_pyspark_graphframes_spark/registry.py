@@ -709,13 +709,19 @@ def _deg(spark, sf_dir):
 def _tri(spark, sf_dir):
     # adjacency-intersect plan: same triangle set as the wedge join,
     # measured 9.1 -> 4.8 s median at sf0.1 (REPORT.md r5) because the
-    # wedge exchange is never materialized.
+    # wedge exchange is never materialized. sym= (r9, VERDICT r8 Next #3):
+    # the triangle family was the last heavy consumer re-deriving its own
+    # orientation from the raw edge memo — it now reads the shared
+    # persisted layout, and the adjacency groupBy("src") rides the
+    # layout's partitioning exchange-free.
     return _memo(
         spark,
         sf_dir,
         "triangles",
         lambda: metrics.triangles_per_vertex_adjacency(
-            _copurchase(spark, sf_dir), deg=_deg(spark, sf_dir)
+            _copurchase(spark, sf_dir),
+            deg=_deg(spark, sf_dir),
+            sym=_copurchase_sym(spark, sf_dir),
         ),
     )
 
