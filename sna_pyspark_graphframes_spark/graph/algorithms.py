@@ -899,6 +899,7 @@ def pagerank(
     directed: bool = False,
     tol: float | None = 1e-7,
     sym_layout: DataFrame | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """``(id, pagerank)`` — power-iteration PageRank (= GraphFrames
     ``g.pageRank(resetProbability=1-damping, maxIter=...)``, the other
@@ -926,6 +927,14 @@ def pagerank(
     run exactly ``max_iter`` supersteps). No oscillation aliasing at
     cadence k>1: a contraction cannot cycle, so a small k-round delta
     implies convergence.
+
+    ``round_dp`` (r9): round every round's new ranks to this many
+    decimals — the HITS/kmeans cross-engine reproducibility recipe
+    (fixed iteration count + per-round rounding makes each round's
+    inputs identical decimals on both engines, so an unrolled-CTE
+    oracle matches value-for-value; fp accumulation order never
+    compounds across rounds). Production leaves it ``None``; the same
+    loop, joins, and per-round actions run either way.
     """
     # dst-partitioned persistent layout: the per-round contribution
     # aggregate groups by dst, so its exchange is elided every round (see
@@ -1017,6 +1026,8 @@ def pagerank(
         new_pr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
             F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling_mass / n)
         )
+        if round_dp is not None:
+            new_pr = F.round(new_pr, round_dp)
         if fold_delta:
             ranks = checkpointed(
                 updated.select(
@@ -1097,6 +1108,7 @@ def personalized_pagerank(
     directed: bool = False,
     tol: float | None = 1e-7,
     sym_layout: DataFrame | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """``(id, pagerank)`` — PageRank personalized to ``sources``
     (= GraphFrames ``parallelPersonalizedPageRank`` for one source set):
@@ -1105,7 +1117,8 @@ def personalized_pagerank(
     stationary random-walk-with-restart distribution and sum to 1.
 
     Same loop/shuffle structure as :func:`pagerank`; the reset vector is a
-    broadcast-joined 0/1-weight column instead of a constant.
+    broadcast-joined 0/1-weight column instead of a constant. ``round_dp``
+    is the same per-round reproducibility knob as :func:`pagerank`.
     """
     if not sources:
         raise ValueError("sources must be non-empty")
@@ -1177,15 +1190,12 @@ def personalized_pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         updated = base.join(contribs, "id", "left")
-        ranks = updated.select(
-            "id",
-            "r",
-            "out_deg",
-            (
-                F.lit((1.0 - damping) + damping * dangling_mass) * F.col("r")
-                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-            ).alias("pr"),
-        )
+        new_pr = F.lit((1.0 - damping) + damping * dangling_mass) * F.col(
+            "r"
+        ) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+        if round_dp is not None:
+            new_pr = F.round(new_pr, round_dp)
+        ranks = updated.select("id", "r", "out_deg", new_pr.alias("pr"))
         # Same L1-delta early exit as pagerank(): the personalized chain
         # is the same d-contraction, so a sub-tol delta at a checkpointed
         # round bounds all remaining movement (pass tol=None for the

@@ -2272,11 +2272,174 @@ def q_hits(spark, sf_dir):
     return algorithms.hits(e, n_iter=4)
 
 
+def _pagerank_directed_sql(n_iter: int = 4, d: float = 0.85) -> str:
+    """DuckDB twin of the PRODUCTION directed-PageRank loop (dangling
+    branch) on the customer→order graph — the HITS unrolled-CTE recipe
+    (VERDICT r8 Next #5): fixed iteration count, every round's new ranks
+    rounded to 6 dp (``round_dp=6``) so each round's inputs are identical
+    decimals on both engines. EVERY customer→order edge leaves orders
+    dangling (out-degree 0), so the driver-scalar dangling-mass fold —
+    the exact code path ``pagerank_top20`` runs rows-only — is what this
+    oracle value-checks: dm_i is summed from round i's ROUNDED rank table
+    and re-enters round i+1 as a literal, mirroring
+    ``graph/algorithms.py`` pagerank's tol=None/danglings branch.
+    Float literals are embedded via ``repr`` of the PYTHON-computed
+    constants ((1-d) in Python is 0.15000000000000002, not decimal 0.15 —
+    a 1-ulp trap if DuckDB parsed the decimal), and CAST AS DOUBLE
+    everywhere (DuckDB parses bare decimals as DECIMAL). Stages are
+    MATERIALIZED (each is referenced twice: next stage + its dm read)."""
+    base = repr((1.0 - d))
+    parts = [
+        """WITH e AS MATERIALIZED (
+    SELECT -o_custkey AS src, o_orderkey AS dst FROM orders
+), v AS MATERIALIZED (
+    SELECT src AS id FROM e UNION SELECT dst FROM e
+), od AS MATERIALIZED (
+    SELECT v.id, COALESCE(g.c, 0) AS out_deg
+    FROM v LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) g
+      ON g.src = v.id
+), nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+p0 AS MATERIALIZED (
+    SELECT id, out_deg, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) AS pr
+    FROM od
+), dm0 AS MATERIALIZED (
+    SELECT (SELECT COUNT(*) FROM od WHERE out_deg = 0)
+           * (CAST(1.0 AS DOUBLE) / (SELECT n FROM nv)) AS m
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+    SELECT od.id, od.out_deg,
+           ROUND(CAST({base} AS DOUBLE) / (SELECT n FROM nv)
+                 + CAST({d!r} AS DOUBLE)
+                   * (COALESCE(f.inflow, CAST(0.0 AS DOUBLE))
+                      + (SELECT m FROM dm{i - 1}) / (SELECT n FROM nv)),
+                 6) AS pr
+    FROM od LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.pr / p.out_deg) AS inflow
+        FROM e JOIN p{i - 1} p ON p.id = e.src GROUP BY e.dst
+    ) f ON f.id = od.id
+), dm{i} AS MATERIALIZED (
+    SELECT COALESCE(SUM(pr) FILTER (WHERE out_deg = 0),
+                    CAST(0.0 AS DOUBLE)) AS m
+    FROM p{i}
+)"""
+        )
+    parts.append(f"\nSELECT id, pr AS pagerank FROM p{n_iter}")
+    return "".join(parts)
+
+
+@register("pagerank_directed_orders", _pagerank_directed_sql())
+def q_pagerank_directed_orders(spark, sf_dir):
+    """Directed PageRank with dangling-mass redistribution on the
+    customer→order graph, 4 fixed rounds, per-round 6-dp rounding
+    (``round_dp=6`` — the HITS recipe). Value-verifies the production
+    directed loop (tol=None ⇒ the non-fold dangling branch) that
+    ``pagerank_top20``/``ppr_top20`` exercise rows-only: every order is
+    dangling here, so the per-round driver-scalar mass fold carries
+    ~half the total rank mass each round and any defect would shift
+    every value."""
+    orders = _t(spark, sf_dir, "orders")
+    e = orders.select(
+        (-F.col("o_custkey")).alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    return algorithms.pagerank(
+        e, max_iter=4, directed=True, tol=None, round_dp=6
+    )
+
+
+def _ppr_directed_sql(n_iter: int = 4, d: float = 0.85, k_src: int = 4) -> str:
+    """DuckDB twin of the PRODUCTION personalized-PageRank directed loop:
+    teleport mass (and dangling mass) returns to the ``k_src``
+    DETERMINISTIC sources — the negated ids of the smallest distinct
+    ``o_custkey`` values (the betweenness-sampled trick: determinism
+    makes the 'personalized' path exactly twinnable). Update rule per
+    ``graph/algorithms.py`` personalized_pagerank:
+    pr_i(v) = ROUND(((1-d) + d·dm_{i-1})·r(v) + d·inflow_i(v), 6) with
+    r(v) = 1/k on sources, 0 elsewhere. Same repr-literal and
+    MATERIALIZED conventions as ``_pagerank_directed_sql``."""
+    base = repr((1.0 - d))
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+    SELECT -o_custkey AS src, o_orderkey AS dst FROM orders
+), v AS MATERIALIZED (
+    SELECT src AS id FROM e UNION SELECT dst FROM e
+), srcs AS MATERIALIZED (
+    SELECT DISTINCT -o_custkey AS id FROM orders
+    ORDER BY id DESC LIMIT {k_src}
+), od AS MATERIALIZED (
+    SELECT v.id,
+           COALESCE(g.c, 0) AS out_deg,
+           CASE WHEN s.id IS NOT NULL
+                THEN CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM srcs)
+                ELSE CAST(0.0 AS DOUBLE) END AS r
+    FROM v LEFT JOIN (SELECT src, COUNT(*) AS c FROM e GROUP BY src) g
+      ON g.src = v.id
+    LEFT JOIN srcs s ON s.id = v.id
+), p0 AS MATERIALIZED (
+    SELECT id, out_deg, r, r AS pr FROM od
+), dm0 AS MATERIALIZED (
+    SELECT COALESCE(SUM(r) FILTER (WHERE out_deg = 0),
+                    CAST(0.0 AS DOUBLE)) AS m
+    FROM od
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+    SELECT od.id, od.out_deg, od.r,
+           ROUND((CAST({base} AS DOUBLE)
+                  + CAST({d!r} AS DOUBLE) * (SELECT m FROM dm{i - 1})) * od.r
+                 + CAST({d!r} AS DOUBLE)
+                   * COALESCE(f.inflow, CAST(0.0 AS DOUBLE)),
+                 6) AS pr
+    FROM od LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.pr / p.out_deg) AS inflow
+        FROM e JOIN p{i - 1} p ON p.id = e.src GROUP BY e.dst
+    ) f ON f.id = od.id
+), dm{i} AS MATERIALIZED (
+    SELECT COALESCE(SUM(pr) FILTER (WHERE out_deg = 0),
+                    CAST(0.0 AS DOUBLE)) AS m
+    FROM p{i}
+)"""
+        )
+    parts.append(f"\nSELECT id, pr AS pagerank FROM p{n_iter}")
+    return "".join(parts)
+
+
+@register("ppr_directed_orders", _ppr_directed_sql())
+def q_ppr_directed_orders(spark, sf_dir):
+    """Personalized PageRank, directed with dangling mass returning to
+    the sources, on the customer→order graph — 4 fixed rounds, 6-dp
+    per-round rounding. Sources are the 4 smallest customer keys that
+    appear in orders (deterministic ⇒ exactly twinnable); dangling order
+    mass re-teleports to them through the per-round driver scalar."""
+    orders = _t(spark, sf_dir, "orders")
+    e = orders.select(
+        (-F.col("o_custkey")).alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    srcs = [
+        int(r[0])
+        for r in e.select("src")
+        .distinct()
+        .orderBy(F.col("src").desc())
+        .limit(4)
+        .collect()
+    ]
+    return algorithms.personalized_pagerank(
+        e, srcs, max_iter=4, directed=True, tol=None, round_dp=6
+    )
+
+
 @register("pagerank_top20", None)
 def q_pagerank(spark, sf_dir):
     """PageRank over the co-purchase graph, top-20 by rank (deterministic
     ties). Golden-tested against closed-form values; rows-only here
-    (fixed-point arithmetic isn't recursive-CTE-friendly)."""
+    (fixed-point arithmetic isn't recursive-CTE-friendly): the directed
+    production loop's values are driver-value-checked by
+    ``pagerank_directed_orders``/``ppr_directed_orders`` (r9), the
+    undirected swap path by ``pagerank_cliques_undirected``."""
     pr = algorithms.pagerank(
         _copurchase(spark, sf_dir),
         max_iter=15,
