@@ -4841,62 +4841,65 @@ def q_profile_documents(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- (a) the one never-driver-checked oracle pair + r8 layout sentinel
-    "connected_components_count",
-    # --- (b) last driver-checked in round 1 ---
-    "price_math",
-    "orders_per_month",
-    "acctbal_stats",
-    "degree_histogram",   # also r8 sentinel: _deg now reads the shared layout
-    "top10_degree",       # same
-    "user_session_edges",
-    # --- (c) last driver-checked in round 3 ---
-    "degree_assortativity",
-    "in_out_degree",
-    "token_count",
-    "doc_chunks",
-    "doc_fingerprint",
-    "embedding_near_dup",
-    "event_props_extract",
-    "event_session_window",
-    "event_tumbling_window",
-    "graphframe_filter_degrees",
-    "hash_split",
-    "lang_id",
-    "ngram_jaccard",
-    "quality_score",
-    "redact_pii",
-    "repetition_ratio",
-    "simhash",
-    # --- (d) retired no_oracle slot: now a hard tolerance-twin check ---
-    "n_parts_approx",
-    # --- (e) sentinels on paths round 8 changed ---
-    "kmeans_centroids_small",   # max_by argmin, gated/sharded codebook
-    "ivf_topk",                 # gated codebook scorer path
-    "multimodal_featurize",     # format_string 6-dp projection
-    "hits_customer_orders",     # lazy-checkpoint norm fold
-    "core_numbers_small",       # degeneracy-order bucket peel
-    "kcore_cliques",            # peel with max_k clamp on cliques
-    "truss_peel_cliques",       # NEW r8: bucket peel on edge support
-    "connected_components",     # shared graph layout (direct consumer)
-    "lpa_labels_exact",         # shared layout through label_propagation
-    "lpa_community_count",      # shared layout + memoized labels
-    "pagerank_cliques_undirected",  # NEW r8: swap-layout path, closed form
-    "degree",                   # degrees() off the shared layout
-    "avg_degree",               # same
-    "triangle_count",           # _tri consumes the layout-built _deg
-    # --- (f) oldest round-4-last, mechanism-diverse ---
-    "bigram_surprisal",
-    "bm25_search",
-    "bucketed_colocated_join",
-    "cohort_retention",
-    "diameter_double_sweep_small",
-    "effective_diameter_small",
-    "embedding_norms",
-    "event_funnel",
-    "event_hourly_gap_fill",
-    "harmonic_small",
-    "inverted_index",
+    # --- (a) never-driver-checked oracle pairs: the two late-r8
+    # betweenness upgrades (VERDICT r8 Next #1) and the two NEW r9
+    # directed-PageRank/PPR production-path twins (VERDICT r8 Next #5) ---
+    "avg_betweenness_small",
+    "betweenness_sampled",
+    "pagerank_directed_orders",
+    "ppr_directed_orders",
+    # --- (b) ALL 31 queries last driver-checked in round 4 (the whole
+    # r9 rotation debt, VERDICT r8 Next #1) — includes the two
+    # bench-flagged streaming queries (solo A/B re-benched in-band, r9)
+    # and the streaming/multimodal/salted families ---
+    "stream_tumbling_window",
+    "stream_stateful_totals",
+    "stream_sliding_window",
+    "stream_foreach_batch",
+    "event_sessionization",
+    "multimodal_frame_sample",
+    "multimodal_thumbnails",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "salted_revenue_by_status",
+    "salted_segment_revenue",
+    "partition_pruned_scan",
+    "sql_grouping_sets",
+    "landmark_distance_histogram",
+    "motif_four_cliques_small",
+    "core_hindex_cliques",
+    "truss_cliques",
+    "truss_hindex_cliques",
+    "minhash_signatures",
+    "unigram_surprisal",
+    "user_daily_moving_avg",
+    "part_metrics_unpivot",
+    "reconcile_order_status_revenue",
+    "user_latest_event",
+    "pack_sequences",
+    "neighborhood_function_small",
+    "quality_buckets",
+    "skipgram_pairs",
+    "word_pmi",
+    "quality_buckets_quantile",
+    "profile_documents",
+    # --- (c) sentinels on paths rounds 8-9 changed ---
+    "kmeans_centroids_small",       # r8 argmin/gate; r9 stats-gated ivf_assign neighbor
+    "hits_customer_orders",         # lazy-checkpoint norm fold
+    "pagerank_cliques_undirected",  # swap-layout path, closed form
+    "truss_peel_cliques",           # bucket peel + r9 max_rounds clamp fix
+    "triangle_count",               # r9: triangle family on the shared sym layout
+    "avg_clustering",               # same (local_clustering over _tri)
+    "transitivity",                 # same
+    "triangles_per_vertex",         # same, full per-vertex table
+    "ivf_topk",                     # r9: plan-statistics codebook gate
+    # --- (d) oldest round-6-last fill, family-diverse ---
+    "ann_topk",
+    "pricing_summary",
+    "connected_components_small",
+    "stream_stream_join",
+    "temperature_mixture",
+    "dedup_incremental",
 ]
 
 
