@@ -3349,6 +3349,51 @@ def q_hash_split(spark, sf_dir):
 
 
 @register(
+    "dsir_log_weights",
+    r"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+            FROM documents
+        ) t WHERE w <> ''
+    ), tb AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(CAST('0x' || SUBSTR(md5(w), 1, 4) AS INT) % 1024 AS INT)
+               AS b
+        FROM tok
+    ), qc AS MATERIALIZED (SELECT b, COUNT(*) AS cq FROM tb GROUP BY b),
+    pc AS MATERIALIZED (
+        SELECT b, COUNT(*) AS cp
+        FROM tb JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY b
+    ), tot AS MATERIALIZED (
+        SELECT (SELECT COALESCE(SUM(cq), 0) FROM qc) AS tq,
+               (SELECT COALESCE(SUM(cp), 0) FROM pc) AS tp
+    ), ratio AS MATERIALIZED (
+        SELECT qc.b,
+               ROUND(LN((COALESCE(pc.cp, 0) + 1.0)
+                        / ((SELECT tp FROM tot) + 1024.0))
+                     - LN((qc.cq + 1.0)
+                          / ((SELECT tq FROM tot) + 1024.0)), 6) AS lr
+        FROM qc LEFT JOIN pc ON pc.b = qc.b
+    )
+    SELECT tb.doc_id, ROUND(SUM(r.lr), 6) AS log_weight
+    FROM tb JOIN ratio r ON r.b = tb.b
+    GROUP BY tb.doc_id
+    """,
+)
+def q_dsir_log_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023) for steering the
+    multilingual raw corpus toward its English slice: target = lang='en'
+    documents, features = md5-hashed unigrams into 1024 buckets (the
+    cross-engine shuffle_shards hash), weight = add-one-smoothed
+    multinomial log-likelihood ratio summed over token occurrences."""
+    docs = _t(spark, sf_dir, "documents")
+    return fcorpus.dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+@register(
     "stratified_sample",
     """
     WITH ranked AS (
@@ -4642,18 +4687,55 @@ def q_node2vec_walks(spark, sf_dir):
     return node2vec_walks(e, walk_length=6, p=2.0, q=0.5, starts=starts)
 
 
-@register("effective_diameter_approx", None)
+@register(
+    "effective_diameter_approx",
+    f"""{_CC_STAGES},
+    sizes AS (SELECT lbl, COUNT(*) AS n FROM {_CC_FINAL} GROUP BY lbl)
+    SELECT CAST(SUM(n * n) AS BIGINT) AS n_pairs_exact,
+           TRUE AS sketch_within_15pct
+    FROM sizes
+    """,
+)
 def q_effective_diameter_approx(spark, sf_dir):
     """The 100 TB scale path exercised on the FULL co-purchase graph —
-    approximate at this |V| (HLL estimation mode), so rows-only.
+    HLL estimation mode at this |V|. Upgraded from rows-only in r9 via
+    the ``n_parts_approx`` tolerance-twin recipe: HyperANF's saturation
+    value N(∞) has a sketch-free ground truth — Σ over connected
+    components of size² (every vertex's ball converges to its component,
+    self included) — which BOTH engines compute exactly (Spark: the CC
+    loop over the shared layout; DuckDB: the same unrolled min-label CTE
+    the `connected_components` oracle uses). The query emits that exact
+    total plus a within-15%% boolean on Spark's own lgk=8 estimate
+    (DuckDB has no HyperANF, so its side of the boolean is the literal
+    contract the sketch must meet — one-sided, unlike n_parts_approx's
+    symmetric twin, and documented as such). Measured rel. error at
+    lgk=8: 0.5%% / 8.3%% / 9.7%% at sf0.001/0.01/0.1 (theory: ~6.5%%) —
+    deterministic per dataset (fixed sketch hashing), so the 15%% gate
+    is stable, and a sketch-path regression (wrong unions, dropped
+    rounds, width change) lands far outside it.
 
-    lgk=8 here, not the default 12: HyperANF ships one sketch per edge
-    per round, so the superstep shuffle is |E| x sketch width — 4 KB
-    dense sketches over the 1.2M-edge sf0.1 graph thrashed the 16 GB
-    local heap (GCLocker retry storms), while 256-register sketches
-    (~6.5% rel. error, fine for an effective-diameter estimate) run the
+    lgk=8, not the default 12: HyperANF ships one sketch per edge per
+    round, so the superstep shuffle is |E| x sketch width — 4 KB dense
+    sketches over the 1.2M-edge sf0.1 graph thrashed the 16 GB local
+    heap (GCLocker retry storms), while 256-register sketches run the
     same plan in ~14 s. Sketch width is THE cost knob of this operator."""
-    return algorithms.effective_diameter(_copurchase(spark, sf_dir), lgk=8)
+    e = _copurchase(spark, sf_dir)
+    ed = algorithms.effective_diameter(e, lgk=8)
+    cc = algorithms.connected_components(
+        e, sym_layout=_copurchase_sym(spark, sf_dir)
+    )
+    exact = (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("n_pairs_exact"))
+    )
+    return exact.crossJoin(ed).select(
+        "n_pairs_exact",
+        (
+            F.abs(F.col("n_pairs_max") - F.col("n_pairs_exact"))
+            <= 0.15 * F.col("n_pairs_exact")
+        ).alias("sketch_within_15pct"),
+    )
 
 
 @register(
@@ -4893,13 +4975,15 @@ _WINDOW = [
     "transitivity",                 # same
     "triangles_per_vertex",         # same, full per-vertex table
     "ivf_topk",                     # r9: plan-statistics codebook gate
-    # --- (d) oldest round-6-last fill, family-diverse ---
+    # --- (d) NEW r9 oracle pairs (would otherwise be never-checked):
+    # the HyperANF saturation tolerance twin and the DSIR operator ---
+    "effective_diameter_approx",
+    "dsir_log_weights",
+    # --- (e) oldest round-6-last fill, family-diverse ---
     "ann_topk",
-    "pricing_summary",
     "connected_components_small",
     "stream_stream_join",
     "temperature_mixture",
-    "dedup_incremental",
 ]
 
 

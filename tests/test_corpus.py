@@ -416,3 +416,48 @@ class TestShuffleShards:
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
         other = corpus.shuffle_shards(df, n_shards=4, seed=8).collect()
         assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+class TestDsirLogWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        """DSIR (Xie et al. 2023): documents whose hashed-unigram profile
+        matches the target slice must out-weigh off-target documents, and
+        the weights are a deterministic function of the corpus."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        en = ["the cat sat on the mat", "the dog ate the food",
+              "a cat and a dog met the mat"]
+        de = ["der hund frisst das futter", "die katze sitzt auf der matte"]
+        rows = [(i, t) for i, t in enumerate(en + de)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        target = docs.filter("doc_id < 3")  # the English slice
+        out = {r.doc_id: r.log_weight
+               for r in corpus.dsir_log_weights(docs, target).collect()}
+        assert set(out) == set(range(5))
+        assert min(out[i] for i in (0, 1, 2)) > max(out[i] for i in (3, 4))
+        again = {r.doc_id: r.log_weight
+                 for r in corpus.dsir_log_weights(docs, target).collect()}
+        assert out == again
+
+    def test_uniform_target_gives_zero_information(self, spark):
+        """If the target IS the corpus, p̂ == q̂ bucket-for-bucket and every
+        log-ratio is exactly 0 — the weights carry no signal."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma{i % 3}") for i in range(12)],
+            "doc_id long, text string",
+        )
+        out = corpus.dsir_log_weights(docs, docs).collect()
+        assert len(out) == 12
+        assert all(r.log_weight == 0.0 for r in out)
+
+    def test_empty_documents_produce_no_row(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [(0, "some words here"), (1, ""), (2, "   ")],
+            "doc_id long, text string",
+        )
+        out = corpus.dsir_log_weights(docs, docs.filter("doc_id = 0")).collect()
+        assert sorted(r.doc_id for r in out) == [0]
