@@ -96,6 +96,10 @@ HEADLINE = [
     "shuffle_shards",
     # round-8 append: degeneracy-order bucket-peel truss decomposition.
     "truss_peel_cliques",
+    # round-9 appends: DSIR data-selection weights (new operator family)
+    # and the now-value-verified directed PageRank production path.
+    "dsir_log_weights",
+    "pagerank_directed_orders",
 ]
 
 
