@@ -895,3 +895,55 @@ def dsir_log_weights(
         .groupBy(F.col(id_col))
         .agg(F.round(F.sum("lr"), 6).alias("log_weight"))
     )
+
+
+def dsir_select_topk(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    seed: int = 42,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, select_key, rank)`` — the DSIR SELECTION step: sample
+    ``k`` documents without replacement with probability ∝ exp(DSIR log
+    weight), via the Gumbel-top-k trick (Kool et al., ICML 2019):
+
+        key(x) = log_weight(x) + G(x),   G = −ln(−ln(U)),
+        U(x) = (int(md5(seed‖id)[:8], 16) + 0.5) / 2³²
+
+    and take the k largest keys. The Gumbel noise comes from the same
+    md5 device as ``shuffle_shards`` — a stable pseudo-random U(0,1) per
+    doc, identical on every engine and every retry, so "sampling" is a
+    deterministic, oracle-checkable computation (no RNG state across
+    1000 executors). ``+0.5`` keeps U strictly inside (0,1) so both ln
+    calls are finite. Keys are rounded to 6 dp (the cross-engine recipe;
+    ties broken by doc_id) and the top-k is an ORDER BY ... LIMIT — a
+    per-partition TakeOrderedAndProject heap, never a global sort."""
+    w = dsir_log_weights(docs, target, n_buckets, id_col, text_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    return (
+        w.select(F.col(id_col), key.alias("select_key"))
+        .orderBy(F.col("select_key").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "select_key",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("select_key").desc(), F.col(id_col))
+            )
+            .alias("rank"),
+        )
+    )

@@ -3348,10 +3348,8 @@ def q_hash_split(spark, sf_dir):
     return fcorpus.hash_split(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "dsir_log_weights",
-    r"""
-    WITH tok AS MATERIALIZED (
+_DSIR_W_SQL = r"""
+    tok AS MATERIALIZED (
         SELECT doc_id, w FROM (
             SELECT doc_id,
                    UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
@@ -3377,10 +3375,18 @@ def q_hash_split(spark, sf_dir):
                      - LN((qc.cq + 1.0)
                           / ((SELECT tq FROM tot) + 1024.0)), 6) AS lr
         FROM qc LEFT JOIN pc ON pc.b = qc.b
-    )
-    SELECT tb.doc_id, ROUND(SUM(r.lr), 6) AS log_weight
-    FROM tb JOIN ratio r ON r.b = tb.b
-    GROUP BY tb.doc_id
+    ), dsir_w AS MATERIALIZED (
+        SELECT tb.doc_id, ROUND(SUM(r.lr), 6) AS log_weight
+        FROM tb JOIN ratio r ON r.b = tb.b
+        GROUP BY tb.doc_id
+    )"""
+
+
+@register(
+    "dsir_log_weights",
+    f"""
+    WITH {_DSIR_W_SQL}
+    SELECT doc_id, log_weight FROM dsir_w
     """,
 )
 def q_dsir_log_weights(spark, sf_dir):
@@ -3391,6 +3397,42 @@ def q_dsir_log_weights(spark, sf_dir):
     multinomial log-likelihood ratio summed over token occurrences."""
     docs = _t(spark, sf_dir, "documents")
     return fcorpus.dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+
+
+@register(
+    "dsir_sample_top100",
+    f"""
+    WITH {_DSIR_W_SQL},
+    keyed AS (
+        SELECT doc_id,
+               ROUND(log_weight
+                     - LN(-LN((CAST(CAST('0x' || SUBSTR(
+                                   md5('42:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+                              / 4294967296.0)), 6) AS select_key
+        FROM dsir_w
+    ),
+    top AS (
+        SELECT doc_id, select_key FROM keyed
+        ORDER BY select_key DESC, doc_id LIMIT 100
+    )
+    SELECT doc_id, select_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY select_key DESC, doc_id)
+                AS INT) AS rank
+    FROM top
+    """,
+)
+def q_dsir_sample_top100(spark, sf_dir):
+    """The DSIR SELECTION step: Gumbel-top-k sampling ∝ exp(log_weight)
+    with md5-derived deterministic Gumbel noise (Kool et al. 2019) —
+    'random' sampling as a reproducible, oracle-checkable computation.
+    Top-k is a TakeOrderedAndProject heap, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return fcorpus.dsir_select_topk(
+        docs, docs.filter(F.col("lang") == "en"), k=100, seed=42
+    )
 
 
 @register(
@@ -4979,11 +5021,11 @@ _WINDOW = [
     # the HyperANF saturation tolerance twin and the DSIR operator ---
     "effective_diameter_approx",
     "dsir_log_weights",
+    "dsir_sample_top100",
     # --- (e) oldest round-6-last fill, family-diverse ---
     "ann_topk",
     "connected_components_small",
     "stream_stream_join",
-    "temperature_mixture",
 ]
 
 

@@ -461,3 +461,26 @@ class TestDsirLogWeights:
         )
         out = corpus.dsir_log_weights(docs, docs.filter("doc_id = 0")).collect()
         assert sorted(r.doc_id for r in out) == [0]
+
+    def test_select_topk_is_deterministic_weighted_sample(self, spark):
+        """Gumbel-top-k selection: deterministic under re-run and seed-
+        sensitive; ranks are 1..k over corpus doc_ids; a higher-weight
+        doc wins a tie-free majority of slots when k is small."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        rows = [(i, "the cat sat on the mat" if i % 2 == 0
+                 else "der hund frisst das futter") for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        target = docs.filter("doc_id % 2 = 0")
+        out = corpus.dsir_select_topk(docs, target, k=10, seed=42).collect()
+        assert len(out) == 10
+        assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(range(1, 11))
+        assert {r.doc_id for r in out} <= set(range(40))
+        again = corpus.dsir_select_topk(docs, target, k=10, seed=42).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        other = corpus.dsir_select_topk(docs, target, k=10, seed=7).collect()
+        assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+        # sampling follows the weights: English (target-like) docs carry
+        # strictly higher log-weight, so they must dominate the sample
+        n_en = sum(1 for r in out if r.doc_id % 2 == 0)
+        assert n_en >= 7
