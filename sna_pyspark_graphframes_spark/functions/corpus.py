@@ -947,3 +947,39 @@ def dsir_select_topk(
             .alias("rank"),
         )
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """``(pair, n)`` — the ``k`` most frequent adjacent character pairs
+    inside words across the corpus: the scoring statistic of one BPE
+    merge step (Sennrich et al. 2016), the corpus-side inner loop of
+    tokenizer training. Companion to ``vocab_topk`` (word level) and
+    ``token_count`` (doc level).
+
+    Plan: one projection chain — lower/trim/split (the shared word
+    recipe), an in-row ``transform(sequence(...))`` emitting each word's
+    character bigrams (JVM lambda, no Python), explode, one
+    count-aggregate with map-side partials, TakeOrderedAndProject top-k.
+    One |tokens|-keyed shuffle at any corpus size; the result is ≤ k
+    rows. Words shorter than 2 characters contribute nothing (guarded
+    explicitly: Spark's ``sequence(1, 0)`` would DESCEND, not return
+    empty)."""
+    words = docs.select(
+        F.explode(_words(F.col(text_col))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(k)
+    )

@@ -3348,6 +3348,28 @@ def q_hash_split(spark, sf_dir):
     return fcorpus.hash_split(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "bpe_pair_top100",
+    r"""
+    WITH words AS (
+        SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+    ), ww AS (SELECT w FROM words WHERE LENGTH(w) >= 2),
+    pairs AS (
+        SELECT SUBSTR(w, CAST(i AS INT), 2) AS pair
+        FROM ww, UNNEST(generate_series(1, LENGTH(w) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 100
+    """,
+)
+def q_bpe_pair_top100(spark, sf_dir):
+    """Top-100 adjacent character pairs across the corpus — one BPE merge
+    step's scoring statistic (Sennrich et al. 2016), the corpus-side
+    inner loop of tokenizer training."""
+    return fcorpus.bpe_pair_counts(_t(spark, sf_dir, "documents"), k=100)
+
+
 _DSIR_W_SQL = r"""
     tok AS MATERIALIZED (
         SELECT doc_id, w FROM (
@@ -5022,10 +5044,10 @@ _WINDOW = [
     "effective_diameter_approx",
     "dsir_log_weights",
     "dsir_sample_top100",
+    "bpe_pair_top100",
     # --- (e) oldest round-6-last fill, family-diverse ---
     "ann_topk",
     "connected_components_small",
-    "stream_stream_join",
 ]
 
 

@@ -484,3 +484,19 @@ class TestDsirLogWeights:
         # strictly higher log-weight, so they must dominate the sample
         n_en = sum(1 for r in out if r.doc_id % 2 == 0)
         assert n_en >= 7
+
+
+class TestBpePairCounts:
+    def test_golden_counts_and_short_word_guard(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [(0, "banana bandana"), (1, "a"), (2, "")],
+            "doc_id long, text string",
+        )
+        rows = corpus.bpe_pair_counts(docs, k=10).collect()
+        got = {r.pair: r.n for r in rows}
+        # banana: ba,an,na,an,na ; bandana: ba,an,nd,da,an,na
+        assert got == {"an": 4, "na": 3, "ba": 2, "nd": 1, "da": 1}
+        # deterministic ordering: count desc, then pair asc
+        assert [r.pair for r in rows] == ["an", "na", "ba", "da", "nd"]
