@@ -143,8 +143,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    labels = checkpointed(labels)
-    n_vertices = labels.count()  # once, for the size-aware superstep hint
+    labels = checkpointed(labels, lazy=True)
+    n_vertices = labels.count()  # the materializing action (r9 setup fold)
     # Frontier propagation (round 5): min-label merge is DELTA-propagating
     # — a vertex's label only needs re-proposing after it CHANGES (its old,
     # higher values were already absorbed by every neighbor, and min is
@@ -346,8 +346,8 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    labels = checkpointed(labels)
-    n_vertices = labels.count()  # once, for the size-aware superstep hint
+    labels = checkpointed(labels, lazy=True)
+    n_vertices = labels.count()  # the materializing action (r9 setup fold)
     LAST_STATS["lpa_rounds"] = 0
     LAST_STATS["lpa_frontier_sizes"] = []
     # Frontier-only messaging (VERDICT r4 Next #4): in synchronous LPA a
@@ -1470,8 +1470,8 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     is what the ring oracle value-checks."""
     sym = checkpointed(_sym(edges))
     vertices = sym.select(F.col("src").alias("id")).distinct()
-    vertices = checkpointed(vertices)
-    n = vertices.count()
+    vertices = checkpointed(vertices, lazy=True)
+    n = vertices.count()  # the materializing action (r9 setup fold)
     if n == 0:
         # empty edge frame: no vertices, no centrality — mirror
         # core_numbers' empty-result convention instead of dividing by
@@ -1728,8 +1728,8 @@ def neighborhood_function(
         .groupBy("id")
         .agg(F.hll_sketch_agg("id", lgk).alias("sk"))
     )
-    state = checkpointed(state)
-    rows = [(0, state.count())]  # B(v, 0) = {v}
+    state = checkpointed(state, lazy=True)
+    rows = [(0, state.count())]  # B(v, 0) = {v}; count materializes (r9)
     for r in range(1, max_r + 1):
         msgs = e.join(
             state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
@@ -2132,8 +2132,8 @@ def hits(
         .distinct()
     )
     verts = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
-    verts = checkpointed(verts)
-    n = verts.count()
+    verts = checkpointed(verts, lazy=True)
+    n = verts.count()  # the materializing action (r9 setup fold)
     if n == 0:
         return edges.sparkSession.createDataFrame(
             [], "id long, hub double, auth double"
