@@ -496,9 +496,16 @@ def kmeans_centroids(
         F.col(id_col).alias("centroid_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
-    # gate on the INIT codebook size — one count, never per iteration
-    # (Lloyd's k can only shrink, so the gate decision stays valid)
-    k_rows = c.count()
+    # gate on the INIT codebook size — via plan statistics (zero jobs,
+    # the r9 ivf_assign recipe: overestimates only toward the sharded
+    # path) with the exact count as the unknown-stats fallback; never
+    # re-gated per iteration (Lloyd's k can only shrink, so the init
+    # decision stays valid)
+    est = _plan_stat_bytes(c)
+    if est < _STATS_UNKNOWN_BYTES:
+        k_rows = max(1, est // (dim * 8 + 32))
+    else:
+        k_rows = c.count()
     for _ in range(n_iter):
         scored = _scored_pairs(v, c.select("centroid_id", "cv"), k_rows, dim=dim)
         best = scored.groupBy("id").agg(
