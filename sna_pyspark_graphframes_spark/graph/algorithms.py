@@ -1097,15 +1097,19 @@ def pagerank(
                     converged = True
                     break
             prev_ck = ranks
+    if not fold_delta and not converged:
+        # tol=None / cadence>1 run-to-max_iter path: the final round's
+        # lazy checkpoint got no follow-up read (dangling/delta reads are
+        # gated off the last round), so materialize it NOW — needed
+        # regardless of who owns the edge cache: with an OWNED layout the
+        # caller's first action would silently re-run the last superstep
+        # plus the layout build against the just-unpersisted frame
+        # (ADVICE r8); with a CALLER-provided sym_layout the cache stays
+        # live but the last superstep would still re-run against it on
+        # the caller's first action (ADVICE r9 — hoisted out of
+        # owns_layout).
+        ranks.agg(F.count(F.lit(1))).first()
     if owns_layout:  # shared layouts outlive the call (caller-owned)
-        if not fold_delta and not converged:
-            # tol=None / cadence>1 run-to-max_iter path: the final round's
-            # lazy checkpoint got no follow-up read (dangling/delta reads
-            # are gated off the last round), so materialize it NOW while
-            # the edge cache is live — otherwise the caller's first action
-            # silently re-runs the last superstep plus the layout build
-            # against the just-unpersisted frame (ADVICE r8).
-            ranks.agg(F.count(F.lit(1))).first()
         e.unpersist(blocking=False)  # ranks is materialized; cache is dead
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 
@@ -1240,12 +1244,14 @@ def personalized_pagerank(
                     converged = True
                     break
             prev_ck = ranks
+    if not converged:
+        # run-to-max_iter: the final lazy checkpoint got no follow-up
+        # read — materialize it regardless of layout ownership (ADVICE
+        # r8 + r9, same hoist as pagerank(): a caller-provided
+        # sym_layout keeps the cache live but the caller's first action
+        # would still silently re-run the last superstep)
+        ranks.agg(F.count(F.lit(1))).first()
     if owns_layout:  # shared layouts outlive the call (caller-owned)
-        if not converged:
-            # run-to-max_iter: the final lazy checkpoint got no follow-up
-            # read — materialize before dropping the edge cache (ADVICE r8,
-            # same fix as pagerank())
-            ranks.agg(F.count(F.lit(1))).first()
         e.unpersist(blocking=False)  # ranks is materialized; cache is dead
     return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
 

@@ -239,6 +239,58 @@ class TestSimilarity:
             hints.STATE_BROADCAST_MAX_ROWS = old
         assert key(sharded) == key(exact)
 
+    def test_gate_estimate_untrusted_past_budget(self, spark, monkeypatch):
+        """An estimate is only trusted for the broadcast decision: when it
+        lands past the byte budget, ``_gated_codebook_rows`` resolves the
+        EXACT count before anything can size shards with it (ADVICE r9 —
+        a garbage width-scaled sentinel or a stride-inflated estimate
+        would otherwise replicate every vector once per phantom shard),
+        and an exact count back inside the budget restores broadcast."""
+        from sna_pyspark_graphframes_spark.plans import hints
+
+        vecs = [(i, [float(i + d) for d in range(8)]) for i in range(30)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        c = fsim.ivf_centroids(df, stride=10)  # 3 rows
+        # simulate the ADVICE failure: stats report a huge "measurement"
+        monkeypatch.setattr(fsim, "_plan_stat_bytes", lambda _df: 1 << 50)
+        k_rows, is_exact = fsim._gated_codebook_rows(c, dim=8)
+        assert is_exact and k_rows == 3  # counted, not 1<<50 // row_bytes
+        # the exact count keeps the broadcast plan (3 rows ≪ budget)
+        assign = fsim.ivf_assign(df, stride=10, n_probe=1)
+        plan = assign._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert assign.count() == 30
+
+    def test_plan_stat_bytes_degrades_without_jdf(self, spark):
+        """No ``_jdf`` (Spark Connect has no private JVM handle): the
+        stats probe returns None instead of raising, and the gate falls
+        back to the exact count (ADVICE r9 low)."""
+
+        class _NoJvm:
+            def __getattr__(self, name):  # every attribute access fails
+                raise AttributeError(name)
+
+        assert fsim._plan_stat_bytes(_NoJvm()) is None
+        vecs = [(i, [float(d) for d in range(4)]) for i in range(20)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        c = fsim.ivf_centroids(df, stride=5)
+        real = fsim._plan_stat_bytes
+
+        class _Wrapped:
+            """Forward everything except the JVM handle."""
+
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __getattr__(self, name):
+                if name == "_jdf":
+                    raise AttributeError(name)
+                return getattr(self._inner, name)
+
+        assert real(_Wrapped(c)) is None
+        k_rows, is_exact = fsim._gated_codebook_rows(_Wrapped(c), dim=4)
+        assert is_exact and k_rows == 4
+
     def test_kmeans_centroids_converge_on_separable_clusters(self, spark):
         """Two tight, well-separated direction clusters + a 2-sample stride
         init: Lloyd's must send every vector to its own cluster's centroid
