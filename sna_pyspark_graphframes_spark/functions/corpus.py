@@ -983,3 +983,93 @@ def bpe_pair_counts(
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def bpe_learn(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """``(merge_rank, l_sym, r_sym, n)`` — the first ``n_merges`` BPE
+    merges learned from the corpus: the Sennrich et al. (2016) tokenizer
+    TRAINING loop, completing what :func:`bpe_pair_counts` started (that
+    operator is one iteration's scoring statistic; this applies the top
+    pair and recounts).
+
+    Distributed shape: the corpus collapses ONCE into the word-frequency
+    vocabulary (token-keyed shuffle — the only pass over the raw text at
+    any corpus size), each word becomes its symbol array, and every merge
+    round is (a) one partial-aggregating (l, r)-keyed count over the
+    exploded adjacent-symbol pairs weighted by word frequency, (b) a
+    driver-side top-1 read (count DESC, pair ASC tie-break — the
+    documented one-scalar-action-per-round pattern; the winning pair must
+    become a plan literal for the merge lambda), and (c) an in-row
+    ``aggregate()`` fold over each symbol array applying the merge
+    greedily left-to-right (the fold appends or coalesces one symbol at a
+    time; the freshly merged symbol ``l+r`` can never re-match ``l`` in
+    the same pass since ``r`` is non-empty — so the fold IS the
+    single-pass non-overlapping replace). All JVM lambdas, no Python in
+    any hot path; per-round state is lineage-truncated.
+
+    At 100 TB: the vocab is |distinct words| rows (millions, not
+    billions), so the per-merge shuffle is tiny; the driver does exactly
+    one 1-row action per merge — the same loop structure every industrial
+    BPE trainer uses. The returned merge table (≤ ``n_merges`` rows) is
+    assembled driver-side by construction."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    state = checkpointed(
+        vocab.select(
+            "freq",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("syms"),
+        )
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        z = F.arrays_zip(
+            F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1).alias("l"),
+            F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1).alias("r"),
+        )
+        top = (
+            state.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(z).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0].l, top[0].r, int(top[0].n)
+        merges.append((step, l, r, n))
+        merged = l + r
+        apply_merge = F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(
+                        acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))
+                    ),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        state = checkpointed(state.select("freq", apply_merge.alias("syms")))
+    return spark.createDataFrame(
+        merges, "merge_rank int, l_sym string, r_sym string, n long"
+    )

