@@ -157,29 +157,13 @@ def ivf_centroids(
     )
 
 
-def _plan_stat_bytes(df: DataFrame) -> int | None:
-    """Catalyst's own size estimate for ``df`` — driver-side plan
-    statistics (file footprint through scans, width-scaled through
-    projects), NO Spark job. This is exactly the signal Spark's own
-    join-strategy selection and AQE use (autoBroadcastJoinThreshold), so
-    gating on it is the idiomatic zero-cost alternative to a per-call
-    ``count()`` action (VERDICT r8 What's wrong #2).
-
-    Returns ``None`` when the plan statistics are unreachable — the
-    ``_jdf`` handle is a classic-PySpark private JVM hook that does not
-    exist under Spark Connect (ADVICE r9) — so callers degrade to the
-    exact ``count()`` gate instead of crashing."""
-    try:
-        qe = df._jdf.queryExecution()
-        return int(qe.optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return None
-
-
-# Plans with no size-estimable leaves (LogicalRDD from createDataFrame,
-# Python-sourced frames) report spark.sql.defaultSizeInBytes ≈
-# Long.MaxValue — a sentinel meaning "unknown", not a measurement.
-_STATS_UNKNOWN_BYTES = 1 << 60
+# shared with graph.algorithms.dense_rekey — the probe and its sentinel
+# live in plans.hints; module-level aliases keep this module's gate
+# monkeypatchable in tests (``_gated_codebook_rows`` reads the globals)
+from sna_pyspark_graphframes_spark.plans.hints import (  # noqa: E402
+    STATS_UNKNOWN_BYTES as _STATS_UNKNOWN_BYTES,
+    plan_stat_bytes as _plan_stat_bytes,
+)
 
 
 def _gated_codebook_rows(c: DataFrame, dim: int) -> tuple[int, bool]:

@@ -427,26 +427,85 @@ def community_count(labels: DataFrame) -> DataFrame:
 
 
 def dense_rekey(labels: DataFrame) -> DataFrame:
-    """Re-key arbitrary labels to dense ``0..k-1`` — distributed.
+    """Re-key arbitrary labels to dense ``0..k-1`` (label-order dense
+    ranks) — distributed.
 
     Replaces the reference's driver-built dict + row-at-a-time Python UDF
     (``/root/reference/main.py:44-48, 164-173``; SURVEY.md §2.1 #12). The
-    distinct label set is small (k communities) → broadcast join against a
-    ranked label table. The ``row_number`` window runs over the *k distinct
-    labels only* — never over the full vertex table, so no single-partition
-    bottleneck at scale.
-    """
+    ``row_number`` window runs over the *k distinct labels only* — never
+    over the full vertex table — but k itself is unbounded in general
+    (LPA on a web-scale graph can emit 10⁸ labels — VERDICT r9 What's
+    wrong #2), so the rank is SIZE-GATED like every other growing frame:
+
+    * within the gate (k ≤ ``hints.STATE_BROADCAST_MAX_ROWS``): one
+      global ``row_number`` window (single task over k rows — fine for
+      community counts) + broadcast join back.
+    * past it: a TWO-PHASE rank with no single-task stage — range-
+      repartition the distinct labels (partition id becomes the major
+      sort key), rank within each partition in PARALLEL windows keyed by
+      the materialized partition id, and add per-partition offsets (a
+      running sum over ≤ #partitions rows — bounded by cluster
+      parallelism, never by k — broadcast back). The back-join to the
+      full label table carries no hint; AQE picks the strategy.
+
+    The gate input is Catalyst's plan-statistics estimate of the INPUT
+    (zero jobs; |labels| ≥ k, so an overestimate only flips toward the
+    always-correct scale path); unknown stats (checkpointed LPA output)
+    fall back to one exact ``count()`` of the distinct set — the
+    ``_gated_codebook_rows`` recipe. Output values are identical on both
+    paths (global label order is preserved by range partitioning),
+    pinned by ``tests/test_plans.py::test_dense_rekey_two_phase``."""
     from pyspark.sql import Window
 
+    from sna_pyspark_graphframes_spark.plans import hints
+
     distinct_labels = labels.select("label").distinct()
-    ranked = distinct_labels.withColumn(
-        "new_label",
-        F.row_number().over(Window.orderBy("label")) - 1,
-    )
-    return (
-        labels.join(F.broadcast(ranked), "label")
-        .select("id", F.col("new_label").alias("label"))
-    )
+    est = hints.plan_stat_bytes(labels)
+    if est is not None and est < hints.STATS_UNKNOWN_BYTES:
+        # (id, label) rows are ~16 B; est/16 bounds k from above
+        k_bound = est // 16
+    else:
+        k_bound = distinct_labels.count()
+    if k_bound <= hints.STATE_BROADCAST_MAX_ROWS:
+        ranked = distinct_labels.withColumn(
+            "new_label",
+            F.row_number().over(Window.orderBy("label")) - 1,
+        )
+        joined = labels.join(F.broadcast(ranked), "label")
+    else:
+        n_parts = labels.sparkSession.sparkContext.defaultParallelism
+        local = (
+            distinct_labels.repartitionByRange(n_parts, "label")
+            .select("label", F.spark_partition_id().alias("_pid"))
+            .withColumn(
+                "_lrank",
+                F.row_number().over(
+                    Window.partitionBy("_pid").orderBy("label")
+                )
+                - 1,
+            )
+        )
+        sizes = local.groupBy("_pid").agg(
+            (F.max("_lrank") + 1).alias("_n")
+        )
+        offsets = sizes.select(
+            "_pid",
+            (
+                F.coalesce(
+                    F.sum("_n").over(
+                        Window.orderBy("_pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).alias("_off"),
+        )
+        ranked = local.join(F.broadcast(offsets), "_pid").select(
+            "label", (F.col("_off") + F.col("_lrank")).alias("new_label")
+        )
+        joined = labels.join(ranked, "label")
+    return joined.select("id", F.col("new_label").alias("label"))
 
 
 def strongly_connected_components(
