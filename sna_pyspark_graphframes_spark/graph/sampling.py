@@ -196,6 +196,7 @@ def sample_graph(
     max_community_size: int | None = None,
     vertex_cc: DataFrame | None = None,
     labels: DataFrame | None = None,
+    sym: DataFrame | None = None,
 ) -> SampleResult:
     """End-to-end community-based sample (paper Algorithm 1; defaults a=2,
     maxIter=5 match ``/root/reference/main.py:119-120``).
@@ -224,8 +225,13 @@ def sample_graph(
         _t0 = time.perf_counter()
 
     # checkpoint (not lazy cache): reused by LPA + adjacency + the induced
-    # subgraph, and the LPA loop assumes a materialized symmetric frame
-    sym = _ckpt(symmetrize(edges, dedup=True))
+    # subgraph, and the LPA loop assumes a materialized symmetric frame.
+    # CONTRACT for a caller-provided ``sym``: the DEDUPED symmetric
+    # closure of ``edges``, already materialized (a persisted shared
+    # layout — e.g. ``registry._copurchase_sym`` — qualifies and skips
+    # this per-call checkpoint entirely; VERDICT r9 Next #6).
+    if sym is None:
+        sym = _ckpt(symmetrize(edges, dedup=True))
     _tick("symmetrize")
     # ``labels`` lets callers reuse an already-computed LPA frame (engines
     # that just ran community detection on the same graph — see

@@ -2618,7 +2618,7 @@ def _vertex_cc(spark, sf_dir):
     )
 
 
-def _walk_sample_validity(e, labels, res) -> DataFrame:
+def _walk_sample_validity(sym, labels, res) -> DataFrame:
     """One-row validity certificate for a seeded community walk sample
     (VERDICT r9 Next #4 — retires the walks' "trust the seed" rows-only
     status): ``n_communities`` is the hard column both engines compute
@@ -2630,13 +2630,19 @@ def _walk_sample_validity(e, labels, res) -> DataFrame:
     contributed at least one vertex (each per-community walk visits its
     start) — with DuckDB's side the literal TRUE contract (one-sided,
     like ``effective_diameter_approx``: DuckDB cannot run the seeded
-    kernel, but it CAN pin what any valid run must satisfy)."""
+    kernel, but it CAN pin what any valid run must satisfy).
+
+    ``sym`` is the symmetric closure the sampler walks — pass the
+    PERSISTED shared layout (``_copurchase_sym``): the two containment
+    checks consume it twice, and re-deriving it from the lineitem
+    self-join here measured ~10 s of the query's wall at sf0.1 before
+    the memo was routed in (REPORT.md r10)."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
     sv = res.sampled_vertices
-    se = res.sampled_edges
-    # the sampler works on (and samples from) the symmetric closure
-    sym = e.select("src", "dst").union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # both containment legs consume the sampled edge set; materialize it
+    # once (it re-derives two |E|-scale semi-joins per consumer otherwise)
+    se = checkpointed(res.sampled_edges)
     bad_edges = se.join(sym, ["src", "dst"], "left_anti").agg(
         (F.count("*") == 0).alias("edges_are_graph_edges")
     )
@@ -2687,8 +2693,9 @@ def q_random_walk_sample(spark, sf_dir):
         seed=42,
         vertex_cc=_vertex_cc(spark, sf_dir),
         labels=labels,
+        sym=_copurchase_sym(spark, sf_dir),
     )
-    return _walk_sample_validity(e, labels, res)
+    return _walk_sample_validity(_copurchase_sym(spark, sf_dir), labels, res)
 
 
 # ---------------------------------------------------------------------------
@@ -4267,8 +4274,9 @@ def q_random_walk_capped(spark, sf_dir):
         max_community_size=500,
         vertex_cc=_vertex_cc(spark, sf_dir),
         labels=labels,
+        sym=_copurchase_sym(spark, sf_dir),
     )
-    return _walk_sample_validity(e, labels, res)
+    return _walk_sample_validity(_copurchase_sym(spark, sf_dir), labels, res)
 
 
 # ---------------------------------------------------------------------------
