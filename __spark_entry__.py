@@ -6,10 +6,13 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``sna_pyspark_graphframes_spark``; the query/oracle
-inventory is ``sna_pyspark_graphframes_spark/registry.py``. Non-SQL-
-expressible ops (LPA, random-walk sampling, iterative metrics) are
-registered without an oracle — the driver records rows-only checks; their
-value-level correctness is covered by golden tests in ``tests/``.
+inventory is ``sna_pyspark_graphframes_spark/registry.py``. Since r10 EVERY
+registered query is oracle-paired: iterative/fp algorithms through unrolled
+MATERIALIZED-CTE twins, sketches and fp top-k through tolerance twins
+(hard exact columns + each engine's own agreement boolean), and the seeded
+walks through one-row validity certificates (hard community/walk counts +
+one-sided structural booleans); seeded values additionally stay pinned by
+golden tests in ``tests/``.
 """
 
 from __future__ import annotations

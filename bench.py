@@ -100,6 +100,13 @@ HEADLINE = [
     # and the now-value-verified directed PageRank production path.
     "dsir_log_weights",
     "pagerank_directed_orders",
+    # round-10 appends (VERDICT r9 Next #8): the late-r9 operators —
+    # Gumbel-top-k DSIR selection, BPE pair statistics, and the HyperANF
+    # effective-diameter tolerance twin — plus the r10 BPE merge loop.
+    "dsir_sample_top100",
+    "bpe_pair_top100",
+    "effective_diameter_approx",
+    "bpe_merges_small",
 ]
 
 

@@ -5329,67 +5329,70 @@ def q_profile_documents(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- (a) never-driver-checked oracle pairs: the two late-r8
-    # betweenness upgrades (VERDICT r8 Next #1) and the two NEW r9
-    # directed-PageRank/PPR production-path twins (VERDICT r8 Next #5) ---
-    "avg_betweenness_small",
-    "betweenness_sampled",
-    "pagerank_directed_orders",
-    "ppr_directed_orders",
-    # --- (b) ALL 31 queries last driver-checked in round 4 (the whole
-    # r9 rotation debt, VERDICT r8 Next #1) — includes the two
-    # bench-flagged streaming queries (solo A/B re-benched in-band, r9)
-    # and the streaming/multimodal/salted families ---
-    "stream_tumbling_window",
-    "stream_stateful_totals",
-    "stream_sliding_window",
-    "stream_foreach_batch",
-    "event_sessionization",
-    "multimodal_frame_sample",
-    "multimodal_thumbnails",
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
-    "salted_revenue_by_status",
-    "salted_segment_revenue",
-    "partition_pruned_scan",
-    "sql_grouping_sets",
-    "landmark_distance_histogram",
-    "motif_four_cliques_small",
-    "core_hindex_cliques",
-    "truss_cliques",
-    "truss_hindex_cliques",
-    "minhash_signatures",
-    "unigram_surprisal",
-    "user_daily_moving_avg",
-    "part_metrics_unpivot",
-    "reconcile_order_status_revenue",
-    "user_latest_event",
-    "pack_sequences",
-    "neighborhood_function_small",
-    "quality_buckets",
-    "skipgram_pairs",
-    "word_pmi",
-    "quality_buckets_quantile",
-    "profile_documents",
-    # --- (c) sentinels on paths rounds 8-9 changed ---
-    "kmeans_centroids_small",       # r8 argmin/gate; r9 stats-gated ivf_assign neighbor
-    "hits_customer_orders",         # lazy-checkpoint norm fold
-    "pagerank_cliques_undirected",  # swap-layout path, closed form
-    "truss_peel_cliques",           # bucket peel + r9 max_rounds clamp fix
-    "triangle_count",               # r9: triangle family on the shared sym layout
-    "avg_clustering",               # same (local_clustering over _tri)
-    "transitivity",                 # same
-    "triangles_per_vertex",         # same, full per-vertex table
-    "ivf_topk",                     # r9: plan-statistics codebook gate
-    # --- (d) NEW r9 oracle pairs (would otherwise be never-checked):
-    # the HyperANF saturation tolerance twin and the DSIR operator ---
-    "effective_diameter_approx",
-    "dsir_log_weights",
-    "dsir_sample_top100",
-    "bpe_pair_top100",
-    # --- (e) oldest round-6-last fill, family-diverse ---
-    "ann_topk",
-    "connected_components_small",
+    # --- (a) never-driver-checked oracle pairs: the six r10 upgrades —
+    # the pagerank/ppr top-20 ranking tolerance twins (VERDICT r9 Next
+    # #3), the three walk validity certificates (Next #4), and the BPE
+    # merge-loop oracle (Next #5) ---
+    "pagerank_top20",
+    "ppr_top20",
+    "random_walk_sample",
+    "random_walk_sample_capped",
+    "node2vec_walks",
+    "bpe_merges_small",
+    # --- (b) the WHOLE r10 rotation debt: all 42 queries last
+    # driver-checked in round 6 (VERDICT r9 Next #1; list pinned in
+    # REPORT.md r9) ---
+    "asof_click_purchase",
+    "bfs_predicate_small",
+    "bow_cosine_pairs",
+    "community_conductance_parity",
+    "community_modularity_cliques",
+    "community_revenue_bi",
+    "curate_corpus",
+    "customers_order_setops",
+    "decontaminate",
+    "dedup_corpus",
+    "doc_sentiment",
+    "domain_mixture",
+    "eigenvector_order_rings",
+    "embedding_dedup_clusters",
+    "event_sliding_window",
+    "late_data_filter",
+    "minhash_near_dup",
+    "multimodal_digest",
+    "near_dup_clusters",
+    "orc_roundtrip",
+    "orders_status_pivot",
+    "part_brand_size_cube",
+    "pregel_components_small",
+    "price_quantiles",
+    "range_join_attribution",
+    "rich_club_small",
+    "simhash_groups",
+    "similarity_topk",
+    "sql_exists_urgent_customers",
+    "stratified_sample",
+    "stream_dedup_keys",
+    "stream_session_window",
+    "stream_static_join",
+    "stream_stream_outer_join",
+    "tf_idf",
+    "vocab_topk",
+    "weighted_sssp_small",
+    "widest_path_small",
+    "pricing_summary",
+    "dedup_incremental",
+    "temperature_mixture",
+    "stream_stream_join",
+    # --- (c) sentinels on the paths r10 touched: the shared
+    # plan-statistics codebook gate (_gated_codebook_rows) feeds both
+    # the IVF assignment and the Lloyd's init; kmeans also carries the
+    # r9 bench noise flag the r10 solo A/B adjudicated (REPORT.md r10).
+    # The tol=None final-materialization hoist is exercised in-window by
+    # the pagerank_top20/ppr_top20 reference runs above; dense_rekey's
+    # gate by random_walk_sample's label path. ---
+    "ivf_topk",
+    "kmeans_centroids_small",
 ]
 
 
