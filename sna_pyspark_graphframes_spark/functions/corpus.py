@@ -985,6 +985,31 @@ def bpe_pair_counts(
     )
 
 
+def _bpe_apply_merge(syms_col, l: str, r: str):
+    """One BPE merge applied to a symbol array, greedy left-to-right, as
+    a JVM ``aggregate()`` fold: append each symbol, or coalesce it into
+    the accumulator's last element when that element is ``l`` and the
+    incoming symbol is ``r``. The fold IS the single-pass non-overlapping
+    replace — the freshly merged symbol ``l+r`` can never re-match ``l``
+    in the same pass (``r`` is non-empty)."""
+    merged = l + r
+    return F.aggregate(
+        syms_col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r)),
+            F.concat(
+                F.slice(
+                    acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))
+                ),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_learn(
     docs: DataFrame, n_merges: int = 6, text_col: str = "text"
 ) -> DataFrame:
@@ -1053,23 +1078,46 @@ def bpe_learn(
             break
         l, r, n = top[0].l, top[0].r, int(top[0].n)
         merges.append((step, l, r, n))
-        merged = l + r
-        apply_merge = F.aggregate(
-            "syms",
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(
-                    F.slice(
-                        acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))
-                    ),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        state = checkpointed(
+            state.select("freq", _bpe_apply_merge("syms", l, r).alias("syms"))
         )
-        state = checkpointed(state.select("freq", apply_merge.alias("syms")))
     return spark.createDataFrame(
         merges, "merge_rank int, l_sym string, r_sym string, n long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_tokens)`` — per-document token count after encoding
+    with a FIXED, ordered BPE merge list (the inference-side complement
+    of :func:`bpe_learn`; together they are the full Sennrich tokenizer
+    life cycle). Deterministic given ``merges``, so it hard-oracles.
+
+    Distributed shape: the merge list is a PLAN LITERAL, so all k merge
+    folds chain into ONE projection over the distinct-word vocabulary
+    (no loop state, no checkpoints, no driver actions) — the corpus-side
+    cost is one token-keyed vocab shuffle plus one word→token-count join
+    back to the exploded documents. At 100 TB the expensive text pass
+    happens exactly twice (vocab build, join-back), both as
+    partial-aggregating keyed shuffles; the per-word fold work is
+    O(len·k) on |vocab| rows only."""
+    words = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.select("w").distinct()
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    for l, r in merges:
+        syms = _bpe_apply_merge(syms, l, r)
+    wtok = vocab.select("w", F.size(syms).alias("wt"))
+    return (
+        words.join(wtok, "w")
+        .groupBy(id_col)
+        .agg(F.sum("wt").cast("long").alias("n_tokens"))
     )

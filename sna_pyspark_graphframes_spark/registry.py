@@ -3654,6 +3654,91 @@ def q_bpe_merges_small(spark, sf_dir):
     return fcorpus.bpe_learn(_t(spark, sf_dir, "documents"), n_merges=6)
 
 
+# the inference-side merge list is a FIXED literal (generic English
+# pairs) so encoding is deterministic at every SF and both engines apply
+# the identical replacements
+_BPE_ENCODE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "n"),
+]
+
+
+def _bpe_encode_sql(pairs) -> str:
+    """DuckDB twin of ``corpus.bpe_encode`` with a literal merge list:
+    the ``_bpe_merges_sql`` stage machinery minus training — each
+    stage's "top pair" CTE is the fixed literal, greedy application is
+    the same run-parity formulation, and the finale joins per-word token
+    counts back to the exploded documents."""
+    parts = [
+        r"""WITH dw AS MATERIALIZED (
+    SELECT doc_id, w FROM (
+        SELECT doc_id,
+               UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+    ) WHERE LENGTH(w) >= 2
+), vocab AS MATERIALIZED (SELECT DISTINCT w FROM dw),
+s0 AS MATERIALIZED (
+    SELECT w, CAST(i AS INT) AS pos, SUBSTR(w, CAST(i AS INT), 1) AS sym
+    FROM vocab, UNNEST(generate_series(1, LENGTH(w))) AS t(i)
+)"""
+    ]
+    for i, (l, r) in enumerate(pairs, start=1):
+        p = i - 1
+        parts.append(
+            f""", m{i} AS MATERIALIZED (
+    SELECT w, pos FROM (
+        SELECT w, pos, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS k
+        FROM (
+            SELECT a.w, a.pos,
+                   a.pos - ROW_NUMBER() OVER (PARTITION BY a.w ORDER BY a.pos) AS grp
+            FROM s{p} a
+            JOIN s{p} b ON b.w = a.w AND b.pos = a.pos + 1
+            WHERE a.sym = '{l}' AND b.sym = '{r}'
+        )
+    ) WHERE k % 2 = 1
+), s{i} AS MATERIALIZED (
+    SELECT w,
+           CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS INT) AS pos,
+           sym
+    FROM (
+        SELECT a.w, a.pos,
+               CASE WHEN g.pos IS NOT NULL THEN a.sym || nxt.sym
+                    ELSE a.sym END AS sym
+        FROM s{p} a
+        LEFT JOIN m{i} g  ON g.w = a.w AND g.pos = a.pos
+        LEFT JOIN m{i} gp ON gp.w = a.w AND gp.pos = a.pos - 1
+        LEFT JOIN s{p} nxt ON nxt.w = a.w AND nxt.pos = a.pos + 1
+        WHERE gp.pos IS NULL
+    )
+)"""
+        )
+    parts.append(
+        f""", wtok AS MATERIALIZED (
+    SELECT w, COUNT(*) AS wt FROM s{len(pairs)} GROUP BY w
+)
+SELECT dw.doc_id, CAST(SUM(wt) AS BIGINT) AS n_tokens
+FROM dw JOIN wtok USING (w) GROUP BY dw.doc_id"""
+    )
+    return "".join(parts)
+
+
+@register("bpe_token_counts", _bpe_encode_sql(_BPE_ENCODE_MERGES))
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-document BPE token counts under a fixed 6-merge vocabulary —
+    the ENCODE side of the tokenizer life cycle (``corpus.bpe_encode``):
+    all merge folds chain into one vocab projection (plan literals, no
+    loop state), then one word→token-count join back to the exploded
+    corpus. Hard oracle: same literal merges, same greedy run-parity
+    application in the CTE twin."""
+    return fcorpus.bpe_encode(
+        _t(spark, sf_dir, "documents"), _BPE_ENCODE_MERGES
+    )
+
+
 _DSIR_W_SQL = r"""
     tok AS MATERIALIZED (
         SELECT doc_id, w FROM (

@@ -563,3 +563,16 @@ class TestBpeLearn:
         )
         plan = vocab._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_bpe_encode_fixed_merges_golden(self, spark):
+        """Fixed merges [(l,o),(lo,w)] on 'low lower': low -> [low] (1
+        token), lower -> [low,e,r] (3 tokens); doc totals follow. A word
+        untouched by the merges keeps its character count."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [(1, "low lower"), (2, "ab low")], "doc_id long, text string"
+        )
+        rows = corpus.bpe_encode(docs, [("l", "o"), ("lo", "w")]).collect()
+        got = {r.doc_id: r.n_tokens for r in rows}
+        assert got == {1: 1 + 3, 2: 2 + 1}
