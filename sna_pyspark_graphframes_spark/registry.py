@@ -5424,6 +5424,7 @@ _WINDOW = [
     "random_walk_sample_capped",
     "node2vec_walks",
     "bpe_merges_small",
+    "bpe_token_counts",
     # --- (b) the WHOLE r10 rotation debt: all 42 queries last
     # driver-checked in round 6 (VERDICT r9 Next #1; list pinned in
     # REPORT.md r9) ---
@@ -5475,9 +5476,11 @@ _WINDOW = [
     # r9 bench noise flag the r10 solo A/B adjudicated (REPORT.md r10).
     # The tol=None final-materialization hoist is exercised in-window by
     # the pagerank_top20/ppr_top20 reference runs above; dense_rekey's
-    # gate by random_walk_sample's label path. ---
+    # gate by random_walk_sample's label path; kmeans (the gate's other
+    # consumer) yielded its slot to the new bpe_token_counts pair — its
+    # r9 bench flag was adjudicated by solo A/B, not by the window
+    # (REPORT.md r10), and bench timings are window-independent. ---
     "ivf_topk",
-    "kmeans_centroids_small",
 ]
 
 
