@@ -273,6 +273,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     dim: int | None = None,
     k_rows: int | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, centroid_id, probe_rank)`` — each vector's ``n_probe``
     nearest centroids by cosine (rank 1 = its home list).
@@ -295,7 +296,6 @@ def ivf_assign(
     estimate lands on the broadcast side, the exact count otherwise,
     because the sharded branch's shard count sizes real replicated
     work (ADVICE r9)."""
-    stride = _resolve_stride(embeddings, stride)
     v = embeddings.select(
         F.col(id_col).alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
@@ -306,7 +306,16 @@ def ivf_assign(
     # single-partition finding, r8; count pinned — AQE would coalesce
     # the byte-small, compute-dense rows back to 1 partition)
     v = v.repartition(v.sparkSession.sparkContext.defaultParallelism, "id")
-    c = ivf_centroids(embeddings, stride, id_col)
+    if codebook is not None:
+        # a TRAINED codebook (kmeans_centroids — the documented
+        # production upgrade) replaces the stride sample; same gate,
+        # same scoring machinery
+        c = codebook.select(
+            "centroid_id", F.col("cv").cast("array<double>").alias("cv")
+        )
+    else:
+        stride = _resolve_stride(embeddings, stride)
+        c = ivf_centroids(embeddings, stride, id_col)
     if k_rows is None:
         k_rows, exact = _gated_codebook_rows(c, dim if dim is not None else 64)
         if not exact and dim is None:
@@ -337,6 +346,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     k_rows: int | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: ``(query_id, neighbor_id, cos, rank)``.
 
@@ -348,7 +358,8 @@ def ivf_topk(
     regions (adapts to clustered corpora), hyperplane LSH by fixed
     random cuts (no training, streaming-friendly)."""
     assign = ivf_assign(
-        embeddings, stride, max(1, n_probe), id_col, k_rows=k_rows
+        embeddings, stride, max(1, n_probe), id_col, k_rows=k_rows,
+        codebook=codebook,
     ).cache()
     v = embeddings.select(
         F.col(id_col).alias("id"),

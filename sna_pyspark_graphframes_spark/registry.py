@@ -3228,14 +3228,9 @@ def q_ivf_topk(spark, sf_dir):
     return fsim.ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, stride=40, n_probe=2)
 
 
-def _kmeans_sql(n_iter: int = 3, stride: int = 40, dim: int = 64) -> str:
-    """DuckDB twin of ``similarity.kmeans_centroids``: the iteration count
-    is a compile-time constant, so Lloyd's unrolls into ``n_iter`` chained
-    CTE stages — assign (cross join + 6-dp-rounded cosine + row_number
-    argmin, centroid_id tie-break) then per-dimension mean re-rounded to
-    6 dp. The rounding at both steps is what makes an ITERATIVE algorithm
-    hard-oracle-able: each stage's inputs are identical decimals on both
-    engines, so fp-accumulation-order differences can never compound."""
+def _kmeans_stages(n_iter: int = 3, stride: int = 40, dim: int = 64) -> tuple[str, str]:
+    """The unrolled Lloyd's CTE stages shared by the kmeans oracle and
+    the kmeans-codebook IVF oracle: ``(stages_sql, final_cte_name)``."""
     parts = [
         "WITH v AS (\n"
         "    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n"
@@ -3274,13 +3269,84 @@ def _kmeans_sql(n_iter: int = 3, stride: int = 40, dim: int = 64) -> str:
 )"""
         )
         prev = f"c{i}"
-    parts.append(
-        f"""
+    return "".join(parts), prev
+
+
+def _kmeans_sql(n_iter: int = 3, stride: int = 40, dim: int = 64) -> str:
+    """DuckDB twin of ``similarity.kmeans_centroids``: the iteration count
+    is a compile-time constant, so Lloyd's unrolls into ``n_iter`` chained
+    CTE stages — assign (cross join + 6-dp-rounded cosine + row_number
+    argmin, centroid_id tie-break) then per-dimension mean re-rounded to
+    6 dp. The rounding at both steps is what makes an ITERATIVE algorithm
+    hard-oracle-able: each stage's inputs are identical decimals on both
+    engines, so fp-accumulation-order differences can never compound."""
+    stages, prev = _kmeans_stages(n_iter, stride, dim)
+    return (
+        stages
+        + f"""
 SELECT centroid_id, CAST(n_members AS BIGINT) AS n_members,
        array_to_string(list_transform(cv, x -> printf('%.6f', x)), ',') AS cv
 FROM {prev}"""
     )
-    return "".join(parts)
+
+
+def _ivf_topk_kmeans_sql(
+    n_iter: int = 2, stride: int = 40, dim: int = 64,
+    n_probe: int = 2, k: int = 5,
+) -> str:
+    """The PRODUCTION ANN path's twin: the unrolled Lloyd's stages feed
+    the IVF assign/probe/rerank shape in place of the stride codebook —
+    exactly the swap ``ivf_centroids``' docstring promises. Rounding
+    discipline carries through: codebook components are 6-dp decimals
+    out of the kmeans stages, assignment cosine rounds to 6 dp before
+    ranking (centroid_id ASC ties), rerank to 4 dp — identical decimals
+    on both engines at every step."""
+    stages, cb = _kmeans_stages(n_iter, stride, dim)
+    return f"""{stages},
+    assign AS (
+        SELECT v.id, cb.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.id
+                   ORDER BY ROUND(list_cosine_similarity(v.v, cb.cv), 6) DESC,
+                            cb.centroid_id ASC
+               ) AS probe_rank
+        FROM v CROSS JOIN {cb} cb
+    ),
+    corpus AS (SELECT id AS neighbor_id, centroid_id FROM assign WHERE probe_rank = 1),
+    probes AS (SELECT id AS query_id, centroid_id FROM assign WHERE probe_rank <= {n_probe}),
+    cand AS (
+        SELECT DISTINCT p.query_id, s.neighbor_id
+        FROM probes p JOIN corpus s USING (centroid_id)
+        WHERE p.query_id <> s.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+        FROM cand JOIN v a ON a.id = query_id JOIN v b ON b.id = neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ivf_topk_kmeans", _ivf_topk_kmeans_sql())
+def q_ivf_topk_kmeans(spark, sf_dir):
+    """IVF ANN over the TRAINED Lloyd's codebook (2 iterations refining
+    the stride init) — the production search path the stride-codebook
+    ``ivf_topk`` documents as its upgrade, now wired end-to-end:
+    ``kmeans_centroids`` → ``ivf_topk(codebook=...)``. Both the training
+    loop and the search ride the size-gated ``_scored_pairs`` machinery;
+    the oracle composes the unrolled Lloyd's CTE with the IVF
+    assign/probe/rerank shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = fsim.kmeans_centroids(emb, stride=40, n_iter=2, dim=64)
+    return fsim.ivf_topk(emb, k=5, n_probe=2, codebook=cb.select("centroid_id", "cv"))
 
 
 @register("kmeans_centroids_small", _kmeans_sql())
