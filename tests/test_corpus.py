@@ -576,3 +576,67 @@ class TestBpeLearn:
         rows = corpus.bpe_encode(docs, [("l", "o"), ("lo", "w")]).collect()
         got = {r.doc_id: r.n_tokens for r in rows}
         assert got == {1: 1 + 3, 2: 2 + 1}
+
+    def test_bpe_learn_matches_pure_python_reference(self, spark):
+        """Differential test: bpe_learn vs an independent pure-Python
+        Sennrich implementation (dict-of-tuples vocab, per-position pair
+        counts, greedy left-to-right merge) on a seeded random corpus —
+        catches any divergence in tie-breaks, overlap handling, or
+        frequency weighting that the goldens are too small to hit."""
+        import random
+
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        rng = random.Random(7)
+        words = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(2, 8)))
+            for _ in range(120)
+        ]
+        docs = spark.createDataFrame(
+            [(i, " ".join(words[i * 12:(i + 1) * 12])) for i in range(10)],
+            "doc_id long, text string",
+        )
+
+        # --- reference implementation (independent of the Spark code) ---
+        freqs: dict[tuple, int] = {}
+        for w in words:
+            freqs[tuple(w)] = freqs.get(tuple(w), 0) + 1
+
+        def pair_counts(fr):
+            pc = {}
+            for syms, f in fr.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pc[p] = pc.get(p, 0) + f
+            return pc
+
+        def apply(syms, l, r):
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        want = []
+        for step in range(1, 7):
+            pc = pair_counts(freqs)
+            if not pc:
+                break
+            (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            want.append((step, l, r, n))
+            nf: dict[tuple, int] = {}
+            for syms, f in freqs.items():
+                m = apply(syms, l, r)
+                nf[m] = nf.get(m, 0) + f  # merged spellings can collide
+            freqs = nf
+
+        got = [
+            (r.merge_rank, r.l_sym, r.r_sym, r.n)
+            for r in corpus.bpe_learn(docs, n_merges=6).collect()
+        ]
+        assert got == want
