@@ -1121,3 +1121,79 @@ def bpe_encode(
         .groupBy(id_col)
         .agg(F.sum("wt").cast("long").alias("n_tokens"))
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_words: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, clean_text, n_spans, n_dropped)`` — SUB-document exact
+    dedup (the Lee et al. 2021 exact-substring criterion at span
+    granularity, the C4/RefinedWeb stage document-level dedup misses):
+    each document splits into non-overlapping ``span_words``-word spans,
+    every span keeps only its corpus-wide FIRST occurrence (min
+    (doc_id, span_idx) — deterministic, engine-independent), and the
+    survivors reassemble in document order. Boilerplate repeated across
+    documents disappears from every copy but the first.
+
+    Plan: spans build IN-ROW (``transform`` over a guarded ``sequence``
+    + ``array_join(slice(...))`` — Spark's ``sequence(0, -1)`` DESCENDS,
+    so empty token lists are gated to an empty span array), then ONE
+    span-keyed partial-aggregating shuffle finds each span's minimum
+    owner, one join-back filters survivors, and one doc-keyed aggregate
+    reassembles via ``array_sort`` of (span_idx, span) structs — min,
+    sort, and struct comparison are all lexicographic in both engines.
+    At 100 TB: two |spans| shuffles + one |docs| aggregate, no windows
+    over unbounded partitions, no Python anywhere."""
+    k = int(span_words)
+    if k < 1:
+        raise ValueError(f"span_words must be >= 1, got {k}")
+    d = docs.select(F.col(id_col), _words(F.col(text_col)).alias("ws"))
+    span_arr = F.when(
+        F.size("ws") > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0), F.ceil(F.size("ws") / F.lit(k)).cast("int") - 1
+            ),
+            lambda i: F.array_join(
+                F.slice("ws", i * k + 1, F.lit(k)), " "
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    spans = d.select(
+        F.col(id_col),
+        F.posexplode(span_arr).alias("span_idx", "span"),
+    )
+    first = spans.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))).alias("o")
+    )
+    kept = (
+        spans.join(first, "span")
+        .filter(
+            (F.col(id_col) == F.col("o.d")) & (F.col("span_idx") == F.col("o.i"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_idx", "span"))
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )

@@ -3335,6 +3335,51 @@ def _ivf_topk_kmeans_sql(
     """
 
 
+@register(
+    "span_dedup",
+    r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\s+') AS ws
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, CAST(t.i AS INT) AS pos, ws[CAST(t.i AS INT)] AS word
+        FROM d, UNNEST(generate_series(1, len(ws))) AS t(i)
+    ),
+    sp AS (
+        SELECT doc_id, CAST(FLOOR((pos - 1) / 8) AS INT) AS span_idx,
+               STRING_AGG(word, ' ' ORDER BY pos) AS span
+        FROM w GROUP BY doc_id, CAST(FLOOR((pos - 1) / 8) AS INT)
+    ),
+    first AS (
+        SELECT span, MIN({'d': doc_id, 'i': span_idx}) AS o FROM sp GROUP BY span
+    ),
+    kept AS (
+        SELECT sp.doc_id,
+               STRING_AGG(sp.span, ' ' ORDER BY sp.span_idx) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM sp JOIN first USING (span)
+        WHERE sp.doc_id = first.o.d AND sp.span_idx = first.o.i
+        GROUP BY sp.doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(k.clean_text, '') AS clean_text,
+           CAST(t.n_spans AS BIGINT) AS n_spans,
+           CAST(t.n_spans - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_span_dedup(spark, sf_dir):
+    """Sub-document exact dedup (Lee et al. 2021 at 8-word-span
+    granularity): every span keeps only its corpus-wide first occurrence
+    (min (doc_id, span_idx) — struct MIN is lexicographic in both
+    engines, verified), survivors reassemble in document order. The
+    stage document-level dedup misses: cross-document boilerplate
+    vanishes from every copy but the first."""
+    return fcorpus.span_dedup(_t(spark, sf_dir, "documents"), span_words=8)
+
+
 @register("ivf_topk_kmeans", _ivf_topk_kmeans_sql())
 def q_ivf_topk_kmeans(spark, sf_dir):
     """IVF ANN over the TRAINED Lloyd's codebook (2 iterations refining

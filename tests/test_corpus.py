@@ -640,3 +640,37 @@ class TestBpeLearn:
             for r in corpus.bpe_learn(docs, n_merges=6).collect()
         ]
         assert got == want
+
+
+class TestSpanDedup:
+    def test_first_occurrence_keep_and_reassembly(self, spark):
+        """2-word spans: doc 1 = [a b][c d][a b] — the repeated span drops
+        WITHIN the doc too; doc 2's [c d] loses to doc 1's earlier copy;
+        doc 3 is all-duplicate and reassembles to ''; the empty doc has
+        one empty-string span that doc 4 then duplicates."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d a b"),
+                (2, "x y c d"),
+                (3, "a b"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in corpus.span_dedup(docs, span_words=2).collect()}
+        assert rows[1].clean_text == "a b c d" and rows[1].n_spans == 3
+        assert rows[1].n_dropped == 1  # the second [a b]
+        assert rows[2].clean_text == "x y" and rows[2].n_dropped == 1
+        assert rows[3].clean_text == "" and rows[3].n_dropped == 1
+
+    def test_tail_span_shorter_than_k(self, spark):
+        """A 5-word doc at k=2 has a 1-word tail span, kept intact."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        r = corpus.span_dedup(docs, span_words=2).collect()[0]
+        assert r.clean_text == "a b c d e"
+        assert r.n_spans == 3 and r.n_dropped == 0
