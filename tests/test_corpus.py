@@ -674,3 +674,19 @@ class TestSpanDedup:
         r = corpus.span_dedup(docs, span_words=2).collect()[0]
         assert r.clean_text == "a b c d e"
         assert r.n_spans == 3 and r.n_dropped == 0
+
+    def test_idempotent(self, spark):
+        """Dedup is idempotent: a second pass over the cleaned corpus
+        drops nothing (every surviving span is already unique)."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d a b x y"), (2, "c d a b q r"), (3, "q r q r")],
+            "doc_id long, text string",
+        )
+        once = corpus.span_dedup(docs, span_words=2)
+        again = corpus.span_dedup(
+            once.select("doc_id", F.col("clean_text").alias("text")),
+            span_words=2,
+        )
+        assert again.agg(F.sum("n_dropped")).collect()[0][0] == 0
