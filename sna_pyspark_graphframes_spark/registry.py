@@ -455,6 +455,50 @@ def q_price_quantiles(spark, sf_dir):
 
 
 @register(
+    "approx_price_quantiles",
+    """
+    SELECT p_brand,
+           ROUND(quantile_cont(p_retailprice, 0.5), 4) AS q50_exact,
+           COUNT(*) < 50 OR
+           ABS(approx_quantile(p_retailprice, 0.5)
+               - quantile_cont(p_retailprice, 0.5))
+             <= 0.10 * (MAX(p_retailprice) - MIN(p_retailprice)) + 1e-9
+             AS approx_within_tol
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_approx_price_quantiles(spark, sf_dir):
+    """The 100 TB quantile path — sketch-based ``approx_percentile``
+    (Greenwald-Khanna, one pass, mergeable partials) — as a SYMMETRIC
+    tolerance twin (the ``n_parts_approx`` recipe): the hard column is
+    the exact per-brand median (Spark ``percentile`` = DuckDB
+    ``quantile_cont``, already proven equal by ``price_quantiles``);
+    each engine then checks ITS OWN sketch (GK here, t-digest in
+    DuckDB) against its own exact value within 10% of the brand's price
+    range. Measured worst relative deviation: Spark GK 2.0% (sf0.01,
+    small per-brand groups), DuckDB t-digest 0.4% — ≥5× margin. Groups
+    under 50 rows pass vacuously (both engines gate on the exact
+    COUNT): there the sketch stores every value exactly and any
+    deviation is the interpolated-continuous vs element-returning
+    DEFINITION gap (for a 2-row group that gap is half the range), not
+    sketch error."""
+    p = _t(spark, sf_dir, "part")
+    exact = F.percentile("p_retailprice", F.lit(0.5))
+    approx = F.percentile_approx("p_retailprice", F.lit(0.5), F.lit(10000))
+    return p.groupBy("p_brand").agg(
+        F.round(exact, 4).alias("q50_exact"),
+        (
+            (F.count("*") < 50)
+            | (
+                F.abs(approx - exact)
+                <= 0.10 * (F.max("p_retailprice") - F.min("p_retailprice"))
+                + 1e-9
+            )
+        ).alias("approx_within_tol"),
+    )
+
+
+@register(
     "acctbal_stats",
     """
     SELECT c_mktsegment,
