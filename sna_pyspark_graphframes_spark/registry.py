@@ -4118,6 +4118,24 @@ def q_event_props(spark, sf_dir):
 
 
 @register(
+    "event_props_variant",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_event_props_variant(spark, sf_dir):
+    """Spark 4 VARIANT JSON path (parse once into the binary variant
+    encoding, O(1) typed path reads) aggregated per event type — the
+    production shape when many fields come off the same document; the
+    string-re-parsing ``get_json_object`` twin is ``event_props_extract``."""
+    return swin.props_variant_summary(_t(spark, sf_dir, "events"))
+
+
+@register(
     "late_data_filter",
     """
     SELECT event_id, ts FROM events

@@ -97,6 +97,29 @@ def extract_props(events: DataFrame) -> DataFrame:
     )
 
 
+def props_variant_summary(events: DataFrame) -> DataFrame:
+    """Per-event-type stats over a JSON property via Spark 4's VARIANT
+    type: ``parse_json`` decodes each ``props`` document ONCE into the
+    binary variant encoding, then every extraction is an O(1) typed path
+    read (``try_variant_get``) — the scale path when many fields are
+    pulled from the same document (repeated ``get_json_object`` calls,
+    the ``extract_props`` shape, re-parse the string per call).
+    ``(event_type, n_events, sum_k, max_k)``; events whose ``k`` is
+    missing or non-numeric count toward ``n_events`` but not the
+    aggregates (``try_`` semantics)."""
+    v = events.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
 def late_data_filter(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """Batch simulation of watermark semantics: drop events older than
     (max event time − delay) — what a streaming watermark admits in steady
