@@ -177,3 +177,37 @@ def attribution_counts(
     return f.groupBy(
         "event_id", "user_id", "ts", F.col("event_type").alias("followup_type")
     ).agg(F.count("*").alias("followups"))
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    attr_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event log:
+    ``(keys..., attr, valid_from, valid_to, is_current)`` — one row per
+    VALUE CHANGE of ``attr_col`` per key, valid from its first timestamp
+    until the next change (open-ended ⇒ current). The
+    dimension-versioning shape every warehouse MERGE pipeline maintains,
+    derived here in two stacked windows: a lag() change filter
+    (gaps-and-islands — consecutive repeats collapse into one version),
+    then lead() over the surviving change rows for the validity
+    horizon. Both windows partition by the key — per-key sorts only,
+    no global ordering; nulls never arise from the filter because the
+    first row per key always survives (lag is NULL there)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    changes = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    valid_to = F.lead(order_cols[0]).over(w2)
+    return changes.select(
+        *key_cols,
+        attr_col,
+        F.col(order_cols[0]).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -4205,6 +4205,76 @@ def q_range_join_attribution(spark, sf_dir):
     return temporal.attribution_counts(purchases, ev, horizon_s=3600)
 
 
+@register(
+    "scd2_user_event_type",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_user_event_type(spark, sf_dir):
+    """SCD2 history of each user's event_type: one row per value change
+    with [valid_from, valid_to) horizons and an is_current flag — the
+    warehouse dimension-versioning shape as two stacked per-key windows
+    (change filter via lag, horizon via lead)."""
+    return temporal.scd2_intervals(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_type",
+    )
+
+
+@register(
+    "apply_changelog_users",
+    """
+    WITH log AS (
+        SELECT user_id, ts, event_id, ROUND(value, 2) AS value,
+               CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        FROM events
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM log
+        ) WHERE rn = 1
+    )
+    SELECT user_id, event_id, value FROM latest WHERE op <> 'delete'
+    """,
+)
+def q_apply_changelog_users(spark, sf_dir):
+    """Full CDC apply (MERGE INTO semantics over an append-only log):
+    last-writer-wins per user with tombstone deletes — users whose
+    LATEST op is a delete drop out of the snapshot entirely. The op
+    column derives deterministically from event_id (every 7th event is
+    a tombstone) so both engines replay the identical log."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    out = relational.apply_changelog(ev, ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "event_id", "value")
+
+
 @register("stream_tumbling_window", TUMBLING_SQL)
 def q_stream_tumbling(spark, sf_dir):
     """True Structured Streaming run (availableNow trigger, memory sink) —
