@@ -4206,6 +4206,37 @@ def q_range_join_attribution(spark, sf_dir):
 
 
 @register(
+    "value_trend_by_type",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, EPOCH(ts) / 86400.0 - 20000.0), 6)
+               AS slope_per_day,
+           ROUND(regr_intercept(value, EPOCH(ts) / 86400.0 - 20000.0), 4)
+               AS intercept,
+           ROUND(corr(value, EPOCH(ts) / 86400.0 - 20000.0), 6) AS r
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_trend_by_type(spark, sf_dir):
+    """Per-group OLS trend via the BUILT-IN regression aggregates
+    (``regr_slope``/``regr_intercept``/``corr`` — one
+    partial-aggregating pass, the closed-form sums, no ML library): the
+    daily drift of event value per type. Time is CENTERED (epoch days −
+    20000, near the data) so the intercept sits at value scale instead
+    of extrapolating ~55 years to epoch zero — an uncentered intercept
+    is a catastrophic-cancellation amplifier that would put 4-dp
+    rounding parity at the mercy of each engine's summation order."""
+    x = F.expr("unix_micros(ts) / 86400e6") - F.lit(20000.0)
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("regr_slope(value, unix_micros(ts) / 86400e6 - 20000.0)"), 6).alias("slope_per_day"),
+        F.round(F.expr("regr_intercept(value, unix_micros(ts) / 86400e6 - 20000.0)"), 4).alias("intercept"),
+        F.round(F.corr("value", x), 6).alias("r"),
+    )
+
+
+@register(
     "scd2_user_event_type",
     """
     WITH ordered AS (
