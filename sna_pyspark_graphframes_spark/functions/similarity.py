@@ -560,3 +560,43 @@ def kmeans_centroids(
         # action) — no dedicated checkpoint job per iteration
         c = checkpointed(c, lazy=True)
     return c.select("centroid_id", "n_members", "cv")
+
+
+def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """``(vec_id, scale, qvec, qnorm)`` — symmetric per-vector int8
+    quantization, the storage/serving format of a 100 TB embedding store
+    (4× smaller than float32, 8× smaller than the double arrays, and
+    int8 dot products SIMD-accelerate on every serving stack):
+    ``scale = max|x| / 127`` (1.0 for the zero vector), ``q_i =
+    round(x_i / scale) ∈ [-127, 127]``. Pure in-row array lambdas — no
+    shuffle at all; dequantization error is ≤ scale/2 per component.
+
+    ``qvec`` is projected to the canonical comma-joined string (array
+    cells are unhashable in the driver's canonicalizer) and ``qnorm`` =
+    Σq² is an integer-exact checksum of the quantized vector."""
+    v = embeddings.select(
+        F.col(id_col),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    s = v.withColumn(
+        "scale", F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
+    )
+    q = s.withColumn(
+        "q",
+        F.transform(
+            "v", lambda x: F.round(x / F.col("scale")).cast("int")
+        ),
+    )
+    return q.select(
+        id_col,
+        F.round("scale", 6).alias("scale"),
+        F.array_join(
+            F.transform("q", lambda x: x.cast("string")), ","
+        ).alias("qvec"),
+        F.aggregate(
+            "q",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x * x).cast("long"),
+        ).alias("qnorm"),
+    )

@@ -3424,6 +3424,37 @@ def q_span_dedup(spark, sf_dir):
     return fcorpus.span_dedup(_t(spark, sf_dir, "documents"), span_words=8)
 
 
+@register(
+    "quantize_embeddings_int8",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> ABS(x))) > 0
+                    THEN list_max(list_transform(v, x -> ABS(x))) / 127.0
+                    ELSE 1.0 END AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(v, x -> CAST(ROUND(x / scale) AS INT)) AS q
+        FROM s
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')
+               AS qvec,
+           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qnorm
+    FROM q
+    """,
+)
+def q_quantize_embeddings_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding store — scale =
+    max|x|/127, components rounded (both engines round half away from
+    zero on doubles), qvec string-projected, qnorm = integer Σq²
+    checksum."""
+    return fsim.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 @register("ivf_topk_kmeans", _ivf_topk_kmeans_sql())
 def q_ivf_topk_kmeans(spark, sf_dir):
     """IVF ANN over the TRAINED Lloyd's codebook (2 iterations refining
