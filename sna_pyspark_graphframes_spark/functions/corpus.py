@@ -1140,12 +1140,20 @@ def span_dedup(
 
     Plan: spans build IN-ROW (``transform`` over a guarded ``sequence``
     + ``array_join(slice(...))`` — Spark's ``sequence(0, -1)`` DESCENDS,
-    so empty token lists are gated to an empty span array), then ONE
-    span-keyed partial-aggregating shuffle finds each span's minimum
-    owner, one join-back filters survivors, and one doc-keyed aggregate
-    reassembles via ``array_sort`` of (span_idx, span) structs — min,
-    sort, and struct comparison are all lexicographic in both engines.
-    At 100 TB: two |spans| shuffles + one |docs| aggregate, no windows
+    so empty token lists are gated to an empty span array) and STAY an
+    in-row array on the reassembly side. The span-keyed traffic carries
+    only ``xxhash64(span)`` (8 bytes) + (doc_id, span_idx): one
+    partial-aggregating shuffle finds each span-hash's minimum owner,
+    one doc-keyed aggregate collapses the winners to a per-doc
+    ``keep_idx`` set (ints only), and a single doc-keyed join brings the
+    surviving indices back to the array frame where ``filter(spans,
+    (s, i) -> ...)`` rebuilds the text in place. The raw span strings
+    never enter a shuffle; the document text moves exactly once (the
+    final join). A 64-bit hash collision would merge two distinct spans'
+    first-occurrence groups — at web-corpus scale (2^40 spans) the
+    collision odds are ~2^-(64-80/2) ≈ one pair per ~16M corpora,
+    an accepted property of every production exact-substring dedup.
+    At 100 TB: two narrow |spans| shuffles + one |docs| join, no windows
     over unbounded partitions, no Python anywhere."""
     k = int(span_words)
     if k < 1:
@@ -1162,38 +1170,31 @@ def span_dedup(
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    spans = d.select(
+    arrs = d.select(F.col(id_col), span_arr.alias("spans"))
+    keys = arrs.select(
         F.col(id_col),
-        F.posexplode(span_arr).alias("span_idx", "span"),
+        F.posexplode(
+            F.transform("spans", lambda s: F.xxhash64(s))
+        ).alias("span_idx", "span_key"),
     )
-    first = spans.groupBy("span").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))).alias("o")
+    first = keys.groupBy("span_key").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))
+        ).alias("o")
     )
-    kept = (
-        spans.join(first, "span")
-        .filter(
-            (F.col(id_col) == F.col("o.d")) & (F.col("span_idx") == F.col("o.i"))
-        )
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("span_idx", "span"))
-                    ),
-                    lambda s: s["span"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.count("*").alias("n_kept"),
-        )
+    keep = first.groupBy(F.col("o.d").alias(id_col)).agg(
+        F.collect_set("o.i").alias("keep_idx")
     )
-    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
-    return totals.join(kept, id_col, "left").select(
+    kept_arr = F.filter(
+        "spans",
+        lambda s, i: F.array_contains(
+            F.coalesce(F.col("keep_idx"), F.expr("CAST(array() AS array<int>)")),
+            i,
+        ),
+    )
+    return arrs.join(keep, id_col, "left").select(
         id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.col("n_spans").cast("long").alias("n_spans"),
-        (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_dropped"),
+        F.array_join(kept_arr, " ").alias("clean_text"),
+        F.size("spans").cast("long").alias("n_spans"),
+        (F.size("spans") - F.size(kept_arr)).cast("long").alias("n_dropped"),
     )
