@@ -474,7 +474,16 @@ def dense_rekey(labels: DataFrame) -> DataFrame:
         joined = labels.join(F.broadcast(ranked), "label")
     else:
         n_parts = labels.sparkSession.sparkContext.defaultParallelism
-        local = (
+        # EAGER materialization (ADVICE r10 medium): the range exchange
+        # samples boundaries per RDD instantiation and
+        # spark_partition_id is nondeterministic, so the two consumers
+        # below (per-partition ranks AND the sizes->offsets leg) must
+        # read ONE physical instantiation — independent re-execution
+        # could add offsets from one partitioning to ranks from
+        # another, duplicating/skipping labels. Lazy checkpointing is
+        # NOT safe here: a lazy frame consumed on multiple legs of its
+        # first job recomputes per leg (the r8 truss caveat).
+        local = checkpointed(
             distinct_labels.repartitionByRange(n_parts, "label")
             .select("label", F.spark_partition_id().alias("_pid"))
             .withColumn(

@@ -4153,8 +4153,8 @@ def q_event_props(spark, sf_dir):
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY event_type
     """,
 )
@@ -4241,11 +4241,14 @@ def q_range_join_attribution(spark, sf_dir):
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(regr_slope(value, EPOCH(ts) / 86400.0 - 20000.0), 6)
+           ROUND(regr_slope(value,
+               (epoch_us(ts) - 1728000000000000) / 86400000000.0), 6)
                AS slope_per_day,
-           ROUND(regr_intercept(value, EPOCH(ts) / 86400.0 - 20000.0), 4)
+           ROUND(regr_intercept(value,
+               (epoch_us(ts) - 1728000000000000) / 86400000000.0), 4)
                AS intercept,
-           ROUND(corr(value, EPOCH(ts) / 86400.0 - 20000.0), 6) AS r
+           ROUND(corr(value,
+               (epoch_us(ts) - 1728000000000000) / 86400000000.0), 6) AS r
     FROM events GROUP BY event_type
     """,
 )
@@ -4257,12 +4260,19 @@ def q_value_trend_by_type(spark, sf_dir):
     20000, near the data) so the intercept sits at value scale instead
     of extrapolating ~55 years to epoch zero — an uncentered intercept
     is a catastrophic-cancellation amplifier that would put 4-dp
-    rounding parity at the mercy of each engine's summation order."""
-    x = F.expr("unix_micros(ts) / 86400e6") - F.lit(20000.0)
+    rounding parity at the mercy of each engine's summation order.
+    The regressor is computed BIT-IDENTICALLY in both engines (ADVICE
+    r10): integer microseconds minus the exact int64 center
+    20000*86400e6 = 1_728_000_000_000_000, then ONE float64 division by
+    the same constant — two divisions vs one (the old
+    ``EPOCH(ts)/86400.0`` twin) differ at the ulp and fed
+    summation-order-dependent aggregates."""
+    x_sql = "(unix_micros(ts) - 1728000000000000) / 86400000000.0"
+    x = F.expr(x_sql)
     return _t(spark, sf_dir, "events").groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.expr("regr_slope(value, unix_micros(ts) / 86400e6 - 20000.0)"), 6).alias("slope_per_day"),
-        F.round(F.expr("regr_intercept(value, unix_micros(ts) / 86400e6 - 20000.0)"), 4).alias("intercept"),
+        F.round(F.expr(f"regr_slope(value, {x_sql})"), 6).alias("slope_per_day"),
+        F.round(F.expr(f"regr_intercept(value, {x_sql})"), 4).alias("intercept"),
         F.round(F.corr("value", x), 6).alias("r"),
     )
 
