@@ -107,6 +107,14 @@ HEADLINE = [
     "bpe_pair_top100",
     "effective_diameter_approx",
     "bpe_merges_small",
+    # round-11 appends (VERDICT r10 Next #4): the late-r10 operators —
+    # sub-document span dedup (now hash-keyed), IVF search over the
+    # trained k-means codebook, int8 embedding quantization, and the BPE
+    # encode/token-count path.
+    "span_dedup",
+    "ivf_topk_kmeans",
+    "quantize_embeddings_int8",
+    "bpe_token_counts",
 ]
 
 

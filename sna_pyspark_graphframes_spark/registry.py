@@ -6,6 +6,21 @@ Aliasing rule: every computed column is aliased identically in the Spark
 plan and the SQL so the driver's sorted-column value hash matches.
 Doubles produced by aggregation are rounded on both sides (floating-point
 summation order differs between engines).
+
+CONTRACT for seeded / sketch operators (copy this shape when adding one):
+an oracle over nondeterministic-per-engine computation (seeded RNG walks,
+HLL/HyperANF sketches, fp top-k) must be a CERTIFICATE whose docstring
+states, column by column, which values are HARD-checked (both engines
+compute them independently and the driver hash-compares them — e.g. the
+LPA community count, the exact COUNT(DISTINCT) in a tolerance twin) and
+which are ONE-SIDED (Spark computes a structural invariant of its own
+output, DuckDB's side is the literal TRUE/bound the contract pins —
+DuckDB cannot run the seeded kernel or the sketch). One-sided booleans
+must be backed by golden-pinned seeds or closed-form fixtures in tests/.
+Examples: ``_walk_sample_validity`` (walks), ``effective_diameter_approx``
+and ``approx_price_quantiles`` (sketch tolerance twins),
+``pagerank_top20``/``ppr_top20`` (ranking tolerance twins where BOTH
+sides additionally self-check stability under iteration-count changes).
 """
 
 from __future__ import annotations
@@ -5729,73 +5744,77 @@ def q_profile_documents(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- (a) never-driver-checked oracle pairs: the six r10 upgrades —
-    # the pagerank/ppr top-20 ranking tolerance twins (VERDICT r9 Next
-    # #3), the three walk validity certificates (Next #4), and the BPE
-    # merge-loop oracle (Next #5) ---
+    # --- (a) the 8 never-driver-checked oracle pairs (late-r10
+    # registrations that postdate the r10 window pin; VERDICT r10 Next
+    # #1). All were 3-SF green under the driver-mirror before pinning;
+    # span_dedup/event_props_variant/value_trend_by_type additionally
+    # carry this round's fixes (xxhash64 span keys, TRY_CAST twin,
+    # bit-identical regressor) re-verified at 3 SFs. ---
+    "ivf_topk_kmeans",
+    "span_dedup",
+    "approx_price_quantiles",
+    "event_props_variant",
+    "scd2_user_event_type",
+    "apply_changelog_users",
+    "value_trend_by_type",
+    "quantize_embeddings_int8",
+    # --- (b) the WHOLE r11 rotation debt: all 37 queries last
+    # driver-checked in round 7 (VERDICT r10 Next #1; list pinned in
+    # REPORT.md r10 "r11 rotation debt" — CORRECTNESS_r07 minus
+    # r08/r09 minus the r10 window). The similarity/hints refactor,
+    # shared sym layout, setup fold, and the two-phase dense_rekey all
+    # landed under several of these since r7; swept green at sf0.01
+    # under the current tree before this pin (REPORT.md r11). ---
+    "adjacency",
+    "aggmsg_neighbor_price",
+    "avg_closeness_small",
+    "betweenness_exact_small",
+    "betweenness_path",
+    "connected_components_twophase_small",
+    "copurchase_edges",
+    "customer_nation_edges",
+    "customer_order_left_join",
+    "dedup_exact",
+    "dense_rekey_nation",
+    "diameter_small",
+    "dup_ngram_coverage",
+    "edge_file_roundtrip",
+    "induced_subgraph_small_parts",
+    "json_roundtrip",
+    "k_core_small",
+    "link_prediction_small",
+    "lpa_cliques",
+    "motif_four_cycles_small",
+    "motif_open_wedges_small",
+    "motif_triangles_small",
+    "n_vertices",
+    "order_priority_counts",
+    "pagerank_dangling_pairs",
+    "pagerank_order_rings",
+    "part_name_tokens",
+    "part_type_rollup",
+    "parts_never_ordered",
+    "repetition_quality",
+    "revenue_per_nation",
+    "scan_project_filter",
+    "scc_order_rings",
+    "shuffle_shards",
+    "sql_shipping_priority",
+    "top_order_per_customer",
+    "vertices_from_edges",
+    # --- (c) sentinels on the paths r11 touched (VERDICT r10 Next #1's
+    # exact five): the PR/PPR ranking twin + tol=None hoist
+    # (pagerank_top20), the walk certificate + shared sym layout + the
+    # now-eagerly-materialized dense_rekey two-phase gate
+    # (random_walk_sample), the codebook gate's IVF consumer
+    # (ivf_topk — ivf_topk_kmeans in (a) covers the trained-codebook
+    # branch), the shared-layout triangle family (triangle_count), and
+    # the BPE merge loop (bpe_merges_small). ---
     "pagerank_top20",
-    "ppr_top20",
     "random_walk_sample",
-    "random_walk_sample_capped",
-    "node2vec_walks",
-    "bpe_merges_small",
-    "bpe_token_counts",
-    # --- (b) the WHOLE r10 rotation debt: all 42 queries last
-    # driver-checked in round 6 (VERDICT r9 Next #1; list pinned in
-    # REPORT.md r9) ---
-    "asof_click_purchase",
-    "bfs_predicate_small",
-    "bow_cosine_pairs",
-    "community_conductance_parity",
-    "community_modularity_cliques",
-    "community_revenue_bi",
-    "curate_corpus",
-    "customers_order_setops",
-    "decontaminate",
-    "dedup_corpus",
-    "doc_sentiment",
-    "domain_mixture",
-    "eigenvector_order_rings",
-    "embedding_dedup_clusters",
-    "event_sliding_window",
-    "late_data_filter",
-    "minhash_near_dup",
-    "multimodal_digest",
-    "near_dup_clusters",
-    "orc_roundtrip",
-    "orders_status_pivot",
-    "part_brand_size_cube",
-    "pregel_components_small",
-    "price_quantiles",
-    "range_join_attribution",
-    "rich_club_small",
-    "simhash_groups",
-    "similarity_topk",
-    "sql_exists_urgent_customers",
-    "stratified_sample",
-    "stream_dedup_keys",
-    "stream_session_window",
-    "stream_static_join",
-    "stream_stream_outer_join",
-    "tf_idf",
-    "vocab_topk",
-    "weighted_sssp_small",
-    "widest_path_small",
-    "pricing_summary",
-    "dedup_incremental",
-    "temperature_mixture",
-    "stream_stream_join",
-    # --- (c) sentinels on the paths r10 touched: the shared
-    # plan-statistics codebook gate (_gated_codebook_rows) feeds both
-    # the IVF assignment and the Lloyd's init; kmeans also carries the
-    # r9 bench noise flag the r10 solo A/B adjudicated (REPORT.md r10).
-    # The tol=None final-materialization hoist is exercised in-window by
-    # the pagerank_top20/ppr_top20 reference runs above; dense_rekey's
-    # gate by random_walk_sample's label path; kmeans (the gate's other
-    # consumer) yielded its slot to the new bpe_token_counts pair — its
-    # r9 bench flag was adjudicated by solo A/B, not by the window
-    # (REPORT.md r10), and bench timings are window-independent. ---
     "ivf_topk",
+    "triangle_count",
+    "bpe_merges_small",
 ]
 
 

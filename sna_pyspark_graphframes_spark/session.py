@@ -50,6 +50,21 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
 
+    # Python workers resolve imports from PYTHONPATH, not the driver's
+    # sys.path: a driver launched outside the repo root (a /tmp script,
+    # a notebook) can plan the Arrow walk kernel fine and then fail
+    # worker-side with ModuleNotFoundError when cloudpickle references
+    # this package by name. Exporting the package's parent before the
+    # JVM launches makes workers import-complete regardless of the
+    # driver's cwd (a real cluster ships the package via --py-files;
+    # this is the local-mode equivalent).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
