@@ -968,6 +968,7 @@ def pagerank(
     tol: float | None = 1e-7,
     sym_layout: DataFrame | None = None,
     round_dp: int | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, pagerank)`` — power-iteration PageRank (= GraphFrames
     ``g.pageRank(resetProbability=1-damping, maxIter=...)``, the other
@@ -1003,6 +1004,18 @@ def pagerank(
     oracle matches value-for-value; fp accumulation order never
     compounds across rounds). Production leaves it ``None``; the same
     loop, joins, and per-round actions run either way.
+
+    ``init_ranks`` (r11): start the iteration from a caller-provided
+    ``(id, rank)`` state instead of uniform — vertices absent from it
+    get the uniform 1/N. Power iteration with damping d is a
+    d-contraction with an init-INDEPENDENT fixed point, so this changes
+    the trajectory, never the answer; its use is superstep reuse — the
+    twin queries continue the production tol-run from the 4-round
+    reference state so the pair pays ~4+ceil(log_d) supersteps instead
+    of 4 + the full from-uniform convergence run. In directed mode the
+    round-0 dangling mass is no longer the closed-form uniform value, so
+    a provided init costs ONE extra setup action to read it off the
+    initial state.
     """
     # dst-partitioned persistent layout: the per-round contribution
     # aggregate groups by dst, so its exchange is elided every round (see
@@ -1062,7 +1075,28 @@ def pagerank(
         return edges.sparkSession.createDataFrame(
             [], "id long, pagerank double"
         )
-    ranks = base.withColumn("pr", F.lit(1.0 / n))
+    if init_ranks is None:
+        ranks = base.withColumn("pr", F.lit(1.0 / n))
+    else:
+        # continuation state: (id, rank) by position — the second column
+        # is the rank regardless of its name (pagerank() output plugs in
+        # directly). Missing ids fall back to uniform so a partial init
+        # still covers every vertex.
+        iid, ipr = init_ranks.columns[:2]
+        ranks = base.join(
+            _state_hinted(
+                init_ranks.select(
+                    F.col(iid).alias("id"), F.col(ipr).alias("_ipr")
+                ),
+                n,
+            ),
+            "id",
+            "left",
+        ).select(
+            "id",
+            "out_deg",
+            F.coalesce("_ipr", F.lit(1.0 / n)).alias("pr"),
+        )
     # dangling vertices (no out-edges) exist only in directed mode
     n_dangling = (row[1] or 0) if directed else 0
     has_danglings = n_dangling > 0
@@ -1077,7 +1111,19 @@ def pagerank(
     # graph with danglings pays one checkpoint per round — the price of
     # per-round-exact mass redistribution).
     k = 1 if has_danglings else _state_cadence(n)
-    dangling_mass = n_dangling * (1.0 / n)  # round 0: ranks are uniform
+    if init_ranks is None or not has_danglings:
+        dangling_mass = n_dangling * (1.0 / n)  # round 0: ranks are uniform
+    else:
+        # provided init: the round-0 mass has no closed form — one setup
+        # action over the initial state (docstring contract)
+        dangling_mass = (
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("out_deg") == 0, F.col("pr"))),
+                    F.lit(0.0),
+                )
+            ).first()[0]
+        )
     # k == 1 (broadcast-sized state / danglings — every round materializes
     # anyway): join the update against RANKS instead of base so |Δpr|
     # rides the superstep select and the delta is a cheap scan of the
@@ -1191,6 +1237,7 @@ def personalized_pagerank(
     tol: float | None = 1e-7,
     sym_layout: DataFrame | None = None,
     round_dp: int | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, pagerank)`` — PageRank personalized to ``sources``
     (= GraphFrames ``parallelPersonalizedPageRank`` for one source set):
@@ -1200,7 +1247,10 @@ def personalized_pagerank(
 
     Same loop/shuffle structure as :func:`pagerank`; the reset vector is a
     broadcast-joined 0/1-weight column instead of a constant. ``round_dp``
-    is the same per-round reproducibility knob as :func:`pagerank`.
+    is the same per-round reproducibility knob as :func:`pagerank`, and
+    ``init_ranks`` the same trajectory-only continuation state (missing
+    ids fall back to 0.0 here — mass concentrates on the walk's reach,
+    not uniformly; the fixed point is init-independent either way).
     """
     if not sources:
         raise ValueError("sources must be non-empty")
@@ -1255,7 +1305,37 @@ def personalized_pagerank(
     n_vertices = row[0]  # for the size-aware superstep hint
     dangling_mass = row[1] if directed else 0.0
     has_danglings = directed and (row[2] or 0) > 0
-    ranks = base.withColumn("pr", F.col("r"))
+    if init_ranks is None:
+        ranks = base.withColumn("pr", F.col("r"))
+    else:
+        # continuation state, by position (see pagerank); absent ids get
+        # 0.0 — restart mass concentrates on the walk's reach
+        iid, ipr = init_ranks.columns[:2]
+        ranks = base.join(
+            _state_hinted(
+                init_ranks.select(
+                    F.col(iid).alias("id"), F.col(ipr).alias("_ipr")
+                ),
+                n_vertices,
+            ),
+            "id",
+            "left",
+        ).select(
+            "id",
+            "r",
+            "out_deg",
+            F.coalesce("_ipr", F.lit(0.0)).alias("pr"),
+        )
+        if has_danglings:
+            # no closed form for the provided init — one setup action
+            dangling_mass = (
+                ranks.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("out_deg") == 0, F.col("pr"))),
+                        F.lit(0.0),
+                    )
+                ).first()[0]
+            )
     k = 1 if has_danglings else _state_cadence(n_vertices)
     prev_ck = ranks  # last checkpointed state, for the tol delta
     converged = False  # True ⇔ the loop broke after a materializing read

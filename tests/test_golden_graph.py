@@ -278,6 +278,64 @@ class TestPageRank:
         total = sum(r.pagerank for r in pr.collect())
         assert total == pytest.approx(1.0, abs=1e-3)
 
+    def test_init_ranks_uniform_is_identity(self, spark):
+        # init_ranks = the exact uniform vector → the trajectory is the
+        # from-scratch one, so a fixed-iteration run is value-identical
+        e = edges_df(spark, STAR5)
+        base = as_map(
+            algorithms.pagerank(e, max_iter=5, tol=None), "id", "pagerank"
+        )
+        uniform = spark.createDataFrame(
+            [(i, 1.0 / 6) for i in range(6)], "id long, pr double"
+        )
+        seeded = as_map(
+            algorithms.pagerank(e, max_iter=5, tol=None, init_ranks=uniform),
+            "id",
+            "pagerank",
+        )
+        assert seeded == base  # byte-identical at the 6-dp output rounding
+
+    def test_init_ranks_continuation_reaches_fixed_point(self, spark):
+        # the twin shape: continue the tol-run from a 4-round reference
+        # state — power iteration's fixed point is init-independent, so
+        # the continued run converges to the from-uniform answer
+        # max_iter high enough that BOTH runs exit on tol (the star's
+        # sign-alternating mode decays at 0.85/round → ~100 rounds to
+        # 1e-7): each is then within 5.7·tol of the shared fixed point
+        e = edges_df(spark, STAR5)
+        ref = algorithms.pagerank(e, max_iter=4, tol=None, round_dp=6)
+        cont = as_map(
+            algorithms.pagerank(e, max_iter=200, init_ranks=ref), "id", "pagerank"
+        )
+        full = as_map(algorithms.pagerank(e, max_iter=200), "id", "pagerank")
+        assert set(cont) == set(full)
+        for k in full:
+            assert cont[k] == pytest.approx(full[k], abs=1e-5)
+
+    def test_init_ranks_directed_dangling_mass_reseeded(self, spark):
+        # directed + danglings + provided init: the round-0 mass comes
+        # from the one extra setup action, and the stationary answer
+        # still sums to 1
+        e = edges_df(spark, [(1, 2), (2, 3)])
+        ref = algorithms.pagerank(e, max_iter=2, tol=None, directed=True)
+        pr = algorithms.pagerank(e, max_iter=40, directed=True, init_ranks=ref)
+        total = sum(r.pagerank for r in pr.collect())
+        assert total == pytest.approx(1.0, abs=1e-3)
+
+    def test_ppr_init_ranks_continuation(self, spark):
+        e = edges_df(spark, STAR5)
+        ref = algorithms.personalized_pagerank(e, [0], max_iter=4, tol=None)
+        cont = as_map(
+            algorithms.personalized_pagerank(e, [0], max_iter=200, init_ranks=ref),
+            "id",
+            "pagerank",
+        )
+        full = as_map(
+            algorithms.personalized_pagerank(e, [0], max_iter=200), "id", "pagerank"
+        )
+        for k in full:
+            assert cont[k] == pytest.approx(full[k], abs=1e-5)
+
 
 class TestMotifs:
     def test_triangles_tuples(self, spark):
