@@ -2764,6 +2764,7 @@ def q_random_walk_sample(spark, sf_dir):
 from sna_pyspark_graphframes_spark.functions import (  # noqa: E402
     corpus as fcorpus,
     dedup as fdedup,
+    ml as fml,
     multimodal as fmm,
     search as fsearch,
     similarity as fsim,
@@ -5664,6 +5665,85 @@ _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 def q_profile_documents(spark, sf_dir):
     """Single-pass data-quality profile of the documents table."""
     return relational.profile_table(_t(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+def _logreg_sql(n_iter: int = 5, lr: float = 1.0, dp: int = 6) -> str:
+    """Unrolled-CTE twin of ``fml.logreg_gd_summary`` — the pagerank
+    ``round_dp`` recipe applied to a TRAINING loop: each round's weights
+    are rounded to ``dp`` decimals in both engines, so the fp
+    summation-order difference on the gradient sums (~1e-13 relative)
+    sits far below the rounding quantum and never compounds."""
+    head = """WITH f AS (
+    SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+           l_tax * 10.0 AS x3,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+    FROM lineitem
+), cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        z = (
+            f"(SELECT w0 FROM w{p}) + (SELECT w1 FROM w{p}) * x1"
+            f" + (SELECT w2 FROM w{p}) * x2 + (SELECT w3 FROM w{p}) * x3"
+        )
+        parts.append(
+            f""", g{i} AS MATERIALIZED (
+    SELECT SUM(s - y) AS g0, SUM((s - y) * x1) AS g1,
+           SUM((s - y) * x2) AS g2, SUM((s - y) * x3) AS g3
+    FROM (SELECT y, x1, x2, x3, 1.0 / (1.0 + EXP(-({z}))) AS s FROM f)
+), w{i} AS MATERIALIZED (
+    SELECT ROUND((SELECT w0 FROM w{p}) - {lr} * g0 / (SELECT n FROM cnt), {dp}) AS w0,
+           ROUND((SELECT w1 FROM w{p}) - {lr} * g1 / (SELECT n FROM cnt), {dp}) AS w1,
+           ROUND((SELECT w2 FROM w{p}) - {lr} * g2 / (SELECT n FROM cnt), {dp}) AS w2,
+           ROUND((SELECT w3 FROM w{p}) - {lr} * g3 / (SELECT n FROM cnt), {dp}) AS w3
+    FROM g{i}
+)"""
+        )
+    T = n_iter
+    zf = (
+        f"(SELECT w0 FROM w{T}) + (SELECT w1 FROM w{T}) * x1"
+        f" + (SELECT w2 FROM w{T}) * x2 + (SELECT w3 FROM w{T}) * x3"
+    )
+    parts.append(
+        f""", acc AS MATERIALIZED (
+    SELECT ROUND(AVG(CASE WHEN (CASE WHEN {zf} > 0 THEN 1.0 ELSE 0.0 END) = y
+                          THEN 1.0 ELSE 0.0 END), 4) AS a,
+           CAST(COUNT(*) AS BIGINT) AS n2
+    FROM f
+)
+SELECT '_intercept' AS feature, (SELECT w0 FROM w{T}) AS weight,
+       a AS train_accuracy, n2 AS n FROM acc
+UNION ALL SELECT 'x_qty', (SELECT w1 FROM w{T}), a, n2 FROM acc
+UNION ALL SELECT 'x_disc', (SELECT w2 FROM w{T}), a, n2 FROM acc
+UNION ALL SELECT 'x_tax', (SELECT w3 FROM w{T}), a, n2 FROM acc"""
+    )
+    return "".join(parts)
+
+
+@register("logreg_returnflag_gd", _logreg_sql())
+def q_logreg_returnflag_gd(spark, sf_dir):
+    """Distributed logistic-regression training (full-batch GD, 5 rounds,
+    lr=1): learn P(l_returnflag = 'R') from scaled quantity/discount/tax
+    — the quality-classifier / data-filter trainer shape a pretraining
+    pipeline runs over corpus features. The model is 4 driver floats
+    entering each round as literals; the gradient is ONE scalar partial
+    aggregate per round (each executor ships 4 doubles), all per-row
+    math (sigmoid included) is JVM expressions — the minimum-
+    communication exact batch-GD layout at any scale. HARD oracle: fixed
+    rounds + per-round 6-dp weight rounding make the twin's unrolled CTE
+    value-exact (see ``_logreg_sql``); ``train_accuracy``/``n`` are
+    whole-run scalars both engines compute from the same final weights."""
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        (F.col("l_quantity") / 50.0).alias("x_qty"),
+        (F.col("l_discount") * 10.0).alias("x_disc"),
+        (F.col("l_tax") * 10.0).alias("x_tax"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    return fml.logreg_gd_summary(
+        feats, ["x_qty", "x_disc", "x_tax"], "y", lr=1.0, n_iter=5
+    )
 
 
 # ---------------------------------------------------------------------------

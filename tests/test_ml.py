@@ -1,0 +1,78 @@
+"""Tests for the distributed training loops (functions/ml.py):
+pure-Python differential check (the BPE test recipe — same fixed rounds,
+same per-round rounding, so equality is EXACT), plus behavioral goldens.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sna_pyspark_graphframes_spark.functions import ml
+
+
+def _logreg_gd_py(rows, lr=1.0, n_iter=5, round_dp=6):
+    """Reference implementation: rows = [(x1..xd, y), ...]."""
+    d = len(rows[0]) - 1
+    w = [0.0] * (d + 1)
+    n = len(rows)
+    for _ in range(n_iter):
+        g = [0.0] * (d + 1)
+        for r in rows:
+            x = [1.0] + list(r[:d])
+            y = r[d]
+            z = sum(wi * xi for wi, xi in zip(w, x))
+            s = 1.0 / (1.0 + math.exp(-z))
+            for j in range(d + 1):
+                g[j] += (s - y) * x[j]
+        w = [round(wi - lr * gj / n, round_dp) for wi, gj in zip(w, g)]
+    return w
+
+
+ROWS = [
+    (0.1, 0.9, 1.0),
+    (0.2, 0.8, 1.0),
+    (0.9, 0.1, 0.0),
+    (0.8, 0.3, 0.0),
+    (0.4, 0.6, 1.0),
+    (0.7, 0.2, 0.0),
+    (0.3, 0.7, 1.0),
+    (0.6, 0.4, 0.0),
+]
+
+
+class TestLogregGD:
+    def test_differential_vs_pure_python(self, spark):
+        # identical fixed rounds + per-round 6-dp rounding → weights are
+        # EXACTLY equal to the sequential reference (fp sum differences
+        # sit ~7 orders below the rounding quantum on 8 rows)
+        df = spark.createDataFrame(ROWS, "x1 double, x2 double, y double")
+        got = ml.logreg_gd(df, ["x1", "x2"], "y", lr=1.0, n_iter=5)
+        want = _logreg_gd_py(ROWS)
+        assert got == want
+
+    def test_learns_separable_signs(self, spark):
+        # y = 1 ⇔ x2 > x1 in ROWS → w_x2 > 0 > w_x1 after a few rounds
+        df = spark.createDataFrame(ROWS, "x1 double, x2 double, y double")
+        w = ml.logreg_gd(df, ["x1", "x2"], "y", lr=2.0, n_iter=10)
+        assert w[1] < 0 < w[2]
+
+    def test_summary_shape_and_accuracy(self, spark):
+        df = spark.createDataFrame(ROWS, "x1 double, x2 double, y double")
+        out = ml.logreg_gd_summary(df, ["x1", "x2"], "y", lr=2.0, n_iter=10)
+        rows = {r.feature: r for r in out.collect()}
+        assert set(rows) == {"_intercept", "x1", "x2"}
+        # separable data, enough rounds: the final model classifies the
+        # training rows perfectly
+        assert rows["x1"].train_accuracy == pytest.approx(1.0)
+        assert all(r.n == len(ROWS) for r in rows.values())
+
+    def test_empty_frame_returns_zero_weights(self, spark):
+        df = spark.createDataFrame([], "x1 double, y double")
+        assert ml.logreg_gd(df, ["x1"], "y") == [0.0, 0.0]
+
+    def test_round_dp_none_runs_raw(self, spark):
+        df = spark.createDataFrame(ROWS, "x1 double, x2 double, y double")
+        w = ml.logreg_gd(df, ["x1", "x2"], "y", n_iter=2, round_dp=None)
+        assert len(w) == 3 and all(isinstance(x, float) for x in w)
