@@ -242,6 +242,79 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def kn_bigram_top(
+    docs: DataFrame,
+    k: int = 100,
+    discount: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(w1, w2, c, p_kn)`` — the ``k`` most frequent bigrams with their
+    interpolated Kneser–Ney probability (Kneser & Ney 1995; the standard
+    n-gram LM smoothing — what a corpus-quality scorer or classic LM
+    trainer computes over pretraining text):
+
+        P(w2|w1) = (c(w1,w2) − D)/c(w1·)
+                 + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    where N1+ are DISTINCT-continuation counts (how many contexts a word
+    completes, not how often — the fix for "Francisco" following only
+    "San").
+
+    Shape: adjacent pairs are built IN-ROW (``transform`` over the word
+    array indexed against its successor — no posexplode + position
+    self-join, so the token stream is never shuffled pre-aggregation),
+    then ONE bigram-type hash aggregate; all four margins (c(w1·),
+    N1+(w1·), N1+(·w2), N1+(··)) are aggregates of the already-collapsed
+    TYPE table, which is vocabulary²-bounded and orders of magnitude
+    smaller than the corpus. The type table is MATERIALIZED once
+    (eager localCheckpoint — four independent consumers; measured
+    without it, exchange reuse did NOT canonicalize the four subtrees
+    and the final adaptive plan re-scanned + re-exploded the corpus
+    per margin). Every observed bigram has c ≥ 1 > D, so the
+    max(·−D, 0) clamp never binds and is omitted. Top-k rides
+    TakeOrderedAndProject (c DESC, w1, w2 — deterministic ties)."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+    toks = docs.select(_words(F.col(text_col)).alias("ws"))
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda w, i: F.struct(
+                    w.alias("w1"), F.col("ws")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = checkpointed(
+        pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    )
+    left = bg.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c_w1"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    right = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_bwd"))
+    tot = bg.agg(F.count("*").cast("long").alias("n_types"))
+    d = float(discount)
+    return (
+        bg.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(
+                (F.col("c") - d) / F.col("c_w1")
+                + (F.lit(d) * F.col("n1p_fwd") / F.col("c_w1"))
+                * (F.col("n1p_bwd") / F.col("n_types")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
 def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF:
     ``(doc_id, w, tfidf, rank)`` with ``tfidf = tf · ln(N/df)``.

@@ -5667,6 +5667,40 @@ def q_profile_documents(spark, sf_dir):
     return relational.profile_table(_t(spark, sf_dir, "documents"), _PROFILE_COLS)
 
 
+@register(
+    "kn_bigram_top",
+    r"""
+    WITH ws AS (
+        SELECT string_split_regex(TRIM(LOWER(text)), '\s+') AS w FROM documents
+    ),
+    pairs AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM ws, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+    lft AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS c_w1,
+               CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+        FROM bg GROUP BY 1
+    ),
+    rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bg)
+    SELECT w1, w2, c,
+           ROUND((c - 0.75) / c_w1
+                 + (0.75 * n1p_fwd / c_w1) * (n1p_bwd / n_types), 6) AS p_kn
+    FROM bg JOIN lft USING (w1) JOIN rgt USING (w2), tot
+    ORDER BY c DESC, w1, w2 LIMIT 100
+    """,
+)
+def q_kn_bigram_top(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram LM over the corpus — top-100
+    bigrams with smoothed P(w2|w1). HARD oracle: every term is an exact
+    integer count, the probability expression is structured identically
+    in both engines (same IEEE op order from the same integers), and
+    ties break deterministically (c DESC, w1, w2)."""
+    return fcorpus.kn_bigram_top(_t(spark, sf_dir, "documents"), k=100)
+
+
 def _logreg_sql(n_iter: int = 5, lr: float = 1.0, dp: int = 6) -> str:
     """Unrolled-CTE twin of ``fml.logreg_gd_summary`` — the pagerank
     ``round_dp`` recipe applied to a TRAINING loop: each round's weights

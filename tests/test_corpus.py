@@ -348,6 +348,47 @@ class TestBigramSurprisal:
         assert r.surprisal == round(exp, 4)
 
 
+class TestKnBigram:
+    def test_hand_computed_kn(self, spark):
+        """Corpus ['a b','a b','a c','c b']: bigram types (a,b)x2,
+        (a,c)x1, (c,b)x1; c(a.)=3, N1+(a.)=2, c(c.)=1, N1+(c.)=1;
+        N1+(.b)=2, N1+(.c)=1, N1+(..)=3. With D=0.75:
+        P(b|a)=1.25/3+0.5*(2/3)=0.75, P(c|a)=0.25/3+0.5*(1/3)=0.25
+        (the a-context sums to 1 over its observed continuations here),
+        P(b|c)=0.25/1+0.75*(2/3)=0.75."""
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "a b"), (2, "a c"), (3, "c b")],
+            "doc_id long, text string",
+        )
+        got = {(r.w1, r.w2): (r.c, r.p_kn) for r in fc.kn_bigram_top(docs).collect()}
+        assert got == {
+            ("a", "b"): (2, 0.75),
+            ("a", "c"): (1, 0.25),
+            ("c", "b"): (1, 0.75),
+        }
+
+    def test_single_word_docs_produce_no_pairs(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame(
+            [(0, "solo"), (1, ""), (2, "x y")], "doc_id long, text string"
+        )
+        rows = fc.kn_bigram_top(docs).collect()
+        assert [(r.w1, r.w2) for r in rows] == [("x", "y")]
+
+    def test_topk_ties_deterministic(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame(
+            [(0, "b a"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+        )
+        rows = fc.kn_bigram_top(docs, k=2).collect()
+        # all counts 1 → tie-break (w1, w2) ascending
+        assert [(r.w1, r.w2) for r in rows] == [("a", "b"), ("a", "c")]
+
+
 class TestTemperatureMixture:
     def test_flattens_toward_uniform(self, spark):
         """tau=0.5 must give the rare domain a LARGER share than its
