@@ -258,3 +258,55 @@ def reconcile(
         F.col(rv).alias("right_value"),
         status.alias("status"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """``(group, n, median, mad, n_outliers)`` — robust per-group outlier
+    detection by modified z-score (Iglewicz & Hoaglin): a row is an
+    outlier when ``0.6745·|x − median| / MAD > threshold``, i.e.
+    ``|x − median| > threshold·MAD/0.6745``. Median/MAD instead of
+    mean/stddev so the fences themselves don't move under the very
+    contamination being detected — the standard quality-filter fence for
+    pretraining-corpus features (doc length, perplexity, price fields).
+
+    Three grouped aggregates + two joins of |groups|-sized frames back
+    onto the fact table (AQE broadcasts them — group cardinality is tiny
+    by construction): (1) per-group exact interpolated median, (2) MAD =
+    median of absolute deviations + row count, (3) the fence count.
+    Exact ``percentile`` matches DuckDB ``quantile_cont`` bit-for-bit
+    (the ``price_quantiles`` parity), so the fence comparison — computed
+    with the identical expression shape in both engines — flips only if
+    a deviation lands inside the sub-ulp window between the engines'
+    thresholds (probability ~n·ulp/range ≈ 1e-15 here). At 100 TB swap
+    both percentiles to ``approx_percentile`` and the count to a
+    tolerance twin (the ``approx_price_quantiles`` recipe) — same call
+    shape, one pass, mergeable sketches."""
+    g = F.col(group_col)
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(med, group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("_med").alias("_med"),
+        F.percentile("_adev", F.lit(0.5)).alias("_mad"),
+    )
+    fence = F.lit(float(threshold)) * F.col("_mad") / F.lit(0.6745)
+    return (
+        dev.select(group_col, "_adev")
+        .join(mad, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("n").alias("n"),
+            F.round(F.min("_med"), 4).alias("median"),
+            F.round(F.min("_mad"), 4).alias("mad"),
+            F.sum((F.col("_adev") > fence).cast("long")).alias("n_outliers"),
+        )
+    )

@@ -5668,6 +5668,41 @@ def q_profile_documents(spark, sf_dir):
 
 
 @register(
+    "mad_price_outliers",
+    """
+    WITH med AS (
+        SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+        SELECT m.g, ABS(l.l_extendedprice - m.med) AS adev, m.med AS med
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.g
+    ),
+    mad AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n, MIN(med) AS med,
+               quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.g AS l_returnflag, MIN(m.n) AS n,
+           ROUND(MIN(m.med), 4) AS median, ROUND(MIN(m.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.5 * m.mad / 0.6745
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (g) GROUP BY d.g
+    """,
+)
+def q_mad_price_outliers(spark, sf_dir):
+    """Robust per-group outlier fences (modified z-score, median/MAD)
+    over extended price by return flag — the quality-filter fence shape
+    a corpus pipeline runs over document features. HARD oracle: exact
+    interpolated percentiles match bit-for-bit across engines (the
+    ``price_quantiles`` parity) and the fence expression is structured
+    identically, so the outlier counts agree (see ``mad_outliers``)."""
+    return relational.mad_outliers(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag"
+    )
+
+
+@register(
     "kn_bigram_top",
     r"""
     WITH ws AS (

@@ -227,3 +227,34 @@ class TestReconcile:
         r = spark.createDataFrame([(1, 10.004)], "k long, v double")
         s = relational.reconcile(l, r, ["k"], "v", tol=0.01).collect()[0].status
         assert s == "matched"
+
+
+class TestMadOutliers:
+    def test_hand_computed_fence(self, spark):
+        """Group 'a' = [1..9, 1000]: median 5.5, MAD 2.5, fence
+        3.5*2.5/0.6745 = 12.97 -> exactly the 1000 row is an outlier.
+        Group 'b' = [10, 20, 30]: median 20, MAD 10, fence 51.9 -> none."""
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        rows = [("a", float(v)) for v in list(range(1, 10)) + [1000]] + [
+            ("b", 10.0),
+            ("b", 20.0),
+            ("b", 30.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {
+            r.g: (r.n, r.median, r.mad, r.n_outliers)
+            for r in relational.mad_outliers(df, "x", "g").collect()
+        }
+        assert got == {"a": (10, 5.5, 2.5, 1), "b": (3, 20.0, 10.0, 0)}
+
+    def test_constant_group_zero_mad_no_outliers(self, spark):
+        """All-equal values: MAD = 0, fence = 0, and no |x-med| exceeds
+        it (0 > 0 is false) — degenerate groups never flag."""
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        df = spark.createDataFrame(
+            [("c", 7.0)] * 5, "g string, x double"
+        )
+        r = relational.mad_outliers(df, "x", "g").collect()[0]
+        assert (r.n, r.median, r.mad, r.n_outliers) == (5, 7.0, 0.0, 0)
