@@ -119,3 +119,37 @@ def logreg_gd_summary(
         ],
         "feature string, weight double, train_accuracy double, n long",
     )
+
+
+def calibration_buckets(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    w: list[float],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """``(bucket, n, mean_pred, frac_pos)`` — the reliability diagram of
+    a trained logistic model: rows bucketed by predicted probability
+    (``floor(p·B)``, top edge folded into the last bucket), per bucket
+    the mean prediction vs the observed positive rate. The standard
+    post-training quality check for a data-filter classifier — a
+    well-calibrated model's columns track each other.
+
+    One scan: weights are literals, sigmoid is a JVM expression, ONE
+    hash aggregate on the (≤B)-valued bucket key."""
+    cols = [F.col(c).cast("double") for c in feature_cols]
+    z = sum((F.lit(wi) * xi for wi, xi in zip(w[1:], cols)), F.lit(w[0]))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    bucket = F.least(
+        F.floor(p * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    y = F.col(label_col).cast("double")
+    return (
+        df.select(bucket.alias("bucket"), p.alias("p"), y.alias("y"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("p"), 4).alias("mean_pred"),
+            F.round(F.avg("y"), 4).alias("frac_pos"),
+        )
+    )

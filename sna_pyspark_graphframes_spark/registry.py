@@ -5736,12 +5736,14 @@ def q_kn_bigram_top(spark, sf_dir):
     return fcorpus.kn_bigram_top(_t(spark, sf_dir, "documents"), k=100)
 
 
-def _logreg_sql(n_iter: int = 5, lr: float = 1.0, dp: int = 6) -> str:
-    """Unrolled-CTE twin of ``fml.logreg_gd_summary`` — the pagerank
-    ``round_dp`` recipe applied to a TRAINING loop: each round's weights
-    are rounded to ``dp`` decimals in both engines, so the fp
-    summation-order difference on the gradient sums (~1e-13 relative)
-    sits far below the rounding quantum and never compounds."""
+def _logreg_stages(n_iter: int = 5, lr: float = 1.0, dp: int = 6) -> str:
+    """Unrolled GD stages shared by the ``logreg_*`` twins — the
+    pagerank ``round_dp`` recipe applied to a TRAINING loop: each
+    round's weights are rounded to ``dp`` decimals in both engines, so
+    the fp summation-order difference on the gradient sums (~1e-13
+    relative) sits far below the rounding quantum and never compounds.
+    Produces CTEs ``f`` (features), ``cnt``, and ``w0``..``w{n_iter}``
+    (the weight trajectory)."""
     head = """WITH f AS (
     SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
            l_tax * 10.0 AS x3,
@@ -5769,11 +5771,21 @@ w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
     FROM g{i}
 )"""
         )
+    return "".join(parts)
+
+
+def _logreg_final_z(n_iter: int = 5) -> str:
     T = n_iter
-    zf = (
+    return (
         f"(SELECT w0 FROM w{T}) + (SELECT w1 FROM w{T}) * x1"
         f" + (SELECT w2 FROM w{T}) * x2 + (SELECT w3 FROM w{T}) * x3"
     )
+
+
+def _logreg_sql(n_iter: int = 5, lr: float = 1.0, dp: int = 6) -> str:
+    T = n_iter
+    zf = _logreg_final_z(n_iter)
+    parts = [_logreg_stages(n_iter, lr, dp)]
     parts.append(
         f""", acc AS MATERIALIZED (
     SELECT ROUND(AVG(CASE WHEN (CASE WHEN {zf} > 0 THEN 1.0 ELSE 0.0 END) = y
@@ -5803,16 +5815,46 @@ def q_logreg_returnflag_gd(spark, sf_dir):
     rounds + per-round 6-dp weight rounding make the twin's unrolled CTE
     value-exact (see ``_logreg_sql``); ``train_accuracy``/``n`` are
     whole-run scalars both engines compute from the same final weights."""
-    li = _t(spark, sf_dir, "lineitem")
-    feats = li.select(
+    feats = _logreg_feats(spark, sf_dir)
+    return fml.logreg_gd_summary(
+        feats, ["x_qty", "x_disc", "x_tax"], "y", lr=1.0, n_iter=5
+    )
+
+
+def _logreg_feats(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
         (F.col("l_quantity") / 50.0).alias("x_qty"),
         (F.col("l_discount") * 10.0).alias("x_disc"),
         (F.col("l_tax") * 10.0).alias("x_tax"),
         (F.col("l_returnflag") == "R").cast("double").alias("y"),
     )
-    return fml.logreg_gd_summary(
-        feats, ["x_qty", "x_disc", "x_tax"], "y", lr=1.0, n_iter=5
-    )
+
+
+@register(
+    "logreg_calibration",
+    _logreg_stages()
+    + f""", scored AS (
+    SELECT LEAST(CAST(FLOOR((1.0 / (1.0 + EXP(-({_logreg_final_z()})))) * 10)
+                      AS INT), 9) AS bucket,
+           1.0 / (1.0 + EXP(-({_logreg_final_z()}))) AS p, y
+    FROM f
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(p), 4) AS mean_pred, ROUND(AVG(y), 4) AS frac_pos
+FROM scored GROUP BY bucket""",
+)
+def q_logreg_calibration(spark, sf_dir):
+    """Reliability diagram of the trained data-filter model: the same
+    5-round GD weights (identical decimals in both engines — see
+    ``logreg_returnflag_gd``), then ONE scan bucketing rows by predicted
+    probability decile with per-bucket mean prediction vs observed
+    positive rate. HARD oracle: the twin re-derives the weight
+    trajectory through the shared unrolled stages and buckets with the
+    identical expression; a bucket edge flips only on a sub-ulp sigmoid
+    difference landing exactly on a decile boundary (~1e-8 here)."""
+    feats = _logreg_feats(spark, sf_dir)
+    w = fml.logreg_gd(feats, ["x_qty", "x_disc", "x_tax"], "y", lr=1.0, n_iter=5)
+    return fml.calibration_buckets(feats, ["x_qty", "x_disc", "x_tax"], "y", w)
 
 
 # ---------------------------------------------------------------------------

@@ -76,3 +76,32 @@ class TestLogregGD:
         df = spark.createDataFrame(ROWS, "x1 double, x2 double, y double")
         w = ml.logreg_gd(df, ["x1", "x2"], "y", n_iter=2, round_dp=None)
         assert len(w) == 3 and all(isinstance(x, float) for x in w)
+
+
+class TestCalibration:
+    def test_hand_computed_buckets(self, spark):
+        # fixed weights [0, 1]: p = sigmoid(x); x=-10 -> bucket 0,
+        # x=0 -> bucket 5, x=10 -> p≈1 folds into bucket 9
+        df = spark.createDataFrame(
+            [(-10.0, 0.0), (0.0, 0.0), (0.0, 1.0), (10.0, 1.0)],
+            "x double, y double",
+        )
+        got = {
+            r.bucket: (r.n, r.mean_pred, r.frac_pos)
+            for r in ml.calibration_buckets(df, ["x"], "y", [0.0, 1.0]).collect()
+        }
+        assert got == {
+            0: (1, 0.0, 0.0),
+            5: (2, 0.5, 0.5),
+            9: (1, 1.0, 1.0),
+        }
+
+    def test_trained_model_is_directionally_calibrated(self, spark):
+        df = spark.createDataFrame(ROWS, "x1 double, x2 double, y double")
+        w = ml.logreg_gd(df, ["x1", "x2"], "y", lr=2.0, n_iter=10)
+        rows = sorted(
+            ml.calibration_buckets(df, ["x1", "x2"], "y", w).collect(),
+            key=lambda r: r.bucket,
+        )
+        fracs = [r.frac_pos for r in rows]
+        assert fracs == sorted(fracs)  # positive rate rises with p
