@@ -3288,6 +3288,119 @@ def q_ivf_topk(spark, sf_dir):
     return fsim.ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, stride=40, n_probe=2)
 
 
+def _ivf_recall_sql(
+    stride: int = 40, n_probe: int = 2, k: int = 5, n_q: int = 100
+) -> str:
+    """Twin of ``ivf_recall``: both engines compute the brute-force
+    top-k ground truth AND the IVF result for the same query sample, so
+    the recall summary is a HARD value check on approximation quality —
+    not a self-attested boolean (both rankings are deterministic: 4-dp
+    cos DESC, neighbor_id ASC, the proven ``similarity_topk`` /
+    ``ivf_topk`` tie-break)."""
+    return f"""
+    WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id % {stride} = 0),
+    assign AS (
+        SELECT v.id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.id
+                   ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 6) DESC,
+                            c.centroid_id ASC
+               ) AS probe_rank
+        FROM v CROSS JOIN c
+    ),
+    corpus AS (SELECT id AS neighbor_id, centroid_id FROM assign WHERE probe_rank = 1),
+    probes AS (SELECT id AS query_id, centroid_id FROM assign
+               WHERE probe_rank <= {n_probe} AND id < {n_q}),
+    cand AS (
+        SELECT DISTINCT p.query_id, s.neighbor_id
+        FROM probes p JOIN corpus s USING (centroid_id)
+        WHERE p.query_id <> s.neighbor_id
+    ),
+    ivf_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 4) DESC,
+                                neighbor_id ASC
+                   ) AS rank
+            FROM cand JOIN v a ON a.id = query_id JOIN v b ON b.id = neighbor_id
+        ) WHERE rank <= {k}
+    ),
+    ex_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.id AS query_id, s.id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, s.v), 4) DESC,
+                                s.id ASC
+                   ) AS rank
+            FROM v q JOIN v s ON q.id <> s.id
+            WHERE q.id < {n_q}
+        ) WHERE rank <= {k}
+    ),
+    perq AS (
+        SELECT e.query_id, COUNT(*) AS k_exact,
+               COUNT(i.neighbor_id) AS n_hit
+        FROM ex_top e LEFT JOIN ivf_top i
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(n_hit * 1.0 / k_exact), 4) AS mean_recall_at_5,
+           CAST(SUM(CASE WHEN n_hit = k_exact THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_perfect
+    FROM perq
+    """
+
+
+@register("ivf_recall", _ivf_recall_sql())
+def q_ivf_recall(spark, sf_dir):
+    """Recall@5 of the IVF ANN path against brute-force ground truth on
+    a 100-query sample — the measurement that justifies shipping an
+    approximate index (FAISS-style recall benchmarking as a query). Both
+    the exact and IVF rankings are deterministic, so the summary
+    (n_queries, mean recall, #queries with perfect recall) is a HARD
+    cross-engine value check. Ground truth is inherently
+    O(|sample|·N) — at 100 TB you sample queries exactly like this and
+    let the corpus side stay distributed (the exact leg is one
+    broadcast-queries × corpus scan, no N²). On this testdata the
+    measured recall is LOW (~0.2 at every SF): the synthetic embeddings
+    are near-orthogonal (max natural cos ≈ 0.46 — the
+    ``embedding_near_dup`` note), so coarse lists carry little
+    neighborhood signal — which is precisely the honest answer a recall
+    probe exists to surface before anyone ships that index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_q = 100
+    exact = fsim.cosine_topk(
+        emb.filter(F.col("vec_id") < n_q), emb, k=5
+    ).select("query_id", "neighbor_id")
+    ivf = (
+        fsim.ivf_topk(emb, k=5, stride=40, n_probe=2)
+        .filter(F.col("query_id") < n_q)
+        .select("query_id", "neighbor_id")
+    )
+    # per-query hit counts: semi-join exact→ivf on the pair, then count
+    hits = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    k_exact = exact.groupBy("query_id").agg(F.count("*").alias("k_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    per = (
+        k_exact.join(n_hit, "query_id", "left")
+        .fillna({"n_hit": 0})
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg(F.col("n_hit") / F.col("k_exact")), 4).alias(
+            "mean_recall_at_5"
+        ),
+        F.sum((F.col("n_hit") == F.col("k_exact")).cast("long")).alias(
+            "n_perfect"
+        ),
+    )
+
+
 def _kmeans_stages(n_iter: int = 3, stride: int = 40, dim: int = 64) -> tuple[str, str]:
     """The unrolled Lloyd's CTE stages shared by the kmeans oracle and
     the kmeans-codebook IVF oracle: ``(stages_sql, final_cte_name)``."""
