@@ -1665,6 +1665,64 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return x.select("id", F.round("x", 6).alias("eigenvector"))
 
 
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 20,
+    tol: float | None = 1e-7,
+    round_dp: int | None = None,
+    normalized: bool = False,
+) -> DataFrame:
+    """``(id, katz)`` — Katz centrality ``x = β·Σ_k α^k (A^T)^k 1``
+    (Katz 1953), the walk-counting centrality between degree (k=1) and
+    eigenvector (k→∞): every walk arriving at v contributes, damped by
+    α^length. Computed by the standard fixed-point iteration
+    ``x ← α·A x + β`` from x₀ = 0, which converges iff α < 1/λ₁ — the
+    caller owns that bound (the classic Katz caveat; on hub-heavy graphs
+    pick α from a power-iteration estimate of λ₁ first).
+
+    Same loop shape and hygiene as :func:`eigenvector_centrality` (one
+    edge-state join + sum aggregate per round, delta folded into the
+    checkpointed select, lazy checkpoint materialized by the delta
+    read); ``round_dp`` is the pagerank cross-engine reproducibility
+    knob (fixed ``max_iter`` + per-round rounding → unrolled/closed-form
+    oracle matches value-for-value); ``normalized=True`` adds NetworkX's
+    final L2 normalization (one extra 1-row aggregate)."""
+    sym = checkpointed(_sym(edges))
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    vertices = checkpointed(vertices, lazy=True)
+    n = vertices.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "id long, katz double")
+    x = checkpointed(vertices.withColumn("x", F.lit(0.0)))
+    for it in range(max_iter):
+        ax = (
+            sym.join(_state_hinted(x, n), sym.dst == x.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("x").alias("ax"))
+        )
+        y = F.lit(alpha) * F.coalesce("ax", F.lit(0.0)) + F.lit(beta)
+        if round_dp is not None:
+            y = F.round(y, round_dp)
+        new_x = checkpointed(
+            x.join(ax, "id", "left").select(
+                "id", y.alias("x"), F.abs(y - F.col("x")).alias("d")
+            ),
+            lazy=True,  # the delta read below materializes (one job)
+        )
+        delta = new_x.agg(F.sum("d")).first()[0]
+        x = new_x.drop("d")
+        if tol is not None and it < max_iter - 1 and delta < tol:
+            break
+    if normalized:
+        norm = x.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+        x = x.crossJoin(F.broadcast(norm)).select(
+            "id", (F.col("x") / F.col("nrm")).alias("x")
+        )
+    return x.select("id", F.round("x", 6).alias("katz"))
+
+
 def harmonic_centrality(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     """``(id, harmonic)`` — harmonic centrality ``Σ_{u≠v} 1/d(v,u)``
     (Boldi & Vigna, "Axioms for centrality", 2014 — the closeness variant

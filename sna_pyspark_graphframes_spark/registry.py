@@ -1712,6 +1712,48 @@ def q_eigenvector_order_rings(spark, sf_dir):
     )
 
 
+def _katz_regular_value(
+    alpha: float = 0.1, beta: float = 1.0, d: int = 2, t: int = 8, dp: int = 6
+) -> float:
+    """Closed-form Katz value on a d-regular graph after exactly ``t``
+    rounds of the ROUNDED recurrence s ← round(α·d·s + β, dp) from 0 —
+    on a regular graph the uniform vector is invariant under every
+    round, so the whole table collapses to this driver-computed scalar
+    (the eigenvector-rings closed-form recipe, with the pagerank
+    round_dp twist carried through the recurrence itself)."""
+    s = 0.0
+    for _ in range(t):
+        s = round(alpha * d * s + beta, dp)
+    return s
+
+
+@register(
+    "katz_order_rings",
+    f"""
+    WITH r AS (
+        SELECT o_orderkey AS id FROM orders
+        QUALIFY COUNT(*) OVER (PARTITION BY o_custkey) >= 3
+    )
+    SELECT id, CAST({_katz_regular_value()!r} AS DOUBLE) AS katz FROM r
+    """,
+)
+def q_katz_order_rings(spark, sf_dir):
+    """Katz centrality on disjoint rings (2-regular after
+    symmetrization): the uniform vector is invariant per round, so 8
+    rounds of the 6-dp-rounded iteration equal the driver-computed
+    scalar recurrence — a closed-form value check on the whole
+    α·Ax + β loop (α·d = 0.2 < 1, comfortably inside the α < 1/λ₁
+    convergence bound). ``tol=None`` pins exactly 8 supersteps."""
+    return algorithms.katz_centrality(
+        _order_rings(spark, sf_dir, min_n=3),
+        alpha=0.1,
+        beta=1.0,
+        max_iter=8,
+        tol=None,
+        round_dp=6,
+    )
+
+
 @register(
     "kcore_cliques",
     f"""

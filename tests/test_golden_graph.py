@@ -337,6 +337,42 @@ class TestPageRank:
             assert cont[k] == pytest.approx(full[k], abs=1e-5)
 
 
+class TestKatz:
+    def test_triangle_rounded_recurrence(self, spark):
+        # 2-regular: uniform per round, s <- round(0.2*s + 1, 6) from 0;
+        # 8 rounds -> 1.249997 (NOT yet the 1.25 fixed point)
+        tri = edges_df(spark, [(1, 2), (2, 3), (1, 3)])
+        out = as_map(
+            algorithms.katz_centrality(tri, max_iter=8, tol=None, round_dp=6),
+            "id",
+            "katz",
+        )
+        assert out == {1: 1.249997, 2: 1.249997, 3: 1.249997}
+
+    def test_star_closed_form(self, spark):
+        # (I - αA)^-1 β1 on star5, α=0.1: center = 1.5/0.95 ≈ 1.578947,
+        # leaf = 0.1·center + 1 ≈ 1.157895
+        out = as_map(
+            algorithms.katz_centrality(edges_df(spark, STAR5), max_iter=60),
+            "id",
+            "katz",
+        )
+        assert out[0] == pytest.approx(1.578947, abs=1e-5)
+        for leaf in range(1, 6):
+            assert out[leaf] == pytest.approx(1.157895, abs=1e-5)
+
+    def test_normalized_unit_l2(self, spark):
+        out = algorithms.katz_centrality(
+            edges_df(spark, STAR5), max_iter=40, normalized=True
+        ).collect()
+        assert sum(r.katz**2 for r in out) == pytest.approx(1.0, abs=1e-4)
+
+    def test_empty_graph(self, spark):
+        out = algorithms.katz_centrality(edges_df(spark, []))
+        assert out.columns == ["id", "katz"]
+        assert out.count() == 0
+
+
 class TestMotifs:
     def test_triangles_tuples(self, spark):
         from sna_pyspark_graphframes_spark.graph import motifs
