@@ -1665,6 +1665,86 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return x.select("id", F.round("x", 6).alias("eigenvector"))
 
 
+def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """``(id, round)`` — a maximal independent set by Luby's algorithm
+    (Luby 1986) with DETERMINISTIC priorities: each round, every active
+    vertex whose priority is strictly smaller than all of its active
+    neighbors' joins the set; winners and their neighborhoods leave the
+    active set; repeat until it drains. Priority =
+    ``md5(id) || '-' || id`` — md5 is byte-identical in Spark, DuckDB
+    and Python (the ``functions/`` determinism contract), so the WHOLE
+    run is replayable: the oracle re-executes the rounds, not just
+    properties of the output.
+
+    Pipeline meaning: on a near-duplicate PAIRS graph this is the
+    keep-MAXIMAL-set retention policy — the largest-possible mutually
+    non-duplicate corpus — versus ``near_dup_clusters``' keep-one-per-
+    component (the two extremes of dedup retention).
+
+    Per round: one semi-join shrink of the symmetric edge list to the
+    active frontier, one min-priority aggregate over it, one winner
+    anti/left join, one neighborhood anti-join — all keyed; the active
+    set only shrinks (each component retires ≥ its minimum every round,
+    worst case ⌈n/2⌉ rounds on a path, O(log n) expected under hash
+    priorities). State checkpointed per round, drain check folded onto
+    the checkpoint read (one action per round)."""
+    sym = checkpointed(_sym(edges))
+    pr = F.concat(
+        F.md5(F.col("id").cast("string")),
+        F.lit("-"),
+        F.col("id").cast("string"),
+    )
+    active = checkpointed(
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("pr", pr),
+        lazy=True,
+    )
+    n = active.count()
+    mis_parts: list[DataFrame] = []
+    for rnd in range(1, max_iter + 1):
+        if n == 0:
+            break
+        # active-induced neighbor minimum (both endpoints must be active:
+        # src via the final join back onto `active`, dst via this join)
+        nb_min = (
+            sym.join(
+                _state_hinted(active.withColumnRenamed("id", "dst"), n).select(
+                    "dst", F.col("pr").alias("npr")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("npr").alias("mn"))
+        )
+        winners = (
+            active.join(nb_min, "id", "left")
+            .filter(F.col("mn").isNull() | (F.col("pr") < F.col("mn")))
+            .select("id")
+        )
+        winners = checkpointed(winners.withColumn("round", F.lit(rnd).cast("int")))
+        mis_parts.append(winners)
+        # remove winners + their neighborhoods from the active set
+        nbrs = (
+            sym.join(
+                winners.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        active = checkpointed(
+            active.join(winners, "id", "left_anti").join(nbrs, "id", "left_anti"),
+            lazy=True,
+        )
+        n = active.count()  # drain check = the materializing action
+    out = mis_parts[0] if mis_parts else edges.sparkSession.createDataFrame(
+        [], "id long, round int"
+    )
+    for p in mis_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def katz_centrality(
     edges: DataFrame,
     alpha: float = 0.1,

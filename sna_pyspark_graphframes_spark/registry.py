@@ -1712,6 +1712,83 @@ def q_eigenvector_order_rings(spark, sf_dir):
     )
 
 
+def _mis_rings_sql(n_rounds: int = 14, min_n: int = 3) -> str:
+    """Unrolled full REPLAY of Luby's MIS on the order rings: the md5
+    priorities are byte-identical across engines, so DuckDB re-executes
+    every round (winners → neighborhood removal → shrunken active set)
+    rather than checking properties of Spark's output — the strongest
+    oracle shape for an iterative selection. ``n_rounds`` covers the
+    worst case (priorities monotone along a ring retire 2 vertices per
+    round per component; max ring here is 25 → ≤ 13 rounds) and the
+    recursion is MONOTONE (an empty active set makes further rounds
+    no-ops), so any unroll ≥ rounds-to-drain is exact."""
+    head = f"""
+    WITH sized AS (
+        SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) >= {min_n}
+    ),
+    ord AS (
+        SELECT o.o_custkey AS ck, o.o_orderkey AS id,
+               ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                                  ORDER BY o.o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o.o_custkey) AS n
+        FROM orders o JOIN sized s ON o.o_custkey = s.o_custkey
+    ),
+    de AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM ord a JOIN ord b ON a.ck = b.ck AND b.rn = a.rn % a.n + 1
+    ),
+    e AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM de
+            UNION ALL SELECT dst AS src, src AS dst FROM de
+        )
+    ),
+    a0 AS (
+        SELECT id, md5(CAST(id AS VARCHAR)) || '-' || CAST(id AS VARCHAR) AS pr
+        FROM (SELECT DISTINCT src AS id FROM e)
+    )"""
+    parts = [head]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    w{r} AS MATERIALIZED (
+        SELECT a.id FROM a{p} a
+        LEFT JOIN (
+            SELECT e.src AS id, MIN(b.pr) AS mn
+            FROM e JOIN a{p} b ON b.id = e.dst GROUP BY e.src
+        ) m ON m.id = a.id
+        WHERE m.mn IS NULL OR a.pr < m.mn
+    ),
+    a{r} AS MATERIALIZED (
+        SELECT a.id, a.pr FROM a{p} a
+        WHERE a.id NOT IN (SELECT id FROM w{r})
+          AND a.id NOT IN (SELECT e.dst FROM e
+                           JOIN w{r} w ON w.id = e.src)
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT id, {r} AS round FROM w{r}" for r in range(1, n_rounds + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(round AS INT) AS round FROM (
+    {selects}
+    )"""
+    )
+    return "".join(parts)
+
+
+@register("mis_order_rings", _mis_rings_sql())
+def q_mis_order_rings(spark, sf_dir):
+    """Luby's maximal independent set on the order rings — the
+    keep-maximal-set dedup retention policy as a graph algorithm (see
+    ``luby_mis``). HARD full-replay oracle: deterministic md5 priorities
+    let DuckDB re-execute every round, value-checking both membership
+    AND the round each vertex was selected in."""
+    return algorithms.luby_mis(_order_rings(spark, sf_dir, min_n=3))
+
+
 def _katz_regular_value(
     alpha: float = 0.1, beta: float = 1.0, d: int = 2, t: int = 8, dp: int = 6
 ) -> float:

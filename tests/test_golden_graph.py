@@ -337,6 +337,70 @@ class TestPageRank:
             assert cont[k] == pytest.approx(full[k], abs=1e-5)
 
 
+class TestLubyMis:
+    @staticmethod
+    def _py_luby(edges):
+        import hashlib
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        pr = {
+            v: hashlib.md5(str(v).encode()).hexdigest() + "-" + str(v)
+            for v in adj
+        }
+        active, out, rnd = set(adj), {}, 0
+        while active:
+            rnd += 1
+            w = {
+                v
+                for v in active
+                if all(pr[v] < pr[u] for u in adj[v] if u in active)
+            }
+            for v in w:
+                out[v] = rnd
+            rm = set()
+            for v in w:
+                rm |= adj[v] & active
+            active -= w | rm
+        return out
+
+    def test_differential_vs_python_replay(self, spark):
+        # deterministic md5 priorities → the distributed run must equal
+        # the sequential replay exactly, rounds included
+        E = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (12, 13), (12, 14), (13, 14)]
+        got = {
+            r.id: r.round
+            for r in algorithms.luby_mis(edges_df(spark, E)).collect()
+        }
+        assert got == self._py_luby(E)
+
+    def test_independent_and_maximal(self, spark):
+        # structural invariants on a denser graph: no edge inside the
+        # set; every non-member has a member neighbor
+        import random
+
+        rng = random.Random(7)
+        E = list({tuple(sorted(rng.sample(range(30), 2))) for _ in range(60)})
+        mis = {
+            r.id for r in algorithms.luby_mis(edges_df(spark, E)).collect()
+        }
+        adj = {}
+        for a, b in E:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for a, b in E:
+            assert not (a in mis and b in mis)
+        for v in adj:
+            assert v in mis or adj[v] & mis
+
+    def test_empty_graph(self, spark):
+        out = algorithms.luby_mis(edges_df(spark, []))
+        assert out.columns == ["id", "round"]
+        assert out.count() == 0
+
+
 class TestKatz:
     def test_triangle_rounded_recurrence(self, spark):
         # 2-regular: uniform per round, s <- round(0.2*s + 1, 6) from 0;
