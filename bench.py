@@ -115,6 +115,18 @@ HEADLINE = [
     "ivf_topk_kmeans",
     "quantize_embeddings_int8",
     "bpe_token_counts",
+    # round-11 appends: the mid-r11 operator additions — distributed GD
+    # training + calibration, the KN bigram LM, MAD outlier fences, the
+    # IVF recall probe, Katz centrality, and Luby's MIS — so BENCH_r11
+    # carries their first readings.
+    "logreg_returnflag_gd",
+    "logreg_calibration",
+    "kn_bigram_top",
+    "mad_price_outliers",
+    "ivf_recall",
+    "katz_order_rings",
+    "mis_order_rings",
+    "user_activity_decay",
 ]
 
 

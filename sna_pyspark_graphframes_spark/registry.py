@@ -1712,6 +1712,30 @@ def q_eigenvector_order_rings(spark, sf_dir):
     )
 
 
+import math as _math  # noqa: E402
+
+_DECAY_LAM = _math.log(2.0) / 7.0  # 7-day half-life
+
+
+@register(
+    "user_activity_decay",
+    f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value * EXP({-_DECAY_LAM!r} *
+                 (((SELECT MAX(epoch_us(ts)) FROM events) - epoch_us(ts))
+                  / 86400000000.0))), 4) AS decayed_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_activity_decay(spark, sf_dir):
+    """Recency-weighted per-user activity: exponential time-decay sum
+    with a 7-day half-life, anchored at the table's max timestamp
+    (deterministic). One broadcast scalar + one map-side-combining
+    grouped SUM; the decay literal and the integer-microseconds/ONE-
+    division regressor are identical expressions in both engines."""
+    return temporal.time_decay_score(_t(spark, sf_dir, "events"))
+
+
 def _mis_rings_sql(n_rounds: int = 14, min_n: int = 3) -> str:
     """Unrolled full REPLAY of Luby's MIS on the order rings: the md5
     priorities are byte-identical across engines, so DuckDB re-executes

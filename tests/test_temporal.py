@@ -97,3 +97,26 @@ class TestTimeRangeJoin:
         )
         got = sorted(r["fid"] for r in out.collect())
         assert got == [201, 202]
+
+
+class TestTimeDecayScore:
+    def test_half_life_closed_form(self, spark):
+        """Event at t_max decays by 1, one exactly one half-life earlier
+        by 0.5, two half-lives by 0.25: 10*1 + 8*0.5 + 4*0.25 = 15.0."""
+        from datetime import datetime, timedelta
+
+        from sna_pyspark_graphframes_spark.operators import temporal
+
+        t0 = datetime(2024, 3, 1)
+        rows = [
+            (1, t0, 10.0),
+            (1, t0 - timedelta(days=7), 8.0),
+            (1, t0 - timedelta(days=14), 4.0),
+            (2, t0 - timedelta(days=7), 6.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {
+            r.user_id: (r.n_events, r.decayed_value)
+            for r in temporal.time_decay_score(df).collect()
+        }
+        assert got == {1: (3, 15.0), 2: (1, 3.0)}
