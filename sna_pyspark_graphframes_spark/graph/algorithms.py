@@ -1621,8 +1621,11 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     I·x terms combined in the same select) + a 1-row L2 norm broadcast —
     the PageRank loop shape without the damping bookkeeping. On regular
     graphs the uniform vector is an exact fixed point at every step, which
-    is what the ring oracle value-checks."""
-    sym = checkpointed(_sym(edges))
+    is what the ring oracle value-checks. Edge layout: src-partitioned
+    persist — the per-round A·x aggregate groups by src, so its exchange
+    is elided every round (the r7 loop layout, brought over from the
+    katz A/B: 0.65x on the rings fixture, REPORT.md r11)."""
+    sym = _edges_partitioned(symmetrize(edges, dedup=False), "src")
     vertices = sym.select(F.col("src").alias("id")).distinct()
     vertices = checkpointed(vertices, lazy=True)
     n = vertices.count()  # the materializing action (r9 setup fold)
@@ -1630,6 +1633,7 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         # empty edge frame: no vertices, no centrality — mirror
         # core_numbers' empty-result convention instead of dividing by
         # sqrt(0) (ADVICE r4).
+        sym.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame(
             [], "id long, eigenvector double"
         )
@@ -1662,6 +1666,7 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         x = new_x.drop("d")
         if delta < n * 1e-7:
             break
+    sym.unpersist(blocking=False)  # x materialized by the delta read
     return x.select("id", F.round("x", 6).alias("eigenvector"))
 
 
@@ -1768,12 +1773,17 @@ def katz_centrality(
     read); ``round_dp`` is the pagerank cross-engine reproducibility
     knob (fixed ``max_iter`` + per-round rounding → unrolled/closed-form
     oracle matches value-for-value); ``normalized=True`` adds NetworkX's
-    final L2 normalization (one extra 1-row aggregate)."""
-    sym = checkpointed(_sym(edges))
+    final L2 normalization (one extra 1-row aggregate).
+
+    Edge layout: src-partitioned persist — the per-round aggregate
+    groups by src, so its exchange is elided every round (the r7 loop
+    layout; A/B'd on the benched rings query, REPORT.md r11)."""
+    sym = _edges_partitioned(symmetrize(edges, dedup=False), "src")
     vertices = sym.select(F.col("src").alias("id")).distinct()
     vertices = checkpointed(vertices, lazy=True)
     n = vertices.count()
     if n == 0:
+        sym.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame([], "id long, katz double")
     x = checkpointed(vertices.withColumn("x", F.lit(0.0)))
     for it in range(max_iter):
@@ -1795,6 +1805,7 @@ def katz_centrality(
         x = new_x.drop("d")
         if tol is not None and it < max_iter - 1 and delta < tol:
             break
+    sym.unpersist(blocking=False)  # x is materialized (per-round delta read)
     if normalized:
         norm = x.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
         x = x.crossJoin(F.broadcast(norm)).select(
