@@ -1692,8 +1692,10 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     set only shrinks (each component retires ≥ its minimum every round,
     worst case ⌈n/2⌉ rounds on a path, O(log n) expected under hash
     priorities). State checkpointed per round, drain check folded onto
-    the checkpoint read (one action per round)."""
-    sym = checkpointed(_sym(edges))
+    the checkpoint read (one action per round). Edge layout:
+    src-partitioned persist — the neighbor-min aggregate and both
+    winner-side joins key on src (the katz/eigenvector r11 A/B)."""
+    sym = _edges_partitioned(symmetrize(edges, dedup=False), "src")
     pr = F.concat(
         F.md5(F.col("id").cast("string")),
         F.lit("-"),
@@ -1742,6 +1744,7 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             lazy=True,
         )
         n = active.count()  # drain check = the materializing action
+    sym.unpersist(blocking=False)  # every winners frame is checkpointed
     out = mis_parts[0] if mis_parts else edges.sparkSession.createDataFrame(
         [], "id long, round int"
     )
