@@ -184,6 +184,7 @@ def scd2_intervals(
     key_cols: list[str],
     order_cols: list[str],
     attr_col: str,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension type-2 history from an event log:
     ``(keys..., attr, valid_from, valid_to, is_current)`` — one row per
@@ -195,7 +196,11 @@ def scd2_intervals(
     then lead() over the surviving change rows for the validity
     horizon. Both windows partition by the key — per-key sorts only,
     no global ordering; nulls never arise from the filter because the
-    first row per key always survives (lag is NULL there)."""
+    first row per key always survives (lag is NULL there).
+
+    ``carry_cols``: extra columns from each version's OPENING row to keep
+    on its output row (e.g. a unique event id, so downstream
+    point-in-time lookups stay deterministic under equal timestamps)."""
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     changes = (
         df.withColumn("_prev", F.lag(attr_col).over(w))
@@ -210,6 +215,7 @@ def scd2_intervals(
         F.col(order_cols[0]).alias("valid_from"),
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
+        *(carry_cols or []),
     )
 
 

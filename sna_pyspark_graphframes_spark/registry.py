@@ -4613,6 +4613,73 @@ def q_scd2_user_event_type(spark, sf_dir):
 
 
 @register(
+    "pit_purchase_state",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR event_type <> prev
+    ),
+    dim AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM changes
+    ),
+    facts AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    pit AS (
+        SELECT f.value, d.state
+        FROM facts f JOIN dim d ON f.user_id = d.user_id
+          AND d.valid_from <= f.ts
+          AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    )
+    SELECT state, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 2) AS total_value
+    FROM pit GROUP BY state
+    """,
+)
+def q_pit_purchase_state(spark, sf_dir):
+    """Point-in-time-correct dimension lookup — the feature-store
+    correctness pattern, composed from two existing operators: SCD2
+    versions (``scd2_intervals``) attached to purchase facts via
+    ``asof_join`` (the latest version with valid_from ≤ fact ts IS the
+    containing interval, since versions partition time). One sorted
+    shuffle on the key (the as-of union trick), no per-row range probe.
+    The twin states the same lookup as an interval-containment join;
+    event_id rides the carried struct so equal-timestamp versions would
+    resolve identically in both engines (none exist in this data —
+    verified — but the contract shouldn't depend on it)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = temporal.scd2_intervals(
+        ev, ["user_id"], ["ts", "event_id"], "event_type",
+        carry_cols=["event_id"],
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("event_id").alias("dim_event_id"),
+        F.col("event_type").alias("state"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pit = temporal.asof_join(
+        facts, dim, on="user_id",
+        right_cols=["dim_event_id", "state"], prefix="",
+    )
+    return pit.groupBy("state").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
     "apply_changelog_users",
     """
     WITH log AS (

@@ -120,3 +120,23 @@ class TestTimeDecayScore:
             for r in temporal.time_decay_score(df).collect()
         }
         assert got == {1: (3, 15.0), 2: (1, 3.0)}
+
+
+class TestScd2CarryCols:
+    def test_carry_opening_row_column(self, spark):
+        from datetime import datetime
+
+        from sna_pyspark_graphframes_spark.operators import temporal
+
+        rows = [
+            (1, datetime(2024, 1, 1), 10, "a"),
+            (1, datetime(2024, 1, 2), 11, "a"),  # repeat -> collapsed
+            (1, datetime(2024, 1, 3), 12, "b"),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, eid long, v string")
+        out = temporal.scd2_intervals(
+            df, ["k"], ["ts", "eid"], "v", carry_cols=["eid"]
+        ).collect()
+        got = {(r.v): (r.eid, r.is_current) for r in out}
+        # each version carries its OPENING row's eid
+        assert got == {"a": (10, False), "b": (12, True)}
