@@ -1271,3 +1271,128 @@ def span_dedup(
         F.size("spans").cast("long").alias("n_spans"),
         (F.size("spans") - F.size(kept_arr)).cast("long").alias("n_dropped"),
     )
+
+
+def unigram_piece_vocab(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    top_k: int = 50,
+    max_word_len: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(piece, logp)`` — a SentencePiece-style unigram-LM piece
+    vocabulary: all character substrings of length ≤ ``max_piece_len``
+    of the corpus's words, counted weighted by word frequency; kept =
+    every single character (guarantees segmentability) plus the
+    ``top_k`` pieces by count (ties by piece); log-probabilities
+    normalized over the KEPT vocabulary and rounded to 6 dp (the
+    cross-engine recipe — every downstream Viterbi sum is then a sum of
+    identical decimals in both engines).
+
+    The substring expansion is IN-ROW (``transform(sequence(...))``
+    over the distinct-word table, which is vocabulary-sized — the
+    corpus token stream collapses before any piece work); the top-k
+    rank is a window over that piece table (bounded by
+    Σ word_len·max_piece_len piece types, not corpus size)."""
+    words = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, length(w)-1), j -> "
+                f"transform(sequence(1, least({max_piece_len}, length(w)-j)), "
+                f"l -> substring(w, j+1, l))))"
+            )
+        ).alias("piece"),
+    )
+    cnt = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    ranked = cnt.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "piece"))
+    )
+    kept = ranked.filter(
+        (F.length("piece") == 1) | (F.col("rk") <= top_k)
+    ).select("piece", "cnt")
+    tot = kept.agg(F.sum("cnt").cast("double").alias("tot"))
+    return kept.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("tot")), 6).alias(
+            "logp"
+        ),
+    )
+
+
+def unigram_viterbi_scores(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    top_k: int = 50,
+    max_word_len: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(word, freq, score)`` — each distinct word's best unigram-LM
+    segmentation score ``max_seg Σ logp(piece)`` (the Viterbi DP at the
+    heart of SentencePiece tokenization, Kudo 2018), under the
+    corpus-derived :func:`unigram_piece_vocab`.
+
+    The DP is UNROLLED AS COLUMN EXPRESSIONS — no UDF, no recursion:
+    position ``i``'s best score is ``greatest`` over the ≤
+    ``max_piece_len`` predecessors of ``b_j + logp(word[j:i])``, with
+    the piece scores carried per word in ONE map column
+    (``map_from_entries`` over the in-row substring expansion joined to
+    the vocab). ``max_word_len`` bounds the unroll depth — longer words
+    are excluded (documented cap; raise it and the plan just grows
+    ``max_word_len`` columns). Absent pieces carry −1e9 (single chars
+    are always in vocab, so every kept word is segmentable and the
+    sentinel never reaches a final score). 6-dp-rounded logps make the
+    score EXACT across engines: every sum is the same decimals added in
+    the same order, so the twin's unrolled position-table CTE matches
+    value-for-value."""
+    vocab = unigram_piece_vocab(
+        docs, max_piece_len, top_k, max_word_len, text_col
+    )
+    words = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    subs = words.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, length(w)-1), j -> "
+                f"transform(sequence(j+1, least(j+{max_piece_len}, length(w))), "
+                f"i -> struct(j as j, i as i, substring(w, j+1, i-j) as piece))))"
+            )
+        ).alias("s"),
+    ).select("w", "freq", "s.j", "s.i", "s.piece")
+    scored = subs.join(vocab, "piece", "left").select(
+        "w",
+        "freq",
+        F.concat_ws(":", "j", "i").alias("k"),
+        F.coalesce("logp", F.lit(-1e9)).alias("lp"),
+    )
+    m = scored.groupBy("w", "freq").agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "lp"))).alias("m")
+    )
+    b = [F.lit(0.0)]
+    for i in range(1, max_word_len + 1):
+        cands = [
+            b[j]
+            + F.coalesce(
+                F.element_at("m", F.lit(f"{j}:{i}")), F.lit(-1e9)
+            )
+            for j in range(max(0, i - max_piece_len), i)
+        ]
+        b.append(F.greatest(*cands) if len(cands) > 1 else cands[0])
+    score = F.when(F.length("w") == 1, b[1])
+    for i in range(2, max_word_len + 1):
+        score = score.when(F.length("w") == i, b[i])
+    return m.select(
+        F.col("w").alias("word"), "freq", F.round(score, 4).alias("score")
+    )

@@ -6089,6 +6089,92 @@ def q_kn_bigram_top(spark, sf_dir):
     return fcorpus.kn_bigram_top(_t(spark, sf_dir, "documents"), k=100)
 
 
+def _unigram_viterbi_sql(
+    max_piece_len: int = 4, top_k: int = 50, max_word_len: int = 8
+) -> str:
+    """Twin of ``fcorpus.unigram_viterbi_scores``: the same piece vocab
+    (6-dp-rounded logps — both engines' Viterbi sums are then identical
+    decimals) and the DP as an unrolled position table — one CTE per
+    string position, each joining the ≤``max_piece_len`` predecessor
+    positions. Value-exact."""
+    head = rf"""
+    WITH words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+              FROM documents)
+        WHERE LEN(w) BETWEEN 1 AND {max_word_len}
+        GROUP BY w
+    ),
+    sub_all AS (
+        SELECT w, freq, j, l, substr(w, j + 1, l) AS piece
+        FROM words,
+             UNNEST(range(0, LEN(w))) AS tj(j),
+             UNNEST(range(1, {max_piece_len + 1})) AS tl(l)
+        WHERE j + l <= LEN(w)
+    ),
+    cnt AS (SELECT piece, SUM(freq) AS cnt FROM sub_all GROUP BY piece),
+    ranked AS (
+        SELECT piece, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM cnt
+    ),
+    kept AS (SELECT piece, cnt FROM ranked
+             WHERE LEN(piece) = 1 OR rk <= {top_k}),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM kept),
+    vocab AS (
+        SELECT piece,
+               ROUND(LN(CAST(cnt AS DOUBLE) / (SELECT t FROM tot)), 6) AS logp
+        FROM kept
+    ),
+    sub AS (
+        SELECT s.w, s.j, s.j + s.l AS i,
+               COALESCE(v.logp, -1000000000.0) AS lp
+        FROM sub_all s LEFT JOIN vocab v ON v.piece = s.piece
+    ),
+    p0 AS (SELECT w, 0 AS pos, CAST(0.0 AS DOUBLE) AS b FROM words)"""
+    parts = [head]
+    for i in range(1, max_word_len + 1):
+        prevs = "\n              UNION ALL ".join(
+            f"SELECT w, pos, b FROM p{j}"
+            for j in range(max(0, i - max_piece_len), i)
+        )
+        parts.append(
+            f""",
+    p{i} AS MATERIALIZED (
+        SELECT s.w, {i} AS pos, MAX(p.b + s.lp) AS b
+        FROM sub s
+        JOIN ({prevs}) p ON p.w = s.w AND p.pos = s.j
+        WHERE s.i = {i}
+        GROUP BY s.w
+    )"""
+        )
+    finals = "\n          UNION ALL ".join(
+        f"SELECT w, pos, b FROM p{i}" for i in range(1, max_word_len + 1)
+    )
+    parts.append(
+        f"""
+    SELECT wd.w AS word, wd.freq, ROUND(p.b, 4) AS score
+    FROM words wd
+    JOIN ({finals}) p ON p.w = wd.w AND p.pos = LEN(wd.w)
+    ORDER BY wd.freq DESC, wd.w LIMIT 100"""
+    )
+    return "".join(parts)
+
+
+@register("unigram_viterbi_top100", _unigram_viterbi_sql())
+def q_unigram_viterbi(spark, sf_dir):
+    """SentencePiece-style unigram-LM Viterbi segmentation scores (Kudo
+    2018) for the corpus's most frequent words — the OTHER industrial
+    tokenizer family next to the BPE trainer, and a showcase of the
+    "operator Spark lacks → composition of built-ins" path: the
+    segmentation DP runs as unrolled column expressions over an in-row
+    substring map (no UDF, no recursion). HARD oracle: 6-dp logps make
+    every Viterbi sum identical decimals in both engines; the twin
+    unrolls the DP as one position-table CTE per string position."""
+    out = fcorpus.unigram_viterbi_scores(_t(spark, sf_dir, "documents"))
+    return out.orderBy(F.col("freq").desc(), "word").limit(100)
+
+
 def _logreg_stages(n_iter: int = 5, lr: float = 1.0, dp: int = 6) -> str:
     """Unrolled GD stages shared by the ``logreg_*`` twins — the
     pagerank ``round_dp`` recipe applied to a TRAINING loop: each

@@ -389,6 +389,67 @@ class TestKnBigram:
         assert [(r.w1, r.w2) for r in rows] == [("a", "b"), ("a", "c")]
 
 
+class TestUnigramViterbi:
+    def test_differential_vs_python_dp(self, spark):
+        """Same vocab construction + DP in pure Python: 6-dp logps make
+        the distributed unrolled-column DP EXACTLY equal."""
+        import math
+        from collections import Counter
+
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        texts = ["ab ab b a abab", "ab ba"]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        words = Counter(w for t in texts for w in t.split())
+        sub = Counter()
+        for w, f in words.items():
+            for j in range(len(w)):
+                for l in range(1, min(4, len(w) - j) + 1):
+                    sub[w[j : j + l]] += f
+        ranked = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = {p for p, _ in ranked[:50]} | {p for p in sub if len(p) == 1}
+        tot = sum(sub[p] for p in kept)
+        logp = {p: round(math.log(sub[p] / tot), 6) for p in kept}
+
+        def vit(w):
+            b = [0.0] + [None] * len(w)
+            for i in range(1, len(w) + 1):
+                b[i] = max(
+                    b[j] + logp.get(w[j:i], -1e9)
+                    for j in range(max(0, i - 4), i)
+                )
+            return round(b[len(w)], 4)
+
+        want = {w: (f, vit(w)) for w, f in words.items()}
+        got = {
+            r.word: (r.freq, r.score)
+            for r in fc.unigram_viterbi_scores(docs).collect()
+        }
+        assert got == want
+
+    def test_repeated_piece_composes(self, spark):
+        """'abab' must score exactly 2x logp('ab') — the DP finds the
+        2-piece segmentation over char-by-char alternatives."""
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame(
+            [(0, "ab ab b a abab"), (1, "ab ba")], "doc_id long, text string"
+        )
+        got = {r.word: r.score for r in fc.unigram_viterbi_scores(docs).collect()}
+        assert got["abab"] == round(2 * (got["ab"] / 1), 4) == 2 * got["ab"]
+
+    def test_words_over_cap_excluded(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame(
+            [(0, "short averyverylongword ok")], "doc_id long, text string"
+        )
+        words = {r.word for r in fc.unigram_viterbi_scores(docs).collect()}
+        assert "averyverylongword" not in words and "short" in words
+
+
 class TestTemperatureMixture:
     def test_flattens_toward_uniform(self, spark):
         """tau=0.5 must give the rare domain a LARGER share than its
