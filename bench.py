@@ -127,6 +127,14 @@ HEADLINE = [
     "katz_order_rings",
     "mis_order_rings",
     "user_activity_decay",
+    # round-11 late appends: the point-in-time SCD2 lookup, the unigram
+    # Viterbi tokenizer scores, and the KN document surprisal.
+    # (pagerank_incremental_top20 stays registry-only: it runs TWO
+    # production loops + the reference by construction — its components
+    # are already benched via pagerank_top20; REPORT.md r11.)
+    "pit_purchase_state",
+    "unigram_viterbi_top100",
+    "kn_doc_surprisal",
 ]
 
 

@@ -315,6 +315,74 @@ def kn_bigram_top(
     )
 
 
+def kn_doc_surprisal(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_bigrams, kn_surprisal)`` — per-document mean
+    −ln P_KN(w_i|w_{i−1}) under the corpus's own interpolated
+    Kneser–Ney bigram model (:func:`kn_bigram_top`'s distribution,
+    applied as a document quality score): the properly-smoothed upgrade
+    of :func:`bigram_surprisal`'s add-one model — template/boilerplate
+    text scores low, shuffled or stitched text high, and the
+    distinct-continuation term stops frequent-but-fixed collocations
+    from masking junk.
+
+    Every scored bigram occurs in the corpus (the model is
+    self-referential), so c ≥ 1 and no unseen-event backoff path is
+    needed. Same layout as ``kn_bigram_top`` — in-row adjacent pairs
+    (doc_id retained), ONE materialized bigram-type aggregate, margins
+    off the type table — plus one pairs⋈scores join and a per-doc
+    average."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+    toks = docs.select("doc_id", _words(F.col(text_col)).alias("ws"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda w, i: F.struct(
+                    w.alias("w1"), F.col("ws")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bg = checkpointed(
+        pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    )
+    left = bg.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c_w1"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    right = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_bwd"))
+    tot = bg.agg(F.count("*").cast("long").alias("n_types"))
+    d = float(discount)
+    scores = (
+        bg.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c") - d) / F.col("c_w1")
+                + (F.lit(d) * F.col("n1p_fwd") / F.col("c_w1"))
+                * (F.col("n1p_bwd") / F.col("n_types"))
+            ).alias("p_kn"),
+        )
+    )
+    return (
+        pairs.join(scores, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p_kn")), 4).alias("kn_surprisal"),
+        )
+    )
+
+
 def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF:
     ``(doc_id, w, tfidf, rank)`` with ``tfidf = tf · ln(N/df)``.

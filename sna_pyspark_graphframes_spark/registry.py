@@ -6089,6 +6089,48 @@ def q_kn_bigram_top(spark, sf_dir):
     return fcorpus.kn_bigram_top(_t(spark, sf_dir, "documents"), k=100)
 
 
+@register(
+    "kn_doc_surprisal",
+    r"""
+    WITH ws AS (
+        SELECT doc_id,
+               string_split_regex(TRIM(LOWER(text)), '\s+') AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM ws, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+    lft AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS c_w1,
+               CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+        FROM bg GROUP BY 1
+    ),
+    rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bg),
+    sc AS (
+        SELECT w1, w2,
+               (c - 0.75) / c_w1
+               + (0.75 * n1p_fwd / c_w1) * (n1p_bwd / n_types) AS p_kn
+        FROM bg JOIN lft USING (w1) JOIN rgt USING (w2), tot
+    )
+    SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN(s.p_kn)), 4) AS kn_surprisal
+    FROM pairs p JOIN sc s USING (w1, w2)
+    GROUP BY p.doc_id
+    """,
+)
+def q_kn_doc_surprisal(spark, sf_dir):
+    """Per-document mean Kneser–Ney bigram surprisal — the
+    properly-smoothed LM quality score (upgrade of the add-one
+    ``bigram_surprisal``). HARD oracle: per-pair probabilities are
+    bit-identical (exact integers, identical expression order); the
+    per-doc average's summation-order noise (~1e-15) sits five orders
+    under the 4-dp rounding."""
+    return fcorpus.kn_doc_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def _unigram_viterbi_sql(
     max_piece_len: int = 4, top_k: int = 50, max_word_len: int = 8
 ) -> str:

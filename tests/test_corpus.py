@@ -389,6 +389,32 @@ class TestKnBigram:
         assert [(r.w1, r.w2) for r in rows] == [("a", "b"), ("a", "c")]
 
 
+class TestKnDocSurprisal:
+    def test_fluent_scores_lower_than_shuffled(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        fluent = "the cat sat on the mat"
+        docs = spark.createDataFrame(
+            [(i, fluent) for i in range(5)] + [(9, "mat the on sat cat the")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.kn_surprisal
+            for r in fc.kn_doc_surprisal(docs).collect()
+        }
+        for i in range(5):
+            assert got[i] < got[9]
+
+    def test_uniform_repeat_single_bigram(self, spark):
+        """One doc 'a b': the only bigram type — P_KN(b|a) =
+        (1-.75)/1 + .75*1*(1/1) = 1.0, surprisal -ln(1) = 0."""
+        from sna_pyspark_graphframes_spark.functions import corpus as fc
+
+        docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        r = fc.kn_doc_surprisal(docs).collect()[0]
+        assert (r.n_bigrams, r.kn_surprisal) == (1, 0.0)
+
+
 class TestUnigramViterbi:
     def test_differential_vs_python_dp(self, spark):
         """Same vocab construction + DP in pure Python: 6-dp logps make
