@@ -4636,9 +4636,9 @@ def q_scd2_user_event_type(spark, sf_dir):
     ),
     pit AS (
         SELECT f.value, d.state
-        FROM facts f JOIN dim d ON f.user_id = d.user_id
-          AND d.valid_from <= f.ts
-          AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        FROM facts f LEFT JOIN dim d ON f.user_id = d.user_id
+          AND d.valid_from < f.ts
+          AND (d.valid_to IS NULL OR f.ts <= d.valid_to)
     )
     SELECT state, CAST(COUNT(*) AS BIGINT) AS n_purchases,
            ROUND(SUM(value), 2) AS total_value
@@ -4648,14 +4648,20 @@ def q_scd2_user_event_type(spark, sf_dir):
 def q_pit_purchase_state(spark, sf_dir):
     """Point-in-time-correct dimension lookup — the feature-store
     correctness pattern, composed from two existing operators: SCD2
-    versions (``scd2_intervals``) attached to purchase facts via
-    ``asof_join`` (the latest version with valid_from ≤ fact ts IS the
-    containing interval, since versions partition time). One sorted
-    shuffle on the key (the as-of union trick), no per-row range probe.
-    The twin states the same lookup as an interval-containment join;
-    event_id rides the carried struct so equal-timestamp versions would
-    resolve identically in both engines (none exist in this data —
-    verified — but the contract shouldn't depend on it)."""
+    versions (``scd2_intervals``) attached to purchase facts via a
+    STRICT ``asof_join`` — the latest version that began BEFORE the
+    fact, i.e. the state the user was in when (not after) the purchase
+    arrived. Strictness is the feature-store leakage rule: an attribute
+    version opened BY the event itself must not be visible to it (here
+    a purchase always opens/continues a 'purchase' version — the
+    non-strict lookup would answer 'purchase' for every row). One
+    sorted shuffle on the key (the as-of union trick), no per-row range
+    probe; a user's first-ever purchase has no prior version and
+    surfaces in the NULL-state group. The twin states the same lookup
+    as a strict interval-containment LEFT join; event_id rides the
+    carried struct so equal-timestamp versions would resolve
+    identically in both engines (none exist in this data — verified —
+    but the contract shouldn't depend on it)."""
     ev = _t(spark, sf_dir, "events")
     dim = temporal.scd2_intervals(
         ev, ["user_id"], ["ts", "event_id"], "event_type",
@@ -4671,7 +4677,7 @@ def q_pit_purchase_state(spark, sf_dir):
     )
     pit = temporal.asof_join(
         facts, dim, on="user_id",
-        right_cols=["dim_event_id", "state"], prefix="",
+        right_cols=["dim_event_id", "state"], prefix="", strict=True,
     )
     return pit.groupBy("state").agg(
         F.count("*").cast("long").alias("n_purchases"),
