@@ -1753,6 +1753,79 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     return out
 
 
+def greedy_matching(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """``(src, dst, round)`` — a maximal matching by parallel greedy
+    rounds (the edge-side sibling of :func:`luby_mis`, the
+    Israeli–Itai/Luby local-minimum scheme): each round, every active
+    edge whose DETERMINISTIC priority (md5 of the canonical endpoint
+    pair, plus the pair itself as tie-break) is the minimum at BOTH its
+    endpoints joins the matching; all edges touching a matched vertex
+    retire; repeat until the active set drains. Deterministic
+    priorities make the whole run REPLAYABLE in the oracle, round by
+    round.
+
+    Pipeline meaning: maximal matching is the pairing step of
+    coarsening/clustering pipelines (multilevel graph partitioning's
+    heavy-edge matching, record-linkage one-to-one assignment).
+
+    Per round: one explode of active edges into endpoint rows, one
+    min-priority aggregate per vertex, one winners join, one
+    endpoint-touch anti-join — all keyed; ≥1 edge retires per active
+    component per round (the local minimum always wins), O(log n)
+    expected rounds under hash priorities."""
+    can = (
+        symmetrize(edges, dedup=True)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = F.concat(
+        F.md5(F.concat_ws("-", F.col("src"), F.col("dst"))),
+        F.lit("-"),
+        F.concat_ws("-", F.col("src"), F.col("dst")),
+    )
+    active = checkpointed(can.withColumn("pr", pr), lazy=True)
+    n = active.count()
+    out_parts: list[DataFrame] = []
+    for rnd in range(1, max_iter + 1):
+        if n == 0:
+            break
+        ep = active.select(
+            F.explode(F.array("src", "dst")).alias("v"), "src", "dst", "pr"
+        )
+        vmin = ep.groupBy("v").agg(F.min("pr").alias("mn"))
+        winners = (
+            ep.join(vmin, "v")
+            .filter(F.col("pr") == F.col("mn"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("_ends"))
+            .filter(F.col("_ends") == 2)  # minimum at BOTH endpoints
+            .select("src", "dst")
+        )
+        winners = checkpointed(
+            winners.withColumn("round", F.lit(rnd).cast("int"))
+        )
+        out_parts.append(winners)
+        matched_v = (
+            winners.select(F.col("src").alias("v"))
+            .unionByName(winners.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        active = checkpointed(
+            active.join(
+                matched_v.withColumnRenamed("v", "src"), "src", "left_anti"
+            ).join(matched_v.withColumnRenamed("v", "dst"), "dst", "left_anti"),
+            lazy=True,
+        )
+        n = active.count()  # drain check = the materializing action
+    out = out_parts[0] if out_parts else edges.sparkSession.createDataFrame(
+        [], "src long, dst long, round int"
+    )
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def katz_centrality(
     edges: DataFrame,
     alpha: float = 0.1,

@@ -1813,6 +1813,80 @@ def q_mis_order_rings(spark, sf_dir):
     return algorithms.luby_mis(_order_rings(spark, sf_dir, min_n=3))
 
 
+def _matching_rings_sql(n_rounds: int = 14, min_n: int = 3) -> str:
+    """Unrolled full REPLAY of the greedy maximal matching on the order
+    rings (the ``_mis_rings_sql`` recipe on EDGES): canonical edge
+    priorities are md5-deterministic and byte-identical across engines,
+    so DuckDB re-executes every round — an edge wins when its priority
+    is the minimum at both endpoints, matched vertices retire their
+    edges. Monotone, so any unroll ≥ rounds-to-drain is exact."""
+    head = f"""
+    WITH sized AS (
+        SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) >= {min_n}
+    ),
+    ord AS (
+        SELECT o.o_custkey AS ck, o.o_orderkey AS id,
+               ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                                  ORDER BY o.o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o.o_custkey) AS n
+        FROM orders o JOIN sized s ON o.o_custkey = s.o_custkey
+    ),
+    de AS (
+        SELECT a.id AS s, b.id AS d
+        FROM ord a JOIN ord b ON a.ck = b.ck AND b.rn = a.rn % a.n + 1
+    ),
+    e0 AS (
+        SELECT src, dst,
+               md5(CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR))
+               || '-' || CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR)
+               AS pr
+        FROM (SELECT DISTINCT LEAST(s, d) AS src, GREATEST(s, d) AS dst
+              FROM de)
+    )"""
+    parts = [head]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    ep{r} AS (SELECT t.v, e.src, e.dst, e.pr
+              FROM e{p} e, UNNEST([e.src, e.dst]) AS t(v)),
+    vm{r} AS (SELECT v, MIN(pr) AS mn FROM ep{r} GROUP BY v),
+    w{r} AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT e.src, e.dst, COUNT(*) AS c
+            FROM ep{r} e JOIN vm{r} m ON m.v = e.v AND m.mn = e.pr
+            GROUP BY e.src, e.dst
+        ) WHERE c = 2
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst, e.pr FROM e{p} e
+        WHERE e.src NOT IN (SELECT src FROM w{r} UNION SELECT dst FROM w{r})
+          AND e.dst NOT IN (SELECT src FROM w{r} UNION SELECT dst FROM w{r})
+    )"""
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT src, dst, {r} AS round FROM w{r}" for r in range(1, n_rounds + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+           CAST(round AS INT) AS round FROM (
+    {selects}
+    )"""
+    )
+    return "".join(parts)
+
+
+@register("matching_order_rings", _matching_rings_sql())
+def q_matching_order_rings(spark, sf_dir):
+    """Greedy maximal matching on the order rings — the pairing step of
+    multilevel coarsening / one-to-one record linkage as a distributed
+    algorithm (see ``greedy_matching``). HARD full-replay oracle, the
+    ``mis_order_rings`` recipe on edges: membership AND selection round
+    value-checked."""
+    return algorithms.greedy_matching(_order_rings(spark, sf_dir, min_n=3))
+
+
 def _katz_regular_value(
     alpha: float = 0.1, beta: float = 1.0, d: int = 2, t: int = 8, dp: int = 6
 ) -> float:

@@ -401,6 +401,64 @@ class TestLubyMis:
         assert out.count() == 0
 
 
+class TestGreedyMatching:
+    @staticmethod
+    def _py_match(edges):
+        import hashlib
+
+        can = sorted({tuple(sorted(e)) for e in edges})
+        pr = {
+            e: hashlib.md5(f"{e[0]}-{e[1]}".encode()).hexdigest()
+            + f"-{e[0]}-{e[1]}"
+            for e in can
+        }
+        active, out, rnd = set(can), {}, 0
+        while active:
+            rnd += 1
+            w = {
+                e
+                for e in active
+                if all(
+                    pr[e] <= pr[o]
+                    for o in active
+                    if o != e and (set(e) & set(o))
+                )
+            }
+            for e in w:
+                out[e] = rnd
+            mv = {v for e in w for v in e}
+            active = {e for e in active if not (set(e) & mv)}
+        return out
+
+    def test_differential_vs_python_replay(self, spark):
+        E = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (20, 21), (2, 1)]
+        got = {
+            (r.src, r.dst): r.round
+            for r in algorithms.greedy_matching(edges_df(spark, E)).collect()
+        }
+        assert got == self._py_match(E)
+
+    def test_matching_invariants(self, spark):
+        import random
+
+        rng = random.Random(11)
+        E = list({tuple(sorted(rng.sample(range(24), 2))) for _ in range(50)})
+        m = [
+            (r.src, r.dst)
+            for r in algorithms.greedy_matching(edges_df(spark, E)).collect()
+        ]
+        used = [v for e in m for v in e]
+        assert len(used) == len(set(used))  # vertex-disjoint
+        mv = set(used)
+        for a, b in E:  # maximal: every edge touches a matched vertex
+            assert a in mv or b in mv
+
+    def test_empty_graph(self, spark):
+        out = algorithms.greedy_matching(edges_df(spark, []))
+        assert out.columns == ["src", "dst", "round"]
+        assert out.count() == 0
+
+
 class TestKatz:
     def test_triangle_rounded_recurrence(self, spark):
         # 2-regular: uniform per round, s <- round(0.2*s + 1, 6) from 0;
