@@ -135,6 +135,7 @@ HEADLINE = [
     "pit_purchase_state",
     "unigram_viterbi_top100",
     "kn_doc_surprisal",
+    "matching_order_rings",
 ]
 
 
