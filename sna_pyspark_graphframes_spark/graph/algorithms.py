@@ -14,7 +14,7 @@ deduped, no self-loops) unless stated otherwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sna_pyspark_graphframes_spark.graph.build import symmetrize
@@ -1751,6 +1751,102 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     for p in mis_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def edge_hash_weight(src: Column, dst: Column) -> Column:
+    """Deterministic U(0,1) edge weight from the canonical endpoint pair
+    — the ``dsir_select_topk`` md5 device: ``(int(md5[:8],16)+0.5)/2³²``
+    is EXACTLY representable (integer + half, divided by a power of
+    two), so the weight is bit-identical in Spark, DuckDB, and Python
+    with no rounding step."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("-", src, dst)), 1, 8), 16, 10
+    ).cast("long")
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def boruvka_mst(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """``(src, dst, w)`` — minimum spanning forest by Borůvka's
+    algorithm (1926; THE data-parallel MST — every round each component
+    picks its lightest outgoing edge, components merge, rounds are
+    O(log n)). Weights are the deterministic :func:`edge_hash_weight`
+    (callers with real weights substitute their column; the total order
+    is (w, src, dst), making the forest UNIQUE — the cycle-property
+    oracle depends on that).
+
+    Per round: two component-label joins onto the edge list + one
+    ``min_by``-style struct-min per component side; component
+    CONTRACTION reuses :func:`connected_components` on the selected
+    edges' component graph (which shrinks geometrically — the inner
+    loop runs on |components| rows, not |V|). The selected-edge union
+    is a forest, so contraction is cheap and exact."""
+    can = (
+        symmetrize(edges, dedup=True)
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("w", edge_hash_weight(F.col("src"), F.col("dst")))
+    )
+    can = checkpointed(can)
+    comp = checkpointed(
+        can.select(F.col("src").alias("id"))
+        .union(can.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("c", F.col("id")),
+        lazy=True,
+    )
+    n = comp.count()
+    out_parts: list[DataFrame] = []
+    for _ in range(max_iter):
+        cu = _state_hinted(
+            comp.select(F.col("id").alias("src"), F.col("c").alias("cu")), n
+        )
+        cv = _state_hinted(
+            comp.select(F.col("id").alias("dst"), F.col("c").alias("cv")), n
+        )
+        ce = (
+            can.join(cu, "src")
+            .join(cv, "dst")
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        cand = ce.select(
+            F.col("cu").alias("side"), "w", "src", "dst", F.col("cv").alias("other")
+        ).unionByName(
+            ce.select(
+                F.col("cv").alias("side"), "w", "src", "dst",
+                F.col("cu").alias("other"),
+            )
+        )
+        # struct-min = lightest outgoing edge per component, total order
+        # (w, src, dst) — ties impossible to matter (src,dst unique)
+        sel = checkpointed(
+            cand.groupBy("side")
+            .agg(F.min(F.struct("w", "src", "dst", "other")).alias("m"))
+            .select("side", "m.w", "m.src", "m.dst", "m.other")
+        )
+        picked = sel.select("src", "dst", "w").distinct()
+        n_picked = picked.count()
+        if n_picked == 0:
+            break
+        out_parts.append(picked)
+        # contract: CC over the component graph of the selected edges
+        mapping = connected_components(
+            sel.select(F.col("side").alias("src"), F.col("other").alias("dst"))
+        ).select(F.col("id").alias("c"), F.col("component").alias("cnew"))
+        comp = checkpointed(
+            comp.join(mapping, "c", "left").select(
+                "id", F.coalesce("cnew", F.col("c")).alias("c")
+            ),
+            lazy=True,
+        )
+        comp.count()  # materialize before the next round's double consume
+    can.unpersist(blocking=False)
+    out = out_parts[0] if out_parts else edges.sparkSession.createDataFrame(
+        [], "src long, dst long, w double"
+    )
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out.select("src", "dst", F.round("w", 6).alias("w")).distinct()
 
 
 def greedy_matching(edges: DataFrame, max_iter: int = 30) -> DataFrame:

@@ -1887,6 +1887,52 @@ def q_matching_order_rings(spark, sf_dir):
     return algorithms.greedy_matching(_order_rings(spark, sf_dir, min_n=3))
 
 
+@register(
+    "mst_order_rings",
+    """
+    WITH sized AS (
+        SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) >= 3
+    ),
+    ord AS (
+        SELECT o.o_custkey AS ck, o.o_orderkey AS id,
+               ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                                  ORDER BY o.o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o.o_custkey) AS n
+        FROM orders o JOIN sized s ON o.o_custkey = s.o_custkey
+    ),
+    de AS (
+        SELECT a.ck, a.id AS s, b.id AS d
+        FROM ord a JOIN ord b ON a.ck = b.ck AND b.rn = a.rn % a.n + 1
+    ),
+    can AS (
+        SELECT DISTINCT ck, LEAST(s, d) AS src, GREATEST(s, d) AS dst
+        FROM de
+    ),
+    cw AS (
+        SELECT ck, src, dst,
+               (CAST(CAST('0x' || SUBSTR(
+                    md5(CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR)),
+                    1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS w
+        FROM can
+    )
+    SELECT src, dst, ROUND(w, 6) AS w FROM cw
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY ck ORDER BY w DESC, src DESC, dst DESC) > 1
+    """,
+)
+def q_mst_order_rings(spark, sf_dir):
+    """Borůvka minimum spanning forest on the order rings with the
+    deterministic md5 edge weights (``edge_hash_weight`` — exactly
+    representable, bit-identical across engines). HARD closed-form
+    oracle via the CYCLE PROPERTY: each ring is one cycle, so its MST
+    is the ring minus the (w, src, dst)-maximum edge — the oracle
+    states the whole forest without replaying the rounds, while the
+    Spark side runs the full component-contraction loop (lightest
+    outgoing edge per component, ``connected_components`` contraction).
+    The forest is unique because the weight order is total."""
+    return algorithms.boruvka_mst(_order_rings(spark, sf_dir, min_n=3))
+
+
 def _katz_regular_value(
     alpha: float = 0.1, beta: float = 1.0, d: int = 2, t: int = 8, dp: int = 6
 ) -> float:

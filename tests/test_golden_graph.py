@@ -401,6 +401,66 @@ class TestLubyMis:
         assert out.count() == 0
 
 
+class TestBoruvkaMst:
+    @staticmethod
+    def _w(e):
+        import hashlib
+
+        h = int(hashlib.md5(f"{e[0]}-{e[1]}".encode()).hexdigest()[:8], 16)
+        return (h + 0.5) / 4294967296.0
+
+    def _kruskal(self, edges):
+        can = sorted({tuple(sorted(e)) for e in edges})
+        order = sorted(can, key=lambda e: (self._w(e), e[0], e[1]))
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            return r
+
+        mst = {}
+        for e in order:
+            a, b = find(e[0]), find(e[1])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+                mst[e] = round(self._w(e), 6)
+        return mst
+
+    def test_differential_vs_kruskal(self, spark):
+        # identical (w, src, dst) total order → the forest is unique, so
+        # distributed Boruvka must equal sequential Kruskal exactly
+        import random
+
+        rng = random.Random(3)
+        E = list({tuple(sorted(rng.sample(range(40), 2))) for _ in range(90)})
+        E += [(100, 101), (101, 102), (102, 100)]  # second component
+        got = {
+            (r.src, r.dst): r.w
+            for r in algorithms.boruvka_mst(edges_df(spark, E)).collect()
+        }
+        assert got == self._kruskal(E)
+
+    def test_triangle_drops_max_edge(self, spark):
+        # cycle property: exactly the (w, src, dst)-max edge is excluded
+        E = [(1, 2), (2, 3), (1, 3)]
+        got = {(r.src, r.dst) for r in algorithms.boruvka_mst(edges_df(spark, E)).collect()}
+        drop = max(E, key=lambda e: (self._w(tuple(sorted(e))),) + tuple(sorted(e)))
+        assert got == {tuple(sorted(e)) for e in E} - {tuple(sorted(drop))}
+
+    def test_forest_size(self, spark):
+        # spanning forest: |MST| = |V| - #components (path + triangle)
+        E = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)]
+        out = algorithms.boruvka_mst(edges_df(spark, E)).collect()
+        assert len(out) == 7 - 2
+
+    def test_empty_graph(self, spark):
+        out = algorithms.boruvka_mst(edges_df(spark, []))
+        assert out.columns == ["src", "dst", "w"]
+        assert out.count() == 0
+
+
 class TestGreedyMatching:
     @staticmethod
     def _py_match(edges):
