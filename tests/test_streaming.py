@@ -147,3 +147,37 @@ def test_late_data_filter_bounds(spark, sf_dir):
     assert len(rows) >= 1
     for r in rows:
         assert (mx - r.ts).total_seconds() <= 3600
+
+
+class TestTransformWithState:
+    def test_tws_equals_batch_aggregate(self, spark, sf_dir):
+        """transformWithStateInPandas per-user totals over availableNow
+        must equal the batch groupBy (and therefore the
+        applyInPandasWithState twin). Skipped where google.protobuf is
+        absent — the TWS Python runner hard-imports it at worker init
+        (environment gate documented in streaming/stateful.py)."""
+        import pytest
+
+        pytest.importorskip("google.protobuf")
+        from pyspark.sql import functions as F
+
+        from sna_pyspark_graphframes_spark.streaming.stateful import (
+            stream_user_running_totals_tws,
+        )
+
+        got = {
+            r.user_id: (r.n_events, r.total_value, r.last_ts)
+            for r in stream_user_running_totals_tws(spark, sf_dir).collect()
+        }
+        want = {
+            r.user_id: (r.n_events, r.total_value, r.last_ts)
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert got == want
