@@ -136,6 +136,8 @@ HEADLINE = [
     "unigram_viterbi_top100",
     "kn_doc_surprisal",
     "matching_order_rings",
+    "trending_event_types",
+    "brand_assortativity",
 ]
 
 

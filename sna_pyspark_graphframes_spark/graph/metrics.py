@@ -504,3 +504,66 @@ def rich_club_coefficient(
             ).alias("rich_club"),
         )
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame, attrs: DataFrame, symmetric: bool = False
+) -> DataFrame:
+    """``(n_edges, trace, sum_ab, assortativity)`` — Newman's
+    categorical (discrete) assortativity coefficient (Newman 2003,
+    "Mixing patterns in networks"): over the symmetric edge closure with
+    endpoint attributes joined on, ``e_ij`` = fraction of directed
+    edges from category i to j, ``r = (Σe_ii − Σa_i b_i)/(1 − Σa_i b_i)``
+    with a/b the row/column margins — +1 = perfect homophily, 0 =
+    random mixing, negative = disassortative. ``attrs`` is
+    ``(id, attr)``; edges whose endpoint lacks an attribute drop out
+    (inner joins — the NetworkX convention).
+
+    Shape: two attribute joins onto the edge list (the attribute table
+    is category-keyed small → AQE broadcasts), one global 1-row
+    aggregate, two |categories|-sized margin aggregates and their
+    product sum — nothing bigger than the edge scan itself. The
+    all-one-category graph has an undefined coefficient (0/0): emitted
+    as NULL, matching NetworkX's nan. ``symmetric=True`` skips the
+    closure when the caller already holds one (e.g. the persisted
+    shared layout) — no re-shuffle of an already-symmetric frame."""
+    sym = edges if symmetric else symmetrize(edges, dedup=True)
+    lab = sym.join(
+        attrs.select(F.col("id").alias("src"), F.col("attr").alias("ba")),
+        "src",
+    ).join(
+        attrs.select(F.col("id").alias("dst"), F.col("attr").alias("bb")),
+        "dst",
+    )
+    lab = checkpointed(lab.select("ba", "bb"))
+    tot = lab.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum((F.col("ba") == F.col("bb")).cast("long")).alias("tr_cnt"),
+    )
+    a = lab.groupBy("ba").agg(F.count("*").cast("long").alias("ca"))
+    b = lab.groupBy("bb").agg(F.count("*").cast("long").alias("cb"))
+    ab = (
+        a.join(b, a.ba == b.bb)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((F.col("ca") / F.col("m")) * (F.col("cb") / F.col("m"))).alias(
+                "sum_ab"
+            )
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(ab))
+        .select(
+            F.col("m").alias("n_edges"),
+            F.round(F.col("tr_cnt") / F.col("m"), 6).alias("trace"),
+            F.round("sum_ab", 6).alias("sum_ab"),
+            F.round(
+                F.when(
+                    F.col("sum_ab") != 1.0,
+                    (F.col("tr_cnt") / F.col("m") - F.col("sum_ab"))
+                    / (F.lit(1.0) - F.col("sum_ab")),
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )

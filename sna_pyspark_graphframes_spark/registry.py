@@ -1736,6 +1736,91 @@ def q_user_activity_decay(spark, sf_dir):
     return temporal.time_decay_score(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "brand_assortativity",
+    f"""
+    WITH sym AS ({SYM_SQL}),
+    lab AS (
+        SELECT pa.p_brand AS ba, pb.p_brand AS bb
+        FROM sym
+        JOIN part pa ON pa.p_partkey = sym.src
+        JOIN part pb ON pb.p_partkey = sym.dst
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tr_cnt
+        FROM lab
+    ),
+    a AS (SELECT ba, CAST(COUNT(*) AS BIGINT) AS ca FROM lab GROUP BY ba),
+    b AS (SELECT bb, CAST(COUNT(*) AS BIGINT) AS cb FROM lab GROUP BY bb),
+    ab AS (
+        SELECT SUM((ca / m) * (cb / m)) AS sum_ab
+        FROM a JOIN b ON a.ba = b.bb, tot
+    )
+    SELECT m AS n_edges, ROUND(tr_cnt / m, 6) AS trace,
+           ROUND(sum_ab, 6) AS sum_ab,
+           ROUND(CASE WHEN sum_ab <> 1.0
+                      THEN (tr_cnt / m - sum_ab) / (1.0 - sum_ab) END, 6)
+               AS assortativity
+    FROM tot, ab
+    """,
+)
+def q_brand_assortativity(spark, sf_dir):
+    """Newman categorical assortativity of the co-purchase graph by part
+    brand — do same-brand parts co-occur in orders more than random
+    mixing predicts? Completes the metrics family next to
+    ``degree_assortativity`` (the numeric variant). HARD oracle: every
+    term is an exact integer count and the double expressions are
+    structured identically in both engines."""
+    sym = _copurchase_sym(spark, sf_dir)
+    attrs = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("attr")
+    )
+    return metrics.attribute_assortativity(sym, attrs, symmetric=True)
+
+
+@register(
+    "trending_event_types",
+    """
+    WITH b AS (
+        SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600)
+                    AS TIMESTAMP) AS window_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY window_start ORDER BY n DESC, event_type
+           ) AS INT) AS rank
+    FROM b QUALIFY rank <= 3
+    """,
+)
+def q_trending_event_types(spark, sf_dir):
+    """Trending top-3 event types per 6-hour window — the "what's hot
+    right now" leaderboard: tumbling-window counts + a PER-WINDOW rank
+    (the window partitions by bucket, so the sort is per-group — no
+    global ordering at any scale; in streaming form the same plan runs
+    under a watermark). Spark's ``window()`` buckets align to the epoch,
+    which the twin states explicitly as floor(epoch/21600)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    counts = ev.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    rk = F.row_number().over(
+        W.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        counts.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "rank"
+        )
+    )
+
+
 def _mis_rings_sql(n_rounds: int = 14, min_n: int = 3) -> str:
     """Unrolled full REPLAY of Luby's MIS on the order rings: the md5
     priorities are byte-identical across engines, so DuckDB re-executes

@@ -1147,3 +1147,36 @@ class TestHITS:
     def test_hits_empty(self, spark):
         df = spark.createDataFrame([], "src long, dst long")
         assert algorithms.hits(df).count() == 0
+
+
+class TestAttributeAssortativity:
+    def test_perfect_homophily_is_one(self, spark):
+        from sna_pyspark_graphframes_spark.graph import metrics
+
+        e = edges_df(spark, [(1, 2), (3, 4)])
+        attrs = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id long, attr string"
+        )
+        r = metrics.attribute_assortativity(e, attrs).collect()[0]
+        assert (r.n_edges, r.trace, r.assortativity) == (4, 1.0, 1.0)
+
+    def test_perfect_disassortativity_is_minus_one(self, spark):
+        from sna_pyspark_graphframes_spark.graph import metrics
+
+        e = edges_df(spark, [(1, 2)])
+        attrs = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, attr string"
+        )
+        r = metrics.attribute_assortativity(e, attrs).collect()[0]
+        assert (r.trace, r.assortativity) == (0.0, -1.0)
+
+    def test_single_category_is_null(self, spark):
+        # all one category: 0/0 — NULL, matching NetworkX's nan
+        from sna_pyspark_graphframes_spark.graph import metrics
+
+        e = edges_df(spark, [(1, 2)])
+        attrs = spark.createDataFrame(
+            [(1, "a"), (2, "a")], "id long, attr string"
+        )
+        r = metrics.attribute_assortativity(e, attrs).collect()[0]
+        assert r.assortativity is None

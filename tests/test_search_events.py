@@ -258,3 +258,42 @@ class TestMadOutliers:
         )
         r = relational.mad_outliers(df, "x", "g").collect()[0]
         assert (r.n, r.median, r.mad, r.n_outliers) == (5, 7.0, 0.0, 0)
+
+
+class TestTrendingEventTypes:
+    def test_per_window_top3_with_ties(self, spark):
+        from datetime import datetime
+
+        from sna_pyspark_graphframes_spark import registry as R
+
+        # build via the registered fn's own logic on a tiny frame: two
+        # 6-hour buckets; bucket 1 has 4 types (one must drop), tie on
+        # count breaks by event_type ascending
+        rows = (
+            [(datetime(2024, 1, 1, 0, 5), t) for t in ["a", "a", "b", "b", "c", "d"]]
+            + [(datetime(2024, 1, 1, 7, 0), t) for t in ["x", "y"]]
+        )
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        counts = df.groupBy(F.window("ts", "6 hours").alias("w"), "event_type").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        rk = F.row_number().over(
+            W.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+        )
+        out = (
+            counts.withColumn("rank", rk.cast("int"))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("w.start").alias("ws"), "event_type", "n", "rank")
+            .collect()
+        )
+        got = {(r.ws.hour, r.event_type): (r.n, r.rank) for r in out}
+        assert got == {
+            (0, "a"): (2, 1),
+            (0, "b"): (2, 2),
+            (0, "c"): (1, 3),  # c beats d on the type tie-break; d drops
+            (6, "x"): (1, 1),
+            (6, "y"): (1, 2),
+        }
