@@ -69,7 +69,15 @@ def logreg_gd(
 
     One job per round; the input should be a column-pruned projection so
     the per-round scan reads exactly d+1 columns off parquet.
+
+    NULL contract (ADVICE r11): rows with a NULL feature or label are
+    DROPPED before training — the gradient SUMs would silently skip
+    them while ``n`` counted them, shrinking the effective learning
+    rate (and an all-NULL column would make the update raise). The
+    filter is a codegen predicate on the same scan, and ``n`` is
+    counted AFTER it, so gradient and denominator see the same rows.
     """
+    df = df.na.drop(subset=[*feature_cols, label_col])
     d = len(feature_cols) + 1
     w = [0.0] * d
     n = None
@@ -102,6 +110,7 @@ def logreg_gd_summary(
     the row count. One extra scan scores the model; weights enter it as
     literals like every training round."""
     w = logreg_gd(df, feature_cols, label_col, lr=lr, n_iter=n_iter, round_dp=round_dp)
+    df = df.na.drop(subset=[*feature_cols, label_col])  # logreg_gd's rows
     cols = [F.col(c).cast("double") for c in feature_cols]
     z = sum((F.lit(wi) * xi for wi, xi in zip(w[1:], cols)), F.lit(w[0]))
     pred = (z > 0).cast("double")

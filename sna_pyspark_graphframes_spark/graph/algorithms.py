@@ -43,6 +43,34 @@ from sna_pyspark_graphframes_spark.plans.hints import (  # noqa: E402
 LAST_STATS: dict[str, int] = {}
 
 
+def _resolve_init_ranks(init_ranks: DataFrame) -> tuple[str, str]:
+    """Resolve a pagerank/PPR continuation frame to its ``(id, rank)``
+    column names: by NAME when recognizable (``id``; ``pagerank`` /
+    ``rank`` / ``pr`` — pagerank() output plugs in directly), else by
+    position, with validation instead of silent misreads (ADVICE r11 —
+    a frame with an extra leading column used to be misinterpreted).
+    Raises ``ValueError`` on < 2 columns or a non-numeric rank column."""
+    from pyspark.sql.types import NumericType
+
+    icols = init_ranks.columns
+    if len(icols) < 2:
+        raise ValueError(
+            f"init_ranks needs >= 2 columns (id, rank); got {icols}"
+        )
+    iid = "id" if "id" in icols else icols[0]
+    named = [
+        c for c in icols
+        if c != iid and c.lower() in ("pagerank", "rank", "pr")
+    ]
+    ipr = named[0] if named else next(c for c in icols if c != iid)
+    if not isinstance(init_ranks.schema[ipr].dataType, NumericType):
+        raise ValueError(
+            f"init_ranks rank column {ipr!r} must be numeric; got "
+            f"{init_ranks.schema[ipr].dataType.simpleString()}"
+        )
+    return iid, ipr
+
+
 def _state_cadence(n_rows: int, refs_per_step: int = 1) -> int:
     """Checkpoint cadence for a superstep loop whose state is fed through
     ``_state_hinted``. When the state is broadcast-sized, each round's
@@ -1078,11 +1106,13 @@ def pagerank(
     if init_ranks is None:
         ranks = base.withColumn("pr", F.lit(1.0 / n))
     else:
-        # continuation state: (id, rank) by position — the second column
-        # is the rank regardless of its name (pagerank() output plugs in
-        # directly). Missing ids fall back to uniform so a partial init
-        # still covers every vertex.
-        iid, ipr = init_ranks.columns[:2]
+        # continuation state: resolve (id, rank) by NAME when the frame
+        # carries recognizable ones (pagerank() output plugs in
+        # directly), else by position — with validation so a frame whose
+        # first two columns are not (id, rank) is rejected instead of
+        # silently misread (ADVICE r11). Missing ids fall back to
+        # uniform so a partial init still covers every vertex.
+        iid, ipr = _resolve_init_ranks(init_ranks)
         ranks = base.join(
             _state_hinted(
                 init_ranks.select(
@@ -1308,9 +1338,9 @@ def personalized_pagerank(
     if init_ranks is None:
         ranks = base.withColumn("pr", F.col("r"))
     else:
-        # continuation state, by position (see pagerank); absent ids get
+        # continuation state (see _resolve_init_ranks); absent ids get
         # 0.0 — restart mass concentrates on the walk's reach
-        iid, ipr = init_ranks.columns[:2]
+        iid, ipr = _resolve_init_ranks(init_ranks)
         ranks = base.join(
             _state_hinted(
                 init_ranks.select(
@@ -1681,6 +1711,12 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     run is replayable: the oracle re-executes the rounds, not just
     properties of the output.
 
+    Drain contract (ADVICE r11): the result is maximal ONLY if the
+    active set drained; ``LAST_STATS["mis_rounds"]`` records the rounds
+    executed and ``LAST_STATS["mis_residual"]`` the active count at
+    exit — 0 means drained/maximal, >0 means ``max_iter`` truncated the
+    run (tests assert 0 on every fixture; callers at scale should too).
+
     Pipeline meaning: on a near-duplicate PAIRS graph this is the
     keep-MAXIMAL-set retention policy — the largest-possible mutually
     non-duplicate corpus — versus ``near_dup_clusters``' keep-one-per-
@@ -1708,10 +1744,12 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         lazy=True,
     )
     n = active.count()
+    LAST_STATS["mis_rounds"] = 0
     mis_parts: list[DataFrame] = []
     for rnd in range(1, max_iter + 1):
         if n == 0:
             break
+        LAST_STATS["mis_rounds"] = rnd
         # active-induced neighbor minimum (both endpoints must be active:
         # src via the final join back onto `active`, dst via this join)
         nb_min = (
@@ -1744,6 +1782,7 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             lazy=True,
         )
         n = active.count()  # drain check = the materializing action
+    LAST_STATS["mis_residual"] = int(n)  # 0 ⇔ the set is maximal
     sym.unpersist(blocking=False)  # every winners frame is checkpointed
     out = mis_parts[0] if mis_parts else edges.sparkSession.createDataFrame(
         [], "id long, round int"
@@ -1797,7 +1836,13 @@ def boruvka_mst(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     n = comp.count()
     out_parts: list[DataFrame] = []
+    # converged ⇔ a round found no inter-component edge (forest is
+    # SPANNING); False at exit means max_iter truncated the merge loop
+    # and the forest is partial (ADVICE r11 — recorded, tests assert).
+    LAST_STATS["mst_rounds"] = 0
+    LAST_STATS["mst_converged"] = False
     for _ in range(max_iter):
+        LAST_STATS["mst_rounds"] += 1
         cu = _state_hinted(
             comp.select(F.col("id").alias("src"), F.col("c").alias("cu")), n
         )
@@ -1827,6 +1872,7 @@ def boruvka_mst(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         picked = sel.select("src", "dst", "w").distinct()
         n_picked = picked.count()
         if n_picked == 0:
+            LAST_STATS["mst_converged"] = True
             break
         out_parts.append(picked)
         # contract: CC over the component graph of the selected edges
@@ -1860,6 +1906,10 @@ def greedy_matching(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     priorities make the whole run REPLAYABLE in the oracle, round by
     round.
 
+    Drain contract (ADVICE r11): maximal ONLY if the active edge set
+    drained — ``LAST_STATS["matching_rounds"]`` / ``["matching_residual"]``
+    record rounds executed and the active count at exit (0 ⇔ maximal).
+
     Pipeline meaning: maximal matching is the pairing step of
     coarsening/clustering pipelines (multilevel graph partitioning's
     heavy-edge matching, record-linkage one-to-one assignment).
@@ -1882,10 +1932,12 @@ def greedy_matching(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     )
     active = checkpointed(can.withColumn("pr", pr), lazy=True)
     n = active.count()
+    LAST_STATS["matching_rounds"] = 0
     out_parts: list[DataFrame] = []
     for rnd in range(1, max_iter + 1):
         if n == 0:
             break
+        LAST_STATS["matching_rounds"] = rnd
         ep = active.select(
             F.explode(F.array("src", "dst")).alias("v"), "src", "dst", "pr"
         )
@@ -1914,6 +1966,7 @@ def greedy_matching(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             lazy=True,
         )
         n = active.count()  # drain check = the materializing action
+    LAST_STATS["matching_residual"] = int(n)  # 0 ⇔ matching is maximal
     out = out_parts[0] if out_parts else edges.sparkSession.createDataFrame(
         [], "src long, dst long, round int"
     )

@@ -285,8 +285,15 @@ def mad_outliers(
     thresholds (probability ~n·ulp/range ≈ 1e-15 here). At 100 TB swap
     both percentiles to ``approx_percentile`` and the count to a
     tolerance twin (the ``approx_price_quantiles`` recipe) — same call
-    shape, one pass, mergeable sketches."""
-    g = F.col(group_col)
+    shape, one pass, mergeable sketches.
+
+    Degenerate groups (ADVICE r11): when a majority of a group's values
+    equal the median, MAD = 0 and the fence collapses to 0 — the
+    standard modified-z-score degeneracy: ANY deviation then counts as
+    an outlier here (strict ``>`` on a zero fence flags every row NOT
+    at the median). Callers wanting the opposite convention (flag
+    nothing when MAD = 0) should filter ``mad > 0``; a mean-abs-
+    deviation fallback would break the exact cross-engine twin."""
     med = df.groupBy(group_col).agg(
         F.percentile(value_col, F.lit(0.5)).alias("_med")
     )

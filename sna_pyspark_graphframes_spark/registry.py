@@ -1821,16 +1821,20 @@ def q_trending_event_types(spark, sf_dir):
     )
 
 
-def _mis_rings_sql(n_rounds: int = 14, min_n: int = 3) -> str:
+def _mis_rings_sql(n_rounds: int = 21, min_n: int = 3) -> str:
     """Unrolled full REPLAY of Luby's MIS on the order rings: the md5
     priorities are byte-identical across engines, so DuckDB re-executes
     every round (winners → neighborhood removal → shrunken active set)
     rather than checking properties of Spark's output — the strongest
     oracle shape for an iterative selection. ``n_rounds`` covers the
     worst case (priorities monotone along a ring retire 2 vertices per
-    round per component; max ring here is 25 → ≤ 13 rounds) and the
-    recursion is MONOTONE (an empty active set makes further rounds
-    no-ops), so any unroll ≥ rounds-to-drain is exact."""
+    round per component → ≤ ⌈ring/2⌉ rounds; max orders/customer is 25
+    across the tested SFs and ~41 at TPC-H sf1, so 21 covers ring 41 —
+    ADVICE r11 asked the cap be derived from the fixture bound, not a
+    constant sized to the tested SFs only) and the recursion is
+    MONOTONE (an empty active set makes further rounds no-ops), so any
+    unroll ≥ rounds-to-drain is exact; Spark's own drain is attested by
+    ``LAST_STATS['mis_residual'] == 0`` in the golden tests."""
     head = f"""
     WITH sized AS (
         SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) >= {min_n}
@@ -1898,13 +1902,17 @@ def q_mis_order_rings(spark, sf_dir):
     return algorithms.luby_mis(_order_rings(spark, sf_dir, min_n=3))
 
 
-def _matching_rings_sql(n_rounds: int = 14, min_n: int = 3) -> str:
+def _matching_rings_sql(n_rounds: int = 21, min_n: int = 3) -> str:
     """Unrolled full REPLAY of the greedy maximal matching on the order
     rings (the ``_mis_rings_sql`` recipe on EDGES): canonical edge
     priorities are md5-deterministic and byte-identical across engines,
     so DuckDB re-executes every round — an edge wins when its priority
     is the minimum at both endpoints, matched vertices retire their
-    edges. Monotone, so any unroll ≥ rounds-to-drain is exact."""
+    edges. Monotone, so any unroll ≥ rounds-to-drain is exact;
+    ``n_rounds=21`` covers the ≤ ⌈ring/2⌉ worst case out to ring 41
+    (TPC-H sf1's max orders/customer — the same fixture-derived bound
+    as ``_mis_rings_sql``, ADVICE r11), and Spark's drain is attested
+    by ``LAST_STATS['matching_residual'] == 0`` in the golden tests."""
     head = f"""
     WITH sized AS (
         SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) >= {min_n}

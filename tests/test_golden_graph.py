@@ -336,6 +336,37 @@ class TestPageRank:
         for k in full:
             assert cont[k] == pytest.approx(full[k], abs=1e-5)
 
+    def test_init_ranks_resolved_by_name_over_position(self, spark):
+        # ADVICE r11: a frame with an extra LEADING column used to be
+        # silently misread by position — named (id, pagerank) now win
+        e = edges_df(spark, STAR5)
+        ref = algorithms.pagerank(e, max_iter=5, tol=None)
+        base = as_map(
+            algorithms.pagerank(e, max_iter=5, tol=None, init_ranks=ref),
+            "id",
+            "pagerank",
+        )
+        shuffled = ref.select(
+            F.lit("x").alias("note"), "pagerank", "id"
+        )
+        got = as_map(
+            algorithms.pagerank(e, max_iter=5, tol=None, init_ranks=shuffled),
+            "id",
+            "pagerank",
+        )
+        assert got == base
+
+    def test_init_ranks_rejects_bad_frames(self, spark):
+        e = edges_df(spark, STAR5)
+        one_col = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match=">= 2 columns"):
+            algorithms.pagerank(e, init_ranks=one_col)
+        non_numeric = spark.createDataFrame(
+            [(1, "a")], "id long, pagerank string"
+        )
+        with pytest.raises(ValueError, match="must be numeric"):
+            algorithms.pagerank(e, init_ranks=non_numeric)
+
 
 class TestLubyMis:
     @staticmethod
@@ -394,6 +425,8 @@ class TestLubyMis:
             assert not (a in mis and b in mis)
         for v in adj:
             assert v in mis or adj[v] & mis
+        # drain contract (ADVICE r11): maximality holds ⇔ active drained
+        assert algorithms.LAST_STATS["mis_residual"] == 0
 
     def test_empty_graph(self, spark):
         out = algorithms.luby_mis(edges_df(spark, []))
@@ -454,6 +487,8 @@ class TestBoruvkaMst:
         E = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)]
         out = algorithms.boruvka_mst(edges_df(spark, E)).collect()
         assert len(out) == 7 - 2
+        # drain contract (ADVICE r11): spanning ⇔ a round picked nothing
+        assert algorithms.LAST_STATS["mst_converged"]
 
     def test_empty_graph(self, spark):
         out = algorithms.boruvka_mst(edges_df(spark, []))
@@ -512,6 +547,8 @@ class TestGreedyMatching:
         mv = set(used)
         for a, b in E:  # maximal: every edge touches a matched vertex
             assert a in mv or b in mv
+        # drain contract (ADVICE r11): maximality holds ⇔ active drained
+        assert algorithms.LAST_STATS["matching_residual"] == 0
 
     def test_empty_graph(self, spark):
         out = algorithms.greedy_matching(edges_df(spark, []))

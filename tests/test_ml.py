@@ -68,6 +68,21 @@ class TestLogregGD:
         assert rows["x1"].train_accuracy == pytest.approx(1.0)
         assert all(r.n == len(ROWS) for r in rows.values())
 
+    def test_null_rows_dropped_before_training(self, spark):
+        # ADVICE r11: NULL feature/label rows are dropped BEFORE the
+        # count, so the denominator matches the gradient's rows — the
+        # padded frame trains to exactly the clean frame's weights
+        padded = ROWS + [(None, 0.5, 1.0), (0.5, None, 0.0), (0.5, 0.5, None)]
+        df = spark.createDataFrame(padded, "x1 double, x2 double, y double")
+        got = ml.logreg_gd(df, ["x1", "x2"], "y", lr=1.0, n_iter=5)
+        assert got == _logreg_gd_py(ROWS)
+
+    def test_all_null_feature_column_returns_zero_weights(self, spark):
+        # every row dropped → the n==0 early exit, not a TypeError
+        rows = [(None, 0.5, 1.0), (None, 0.3, 0.0)]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+        assert ml.logreg_gd(df, ["x1", "x2"], "y") == [0.0, 0.0, 0.0]
+
     def test_empty_frame_returns_zero_weights(self, spark):
         df = spark.createDataFrame([], "x1 double, y double")
         assert ml.logreg_gd(df, ["x1"], "y") == [0.0, 0.0]
