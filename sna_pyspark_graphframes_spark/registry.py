@@ -2642,8 +2642,15 @@ def _betweenness_sql(
     the "approximate" path is hard-oracle-able); ``avg=True`` emits the
     1-row mean over UNROUNDED per-vertex scores (matching
     ``average_betweenness``, which averages before any rounding)."""
+    # Hash-ordered source sample (VERDICT r11 Next #5): lowest-id was a
+    # BIASED sample wherever id correlates with structure (it does on
+    # TPC-derived graphs); md5-of-id order is equally deterministic and
+    # oracle-able but uncorrelated with structure. md5, not xxhash64:
+    # the verdict named xxhash64, but DuckDB has no xxhash64 — md5 is
+    # the repo's byte-identical cross-engine hash device, same property.
     src_rel = (
-        f"(SELECT id FROM v ORDER BY id LIMIT {n_sources})"
+        f"(SELECT id FROM v ORDER BY md5(CAST(id AS VARCHAR)), id"
+        f" LIMIT {n_sources})"
         if n_sources
         else "v"
     )
@@ -3036,16 +3043,17 @@ def q_betweenness_sampled(spark, sf_dir):
     """Sampled-source Brandes (K=16 deterministic sources, n/K
     extrapolation) — the scale path for betweenness (SURVEY.md §2.2 M5).
     Upgraded from rows-only in r8: the source sample is DETERMINISTIC
-    (the 16 lowest vertex ids), so the "approximate" path hard-oracles
-    against the same two-phase CTE restricted to those sources with the
-    identical n/k scale — approximation here is source subsetting, not
-    randomness."""
+    (the 16 first vertices in md5(id) order — hash order is UNBIASED
+    where lowest-id was not, VERDICT r11 Next #5), so the "approximate"
+    path hard-oracles against the same two-phase CTE restricted to
+    those sources with the identical n/k scale — approximation here is
+    source subsetting, not randomness."""
     e = _small_copurchase(spark, sf_dir)
     sources = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .orderBy("id")
+        .orderBy(F.md5(F.col("id").cast("string")), "id")
         .limit(16)
     )
     bc = algorithms.betweenness_centrality(e, sources=sources)
