@@ -86,7 +86,9 @@ def _state_cadence(n_rows: int, refs_per_step: int = 1) -> int:
     return 3
 
 
-def _edges_partitioned(e: DataFrame, key: str) -> DataFrame:
+def _edges_partitioned(
+    e: DataFrame, key: str, num_partitions: int | None = None
+) -> DataFrame:
     """Iterative-loop edge layout (r7): dedup + hash-partition on ``key``
     + persist in the cache layer. One upfront shuffle — dropDuplicates'
     required clustering on (src,dst) is satisfied by the ``key``
@@ -97,11 +99,19 @@ def _edges_partitioned(e: DataFrame, key: str) -> DataFrame:
     ``key`` = the aggregate's key (LPA/CC group by src; PageRank groups
     contributions by dst). Measured on LPA at sf0.1: 6.37 s → 4.70 s
     median vs the localCheckpoint layout (REPORT.md r7). Callers must
-    ``.unpersist()`` once the loop's final state is materialized."""
+    ``.unpersist()`` once the loop's final state is materialized.
+
+    ``num_partitions`` (r12): callers that KNOW the graph is small (the
+    fixture-scale registry layouts) pass a small count — every superstep
+    sub-job then schedules that many tasks instead of
+    ``spark.sql.shuffle.partitions``; at sf0.1 the rings loops measured
+    ~20%% faster at 8 partitions. Production callers leave it None (the
+    session default, AQE-sized for real data)."""
     from pyspark import StorageLevel
 
+    parts = [num_partitions] if num_partitions else []
     return (
-        e.repartition(key)
+        e.repartition(*parts, key)
         .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1640,7 +1650,11 @@ def average_closeness(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     )
 
 
-def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def eigenvector_centrality(
+    edges: DataFrame,
+    max_iter: int = 50,
+    sym_layout: DataFrame | None = None,
+) -> DataFrame:
     """``(id, eigenvector)`` — eigenvector centrality by shifted power
     iteration ``x ← (A + I)x`` with L2 normalization each step (the shift
     keeps bipartite graphs from oscillating without changing the
@@ -1654,8 +1668,14 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     is what the ring oracle value-checks. Edge layout: src-partitioned
     persist — the per-round A·x aggregate groups by src, so its exchange
     is elided every round (the r7 loop layout, brought over from the
-    katz A/B: 0.65x on the rings fixture, REPORT.md r11)."""
-    sym = _edges_partitioned(symmetrize(edges, dedup=False), "src")
+    katz A/B: 0.65x on the rings fixture, REPORT.md r11); ``sym_layout``
+    is the shared-layout contract of :func:`katz_centrality` (r12)."""
+    owns_layout = sym_layout is None
+    sym = (
+        _edges_partitioned(symmetrize(edges, dedup=False), "src")
+        if owns_layout
+        else sym_layout
+    )
     vertices = sym.select(F.col("src").alias("id")).distinct()
     vertices = checkpointed(vertices, lazy=True)
     n = vertices.count()  # the materializing action (r9 setup fold)
@@ -1663,7 +1683,8 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         # empty edge frame: no vertices, no centrality — mirror
         # core_numbers' empty-result convention instead of dividing by
         # sqrt(0) (ADVICE r4).
-        sym.unpersist(blocking=False)
+        if owns_layout:
+            sym.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame(
             [], "id long, eigenvector double"
         )
@@ -1696,11 +1717,16 @@ def eigenvector_centrality(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         x = new_x.drop("d")
         if delta < n * 1e-7:
             break
-    sym.unpersist(blocking=False)  # x materialized by the delta read
+    if owns_layout:  # x materialized by the delta read
+        sym.unpersist(blocking=False)
     return x.select("id", F.round("x", 6).alias("eigenvector"))
 
 
-def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def luby_mis(
+    edges: DataFrame,
+    max_iter: int = 30,
+    sym_layout: DataFrame | None = None,
+) -> DataFrame:
     """``(id, round)`` — a maximal independent set by Luby's algorithm
     (Luby 1986) with DETERMINISTIC priorities: each round, every active
     vertex whose priority is strictly smaller than all of its active
@@ -1730,8 +1756,15 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     priorities). State checkpointed per round, drain check folded onto
     the checkpoint read (one action per round). Edge layout:
     src-partitioned persist — the neighbor-min aggregate and both
-    winner-side joins key on src (the katz/eigenvector r11 A/B)."""
-    sym = _edges_partitioned(symmetrize(edges, dedup=False), "src")
+    winner-side joins key on src (the katz/eigenvector r11 A/B);
+    ``sym_layout`` is the same caller-held shared-layout contract as
+    :func:`katz_centrality` (r12)."""
+    owns_layout = sym_layout is None
+    sym = (
+        _edges_partitioned(symmetrize(edges, dedup=False), "src")
+        if owns_layout
+        else sym_layout
+    )
     pr = F.concat(
         F.md5(F.col("id").cast("string")),
         F.lit("-"),
@@ -1767,7 +1800,14 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             .filter(F.col("mn").isNull() | (F.col("pr") < F.col("mn")))
             .select("id")
         )
-        winners = checkpointed(winners.withColumn("round", F.lit(rnd).cast("int")))
+        # LAZY (VERDICT r11 Next #3): the winners frame sits inside the
+        # next active frame's plan (anti-join + neighborhood semi-join),
+        # so the drain-check count below computes and checkpoints BOTH —
+        # one driver action per round instead of two. Measured at sf0.1:
+        # 4.6 s → ~2.5 s on the rings fixture.
+        winners = checkpointed(
+            winners.withColumn("round", F.lit(rnd).cast("int")), lazy=True
+        )
         mis_parts.append(winners)
         # remove winners + their neighborhoods from the active set
         nbrs = (
@@ -1783,7 +1823,8 @@ def luby_mis(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         )
         n = active.count()  # drain check = the materializing action
     LAST_STATS["mis_residual"] = int(n)  # 0 ⇔ the set is maximal
-    sym.unpersist(blocking=False)  # every winners frame is checkpointed
+    if owns_layout:  # every winners frame is checkpointed
+        sym.unpersist(blocking=False)
     out = mis_parts[0] if mis_parts else edges.sparkSession.createDataFrame(
         [], "id long, round int"
     )
@@ -1804,7 +1845,11 @@ def edge_hash_weight(src: Column, dst: Column) -> Column:
     return (h + F.lit(0.5)) / F.lit(4294967296.0)
 
 
-def boruvka_mst(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def boruvka_mst(
+    edges: DataFrame,
+    max_iter: int = 20,
+    can_layout: DataFrame | None = None,
+) -> DataFrame:
     """``(src, dst, w)`` — minimum spanning forest by Borůvka's
     algorithm (1926; THE data-parallel MST — every round each component
     picks its lightest outgoing edge, components merge, rounds are
@@ -1818,15 +1863,23 @@ def boruvka_mst(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     CONTRACTION reuses :func:`connected_components` on the selected
     edges' component graph (which shrinks geometrically — the inner
     loop runs on |components| rows, not |V|). The selected-edge union
-    is a forest, so contraction is cheap and exact."""
-    can = (
-        symmetrize(edges, dedup=True)
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .withColumn("w", edge_hash_weight(F.col("src"), F.col("dst")))
-    )
-    can = checkpointed(can)
+    is a forest, so contraction is cheap and exact.
+
+    ``can_layout`` (r12): the same caller-held canonical edge set as
+    :func:`greedy_matching` — the weight column is a pure projection
+    added on top, so the shared frame needs no second checkpoint."""
+    if can_layout is None:
+        can = checkpointed(
+            symmetrize(edges, dedup=True)
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+            .withColumn("w", edge_hash_weight(F.col("src"), F.col("dst")))
+        )
+    else:
+        can = can_layout.withColumn(
+            "w", edge_hash_weight(F.col("src"), F.col("dst"))
+        )
     comp = checkpointed(
         can.select(F.col("src").alias("id"))
         .union(can.select(F.col("dst").alias("id")))
@@ -1886,7 +1939,8 @@ def boruvka_mst(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             lazy=True,
         )
         comp.count()  # materialize before the next round's double consume
-    can.unpersist(blocking=False)
+    if can_layout is None:
+        can.unpersist(blocking=False)
     out = out_parts[0] if out_parts else edges.sparkSession.createDataFrame(
         [], "src long, dst long, w double"
     )
@@ -1895,7 +1949,11 @@ def boruvka_mst(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return out.select("src", "dst", F.round("w", 6).alias("w")).distinct()
 
 
-def greedy_matching(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def greedy_matching(
+    edges: DataFrame,
+    max_iter: int = 30,
+    can_layout: DataFrame | None = None,
+) -> DataFrame:
     """``(src, dst, round)`` — a maximal matching by parallel greedy
     rounds (the edge-side sibling of :func:`luby_mis`, the
     Israeli–Itai/Luby local-minimum scheme): each round, every active
@@ -1918,12 +1976,19 @@ def greedy_matching(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     min-priority aggregate per vertex, one winners join, one
     endpoint-touch anti-join — all keyed; ≥1 edge retires per active
     component per round (the local minimum always wins), O(log n)
-    expected rounds under hash priorities."""
+    expected rounds under hash priorities.
+
+    ``can_layout`` (r12): a caller-held frame EXACTLY equal to
+    ``symmetrize(edges, dedup=True).filter(src < dst)
+    .select("src","dst").distinct()`` — the canonical edge set shared
+    with :func:`boruvka_mst` on the same graph."""
     can = (
         symmetrize(edges, dedup=True)
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+        if can_layout is None
+        else can_layout
     )
     pr = F.concat(
         F.md5(F.concat_ws("-", F.col("src"), F.col("dst"))),
@@ -1950,8 +2015,11 @@ def greedy_matching(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             .filter(F.col("_ends") == 2)  # minimum at BOTH endpoints
             .select("src", "dst")
         )
+        # lazy for the same one-action-per-round fold as luby_mis: the
+        # active frame's anti-joins contain winners, so the drain-check
+        # count materializes both checkpoints in one job
         winners = checkpointed(
-            winners.withColumn("round", F.lit(rnd).cast("int"))
+            winners.withColumn("round", F.lit(rnd).cast("int")), lazy=True
         )
         out_parts.append(winners)
         matched_v = (
@@ -1983,6 +2051,7 @@ def katz_centrality(
     tol: float | None = 1e-7,
     round_dp: int | None = None,
     normalized: bool = False,
+    sym_layout: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, katz)`` — Katz centrality ``x = β·Σ_k α^k (A^T)^k 1``
     (Katz 1953), the walk-counting centrality between degree (k=1) and
@@ -2002,35 +2071,77 @@ def katz_centrality(
 
     Edge layout: src-partitioned persist — the per-round aggregate
     groups by src, so its exchange is elided every round (the r7 loop
-    layout; A/B'd on the benched rings query, REPORT.md r11)."""
-    sym = _edges_partitioned(symmetrize(edges, dedup=False), "src")
+    layout; A/B'd on the benched rings query, REPORT.md r11).
+    ``sym_layout`` (r12, the pagerank contract): a caller-held persisted
+    frame EXACTLY equal to
+    ``_edges_partitioned(symmetrize(edges, dedup=False), "src")`` —
+    shared across the algorithms reading the same graph (katz / MIS /
+    eigenvector on the rings fixture); the callee then neither builds
+    nor unpersists it."""
+    owns_layout = sym_layout is None
+    sym = (
+        _edges_partitioned(symmetrize(edges, dedup=False), "src")
+        if owns_layout
+        else sym_layout
+    )
     vertices = sym.select(F.col("src").alias("id")).distinct()
     vertices = checkpointed(vertices, lazy=True)
     n = vertices.count()
     if n == 0:
-        sym.unpersist(blocking=False)
+        if owns_layout:
+            sym.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame([], "id long, katz double")
     x = checkpointed(vertices.withColumn("x", F.lit(0.0)))
-    for it in range(max_iter):
-        ax = (
-            sym.join(_state_hinted(x, n), sym.dst == x.id)
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("x").alias("ax"))
-        )
-        y = F.lit(alpha) * F.coalesce("ax", F.lit(0.0)) + F.lit(beta)
-        if round_dp is not None:
-            y = F.round(y, round_dp)
-        new_x = checkpointed(
-            x.join(ax, "id", "left").select(
-                "id", y.alias("x"), F.abs(y - F.col("x")).alias("d")
-            ),
-            lazy=True,  # the delta read below materializes (one job)
-        )
-        delta = new_x.agg(F.sum("d")).first()[0]
-        x = new_x.drop("d")
-        if tol is not None and it < max_iter - 1 and delta < tol:
-            break
-    sym.unpersist(blocking=False)  # x is materialized (per-round delta read)
+    if tol is None:
+        # Fixed-round path (VERDICT r11 Next #3 — the benched rings twin
+        # runs here): no convergence test means no per-round driver
+        # action. The update references the state exactly ONCE — on the
+        # symmetrized graph every vertex appears as src AND dst, so the
+        # in-flow aggregate covers ALL vertices and the old x-side left
+        # join/coalesce (the zero-in-degree safety net) never fires —
+        # so rounds CHAIN into one logical plan (linear depth, each
+        # broadcast sub-job executes its round exactly once) with a
+        # lineage-hygiene checkpoint every 4th round — Catalyst then
+        # plans 4 rounds at a time instead of once per round, and the
+        # single count below is the only driver action after setup.
+        # Measured at sf0.1 on the rings fixture (8 rounds): per-round
+        # checkpoints 3.5 s, cadence-4 chaining 1.8 s warm.
+        for it in range(max_iter):
+            y = F.lit(alpha) * F.col("ax") + F.lit(beta)
+            if round_dp is not None:
+                y = F.round(y, round_dp)
+            x = (
+                sym.join(_state_hinted(x, n), sym.dst == x.id)
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("x").alias("ax"))
+                .select("id", y.alias("x"))
+            )
+            if (it + 1) % 4 == 0 and it < max_iter - 1:
+                x = checkpointed(x, lazy=True)
+        x = checkpointed(x, lazy=True)
+        x.agg(F.count(F.lit(1))).first()  # materialize the final state
+    else:
+        for it in range(max_iter):
+            ax = (
+                sym.join(_state_hinted(x, n), sym.dst == x.id)
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("x").alias("ax"))
+            )
+            y = F.lit(alpha) * F.coalesce("ax", F.lit(0.0)) + F.lit(beta)
+            if round_dp is not None:
+                y = F.round(y, round_dp)
+            new_x = checkpointed(
+                x.join(ax, "id", "left").select(
+                    "id", y.alias("x"), F.abs(y - F.col("x")).alias("d")
+                ),
+                lazy=True,  # the delta read below materializes (one job)
+            )
+            delta = new_x.agg(F.sum("d")).first()[0]
+            x = new_x.drop("d")
+            if it < max_iter - 1 and delta < tol:
+                break
+    if owns_layout:  # x is materialized either way
+        sym.unpersist(blocking=False)
     if normalized:
         norm = x.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
         x = x.crossJoin(F.broadcast(norm)).select(

@@ -1601,6 +1601,51 @@ def _order_rings(spark, sf_dir, min_n: int = 2):
     return chain.unionByName(wrap)
 
 
+def _rings_sym3(spark, sf_dir):
+    """Shared persisted src-partitioned symmetric layout of the min_n=3
+    order-rings graph (VERDICT r11 Next #3 — the `_copurchase_sym` rule
+    applied to the fixture family): katz / MIS / eigenvector all read
+    EXACTLY ``_edges_partitioned(symmetrize(rings, dedup=False), "src")``,
+    so the build (orders window + symmetrize + one shuffle + persist) is
+    paid once per (session, sf_dir) instead of once per query. 8
+    partitions: the graph is |orders|-sized by construction (~150 k rows
+    at sf0.1), so every superstep sub-job schedules 8 tasks instead of
+    32 — measured ~20% faster rounds; production graphs take the
+    default (see ``_edges_partitioned``)."""
+    return _memo(
+        spark,
+        sf_dir,
+        "rings_sym3",
+        lambda: algorithms._edges_partitioned(
+            algorithms.symmetrize(
+                _order_rings(spark, sf_dir, min_n=3), dedup=False
+            ),
+            "src",
+            num_partitions=8,
+        ),
+    )
+
+
+def _rings_can3(spark, sf_dir):
+    """Shared cached CANONICAL edge set (src < dst, distinct) of the
+    min_n=3 order-rings graph — the exact frame greedy_matching and
+    boruvka_mst build internally, shared per (session, sf_dir);
+    coalesced to 8 partitions for the same fixture-scale task-count
+    argument as ``_rings_sym3``."""
+    return _memo(
+        spark,
+        sf_dir,
+        "rings_can3",
+        lambda: algorithms.symmetrize(
+            _order_rings(spark, sf_dir, min_n=3), dedup=True
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .coalesce(8),
+    )
+
+
 def _order_cliques(spark, sf_dir, lo=3, hi=6):
     """Disjoint clique per customer (orders pairwise connected, canonical
     src < dst), customers with between ``lo`` and ``hi`` orders. A clique of
@@ -1732,7 +1777,9 @@ def q_eigenvector_order_rings(spark, sf_dir):
     to end. (2-rings are excluded: they collapse to degree-1 edges whose
     smaller eigenvalue makes their mass decay — see ``_order_rings``.)"""
     return algorithms.eigenvector_centrality(
-        _order_rings(spark, sf_dir, min_n=3), max_iter=8
+        _order_rings(spark, sf_dir, min_n=3),
+        max_iter=8,
+        sym_layout=_rings_sym3(spark, sf_dir),
     )
 
 
@@ -1923,7 +1970,10 @@ def q_mis_order_rings(spark, sf_dir):
     ``luby_mis``). HARD full-replay oracle: deterministic md5 priorities
     let DuckDB re-execute every round, value-checking both membership
     AND the round each vertex was selected in."""
-    return algorithms.luby_mis(_order_rings(spark, sf_dir, min_n=3))
+    return algorithms.luby_mis(
+        _order_rings(spark, sf_dir, min_n=3),
+        sym_layout=_rings_sym3(spark, sf_dir),
+    )
 
 
 def _matching_rings_sql(n_rounds: int = 21, min_n: int = 3) -> str:
@@ -2001,7 +2051,10 @@ def q_matching_order_rings(spark, sf_dir):
     algorithm (see ``greedy_matching``). HARD full-replay oracle, the
     ``mis_order_rings`` recipe on edges: membership AND selection round
     value-checked."""
-    return algorithms.greedy_matching(_order_rings(spark, sf_dir, min_n=3))
+    return algorithms.greedy_matching(
+        _order_rings(spark, sf_dir, min_n=3),
+        can_layout=_rings_can3(spark, sf_dir),
+    )
 
 
 @register(
@@ -2047,7 +2100,10 @@ def q_mst_order_rings(spark, sf_dir):
     Spark side runs the full component-contraction loop (lightest
     outgoing edge per component, ``connected_components`` contraction).
     The forest is unique because the weight order is total."""
-    return algorithms.boruvka_mst(_order_rings(spark, sf_dir, min_n=3))
+    return algorithms.boruvka_mst(
+        _order_rings(spark, sf_dir, min_n=3),
+        can_layout=_rings_can3(spark, sf_dir),
+    )
 
 
 def _katz_regular_value(
@@ -2089,6 +2145,7 @@ def q_katz_order_rings(spark, sf_dir):
         max_iter=8,
         tol=None,
         round_dp=6,
+        sym_layout=_rings_sym3(spark, sf_dir),
     )
 
 
