@@ -3846,6 +3846,144 @@ def _ivf_recall_sql(
     """
 
 
+def _clustered_embeddings(spark, sf_dir):
+    """Deterministic PLANTED-CLUSTER embedding fixture (VERDICT r11 Next
+    #2): ``cluster = vec_id % 7``, vector = 4.0 spike on the cluster
+    axis + U(-0.5, 0.5) noise from integer arithmetic
+    (``(vec_id·1103515245 + j·12345) mod 1000``) — every element is the
+    same IEEE double in Spark, DuckDB, and Python (integer ops are
+    exact; the single divide is correctly rounded identically), so the
+    whole fixture is expression-identical cross-engine. 7 clusters
+    because gcd(7, stride 40) = 1: the stride codebook's centroid ids
+    cycle through ALL clusters, so every cluster owns centroids at
+    every SF (13 lists at N=500 → ~2 per cluster). Spike 4 vs noise
+    ball radius ~2.3 puts same-cluster cosine ≈ 0.75 against
+    cross-cluster ≤ ~0.3 — clustered structure a coarse quantizer can
+    SEE, the designed counterpart of the near-orthogonal ``embeddings``
+    table where it cannot (``ivf_recall`` ≈ 0.2)."""
+    jj = F.sequence(F.lit(0), F.lit(63))
+    spike = lambda j: F.when(  # noqa: E731
+        j == F.col("vec_id") % 7, F.lit(4.0)
+    ).otherwise(F.lit(0.0))
+    noise = lambda j: (  # noqa: E731
+        (F.col("vec_id") * F.lit(1103515245) + j * F.lit(12345))
+        % F.lit(1000)
+    ) / F.lit(1000.0) - F.lit(0.5)
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(jj, lambda j: spike(j) + noise(j)).alias("embedding"),
+    )
+
+
+_CLUSTERED_V_SQL = """
+      SELECT vec_id AS id,
+             [CASE WHEN j = vec_id % 7 THEN 4.0 ELSE 0.0 END
+              + ((vec_id * 1103515245 + j * 12345) % 1000) / 1000.0 - 0.5
+              FOR j IN range(0, 64)] AS v
+      FROM embeddings"""
+
+
+def _ivf_recall_clustered_sql(stride: int = 40, k: int = 5, n_q: int = 100) -> str:
+    """Twin of ``ivf_recall_clustered`` — the ``_ivf_recall_sql`` body
+    over the planted-cluster fixture CTE, with ``n_probe`` computed by
+    the engine-side √nlist rule as a scalar subquery
+    (``GREATEST(2, ⌊√|c|⌋)``) so the twin tracks the Spark default at
+    every SF without a per-SF literal."""
+    return f"""
+    WITH v AS ({_CLUSTERED_V_SQL}),
+    c AS (SELECT id AS centroid_id, v AS cv FROM v WHERE id % {stride} = 0),
+    np AS (SELECT GREATEST(2, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS n_probe
+           FROM c),
+    assign AS (
+        SELECT v.id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.id
+                   ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 6) DESC,
+                            c.centroid_id ASC
+               ) AS probe_rank
+        FROM v CROSS JOIN c
+    ),
+    corpus AS (SELECT id AS neighbor_id, centroid_id FROM assign WHERE probe_rank = 1),
+    probes AS (SELECT id AS query_id, centroid_id FROM assign
+               WHERE probe_rank <= (SELECT n_probe FROM np) AND id < {n_q}),
+    cand AS (
+        SELECT DISTINCT p.query_id, s.neighbor_id
+        FROM probes p JOIN corpus s USING (centroid_id)
+        WHERE p.query_id <> s.neighbor_id
+    ),
+    ivf_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 4) DESC,
+                                neighbor_id ASC
+                   ) AS rank
+            FROM cand JOIN v a ON a.id = query_id JOIN v b ON b.id = neighbor_id
+        ) WHERE rank <= {k}
+    ),
+    ex_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.id AS query_id, s.id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, s.v), 4) DESC,
+                                s.id ASC
+                   ) AS rank
+            FROM v q JOIN v s ON q.id <> s.id
+            WHERE q.id < {n_q}
+        ) WHERE rank <= {k}
+    ),
+    perq AS (
+        SELECT e.query_id, COUNT(*) AS k_exact,
+               COUNT(i.neighbor_id) AS n_hit
+        FROM ex_top e LEFT JOIN ivf_top i
+          ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(n_hit * 1.0 / k_exact), 4) AS mean_recall_at_5,
+           CAST(SUM(CASE WHEN n_hit = k_exact THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_perfect
+    FROM perq
+    """
+
+
+@register("ivf_recall_clustered", _ivf_recall_clustered_sql())
+def q_ivf_recall_clustered(spark, sf_dir):
+    """Recall@5 of the IVF path on the PLANTED-CLUSTER fixture with the
+    √nlist ``n_probe`` default (VERDICT r11 Next #2): demonstrates the
+    index CAN hit recall ≥ 0.8 when the corpus has the cluster
+    structure a coarse quantizer assumes (measured 1.0 at all three
+    SFs), against ``ivf_recall``'s honest ≈0.2 on the near-orthogonal
+    table — together they are the ship/don't-ship decision pair for
+    this index family. Same hard cross-engine summary as
+    ``ivf_recall``; the golden test additionally asserts ≥ 0.8."""
+    emb = _clustered_embeddings(spark, sf_dir)
+    n_q = 100
+    exact = fsim.cosine_topk(
+        emb.filter(F.col("vec_id") < n_q), emb, k=5
+    ).select("query_id", "neighbor_id")
+    ivf = (
+        fsim.ivf_topk(emb, k=5, stride=40, n_probe=None)
+        .filter(F.col("query_id") < n_q)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    k_exact = exact.groupBy("query_id").agg(F.count("*").alias("k_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    per = k_exact.join(n_hit, "query_id", "left").fillna({"n_hit": 0})
+    return per.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg(F.col("n_hit") / F.col("k_exact")), 4).alias(
+            "mean_recall_at_5"
+        ),
+        F.sum((F.col("n_hit") == F.col("k_exact")).cast("long")).alias(
+            "n_perfect"
+        ),
+    )
+
+
 @register("ivf_recall", _ivf_recall_sql())
 def q_ivf_recall(spark, sf_dir):
     """Recall@5 of the IVF ANN path against brute-force ground truth on

@@ -212,6 +212,32 @@ class TestSimilarity:
         assert r3 >= r1
         assert r3 > 0.4  # probing 3 of 6 lists recovers a solid fraction
 
+    def test_ivf_recall_clustered_fixture_hits_080(self, spark, sf_dir):
+        """VERDICT r11 Next #2: on the planted-cluster fixture with the
+        √nlist n_probe default, IVF recall@5 must be ≥ 0.8 — the index
+        works when the structure it assumes exists."""
+        from sna_pyspark_graphframes_spark import registry
+
+        row = registry.REGISTRY["ivf_recall_clustered"].fn(
+            spark, sf_dir
+        ).collect()[0]
+        assert row.mean_recall_at_5 >= 0.8
+
+    def test_ivf_topk_default_n_probe_is_sqrt_nlist(self, spark):
+        """n_probe=None resolves to max(2, isqrt(nlist)) — the default
+        result equals the explicit-√nlist result."""
+        import random
+
+        rng = random.Random(11)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        # stride=20 over 120 contiguous ids -> nlist=6 -> n_probe=2
+        auto = {(r.query_id, r.neighbor_id, r.rank)
+                for r in fsim.ivf_topk(df, k=3, stride=20).collect()}
+        explicit = {(r.query_id, r.neighbor_id, r.rank)
+                    for r in fsim.ivf_topk(df, k=3, stride=20, n_probe=2).collect()}
+        assert auto == explicit
+
     def test_ivf_assign_stat_gate_matches_exact_k_rows(self, spark):
         """The r9 plan-statistics byte gate (no per-call count() job) must
         produce the identical assignment as an exact caller-supplied
