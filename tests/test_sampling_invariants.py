@@ -73,6 +73,44 @@ def test_walk_respects_community_size(spark, sf_dir):
 def test_walk_length_formula():
     assert sampling.walk_length(100, 0.0, 2.0) == 101
     assert sampling.walk_length(100, 0.5, 2.0) == 51
+
+
+def test_split_oversized_triggers_and_certificate_legs_hold(spark, sf_dir):
+    """VERDICT r11 Next #6 — the giant-community skew guard EXERCISED,
+    not just documented: on this graph LPA emits one giant community,
+    so max_community_size=50 forces >= 2 salted sub-labels (the
+    registered ``random_walk_sample_capped`` runs the same path with
+    cap 500 at sf0.01 -> 4 splits). The certificate legs are asserted
+    against the ORIGINAL labels: every parent community keeps >= 1
+    sampled vertex (each sub-walk visits its start) and the sample
+    stays within the vertex set."""
+    e = _edges(spark, sf_dir)
+    res_plain = sampling.sample_graph(e, alpha=2.0, max_iter=3, seed=42)
+    orig_labels = res_plain.labels
+    # the guard itself: sub-label count must exceed the original count
+    split = sampling.split_oversized_communities(
+        orig_labels.select("id", "label"), max_size=50
+    )
+    n_orig = orig_labels.select("label").distinct().count()
+    n_sub = split.select("label").distinct().count()
+    assert n_sub >= n_orig + 1  # >= 2 splits of at least one community
+    # end-to-end: capped sampler, coverage vs the ORIGINAL communities
+    res = sampling.sample_graph(
+        e, alpha=2.0, max_iter=3, seed=42, max_community_size=50
+    )
+    sampled = {r.id for r in res.sampled_vertices.collect()}
+    all_ids = {r.id for r in orig_labels.select("id").collect()}
+    assert sampled <= all_ids and len(sampled) > 0
+    uncovered = (
+        orig_labels.join(
+            res.sampled_vertices.withColumn("s", F.lit(1)), "id", "left"
+        )
+        .groupBy("label")
+        .agg(F.max("s").alias("hit"))
+        .filter(F.col("hit").isNull())
+        .count()
+    )
+    assert uncovered == 0  # every parent community keeps >= 1 vertex
     assert sampling.walk_length(10, 1.0, 5.0) == 2
 
 
