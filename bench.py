@@ -138,6 +138,13 @@ HEADLINE = [
     "matching_order_rings",
     "trending_event_types",
     "brand_assortativity",
+    # round-12 appends: one-pass OLS (normal equations + canonical Cramer
+    # twin), the Naive Bayes train/score pair, and the clustered-fixture
+    # IVF recall probe that closes the r11 recall story (VERDICT r11 #2).
+    "linreg_price_model",
+    "nb_lang_top_tokens",
+    "nb_doc_lang",
+    "ivf_recall_clustered",
 ]
 
 

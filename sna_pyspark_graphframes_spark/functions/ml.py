@@ -25,7 +25,7 @@ below the rounding quantum and never compound across rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -161,4 +161,227 @@ def calibration_buckets(
             F.round(F.avg("p"), 4).alias("mean_pred"),
             F.round(F.avg("y"), 4).alias("frac_pos"),
         )
+    )
+
+
+def linreg_normal(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    round_dp: int | None = 6,
+) -> list[float]:
+    """OLS linear regression solved by the normal equations in ONE pass —
+    the closed-form sibling of :func:`logreg_gd`: the d+1-dimensional
+    Gram matrix ``X^T X`` and moment vector ``X^T y`` are
+    (d+1)(d+2)/2 + (d+1) plain SUM aggregates (map-side partial — each
+    executor ships O(d²) doubles once, vs GD's one round-trip per
+    iteration), and the tiny symmetric system solves on the DRIVER by
+    Gaussian elimination with partial pivoting. Returns
+    ``[w_intercept, *w_features]``.
+
+    The aggregates are MEANS, not sums (scaling the normal equations by
+    1/n leaves the solution unchanged): means are magnitude-bounded by
+    the data, so ``round_dp`` rounding them before the solve makes the
+    solve a pure function of identical decimals in any engine — the GD
+    loop's per-round rounding argument, applied once. For d = 3
+    (2 features) the solve is the CANONICAL 3×3 Cramer expression —
+    written with the exact same expression tree a SQL twin states, so
+    the weights are bit-identical cross-engine, not merely close; other
+    d use Gaussian elimination with partial pivoting (same answer up to
+    fp). Rows with a NULL feature/label are dropped (the
+    :func:`logreg_gd` NULL contract). Singular/empty systems return
+    all-zero weights."""
+    df = df.na.drop(subset=[*feature_cols, label_col])
+    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    d = len(cols)
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.avg(cols[i] * cols[j]).alias(f"g{i}_{j}"))
+    for i in range(d):
+        aggs.append(F.avg(cols[i] * y).alias(f"b{i}"))
+    row = df.agg(*aggs).first()
+    if row["g0_0"] is None:  # no rows survived the NULL filter
+        return [0.0] * d
+
+    def _v(x: float) -> float:
+        return round(x, round_dp) if round_dp is not None else x
+
+    a = [[0.0] * d for _ in range(d)]
+    b = [0.0] * d
+    for i in range(d):
+        for j in range(i, d):
+            a[i][j] = a[j][i] = _v(row[f"g{i}_{j}"])
+        b[i] = _v(row[f"b{i}"])
+    if d == 3:
+        return _cramer3(a, b)
+    # Gaussian elimination, partial pivoting (d is tiny — driver math)
+    for k in range(d):
+        p = max(range(k, d), key=lambda r: abs(a[r][k]))
+        if abs(a[p][k]) < 1e-12:
+            return [0.0] * d  # singular design matrix
+        a[k], a[p] = a[p], a[k]
+        b[k], b[p] = b[p], b[k]
+        for r in range(k + 1, d):
+            f = a[r][k] / a[k][k]
+            for c in range(k, d):
+                a[r][c] -= f * a[k][c]
+            b[r] -= f * b[k]
+    w = [0.0] * d
+    for k in range(d - 1, -1, -1):
+        w[k] = (b[k] - sum(a[k][c] * w[c] for c in range(k + 1, d))) / a[k][k]
+    return w
+
+
+def _det3(m: list[list[float]]) -> float:
+    """3×3 determinant in the CANONICAL expression shape — the exact
+    parse tree the SQL twin states
+    (``a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g)``), so both
+    engines execute the identical IEEE operation sequence and the
+    result is bit-identical, not merely close."""
+    (a, b, c), (dd, e, f), (g, h, i) = m
+    return a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+
+
+def _cramer3(a: list[list[float]], b: list[float]) -> list[float]:
+    """Cramer's rule for the 3×3 normal system (see :func:`_det3` for
+    the cross-engine determinism contract)."""
+    det = _det3(a)
+    if det == 0.0 or abs(det) < 1e-300:
+        return [0.0, 0.0, 0.0]
+    cols = list(zip(*a))
+    ws = []
+    for i in range(3):
+        m = [list(c) for c in cols]
+        m[i] = list(b)
+        ws.append(_det3([list(r) for r in zip(*m)]) / det)
+    return ws
+
+
+def linreg_summary(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """``(feature, weight, r2, n)`` — one row per weight (``_intercept``
+    first) from :func:`linreg_normal`, each carrying the whole-run R²
+    (1 − SSE/SST over the training rows, the fitted weights entering as
+    literals) and the row count. One training scan + one scoring scan.
+    The weights are rounded BEFORE scoring so the R² scan consumes the
+    same decimals in any engine (the twin scores with the same rounded
+    literals)."""
+    w = linreg_normal(df, feature_cols, label_col, round_dp=round_dp)
+    w = [round(wi, round_dp) for wi in w]
+    df = df.na.drop(subset=[*feature_cols, label_col])
+    cols = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    pred = sum((F.lit(wi) * xi for wi, xi in zip(w[1:], cols)), F.lit(w[0]))
+    row = df.agg(
+        F.sum((y - pred) * (y - pred)).alias("sse"),
+        F.sum(y * y).alias("syy"),
+        F.sum(y).alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    n = row["n"]
+    sst = (row["syy"] - row["sy"] * row["sy"] / n) if n else 0.0
+    r2 = round(1.0 - row["sse"] / sst, 4) if sst else 0.0
+    names = ["_intercept"] + list(feature_cols)
+    return df.sparkSession.createDataFrame(
+        [
+            (name, round(float(wi), round_dp), float(r2), int(n))
+            for name, wi in zip(names, w)
+        ],
+        "feature string, weight double, r2 double, n long",
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained over whitespace tokens —
+    ``(label, token, log_prob)`` with Laplace smoothing
+    ``ln((count(token|class) + α) / (count(class) + α·|V|))``.
+
+    Training is pure counting: one explode + TWO hash aggregates (per
+    (class, token) counts; per-class totals) + the global vocabulary
+    size as a 1-row aggregate — everything map-side-combinable, the
+    cheapest possible distributed trainer (this is why NB is the
+    classic first classifier at corpus scale). log_prob is rounded to
+    6 dp so downstream score sums are sums of identical decimals in any
+    engine."""
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    ct = toks.groupBy("label", "token").agg(F.count("*").alias("n_lt"))
+    cl = toks.groupBy("label").agg(F.count("*").alias("n_l"))
+    vocab = toks.select("token").distinct().agg(
+        F.count("*").alias("v")
+    )
+    return (
+        ct.join(cl, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "token",
+            F.round(
+                F.log(
+                    (F.col("n_lt") + F.lit(alpha))
+                    / (F.col("n_l") + F.lit(alpha) * F.col("v"))
+                ),
+                6,
+            ).alias("log_prob"),
+        )
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, label, score)`` — each document's argmax Naive Bayes
+    class: score = prior log-prob + Σ token log-probs (UNSEEN tokens
+    contribute nothing — the equal-smoothing-mass-per-class term is a
+    per-doc constant shift that cannot change the argmax, and dropping
+    it keeps the score a plain inner join + sum).
+
+    ``model``: :func:`nb_train` output; ``priors``: ``(label,
+    log_prior)``. One explode + one (token, label) equi-join against
+    the (small, broadcastable) model + one per-(doc, label) sum + one
+    per-doc max — scores rounded to 4 dp before the argmax with label
+    as tie-break, the cross-engine ranking contract."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    scores = (
+        toks.join(F.broadcast(model), "token")
+        .groupBy("doc_id", "label")
+        .agg(F.sum("log_prob").alias("s"))
+        .join(F.broadcast(priors), "label")
+        .select(
+            "doc_id",
+            "label",
+            F.round(F.col("s") + F.col("log_prior"), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "label", "score")
     )

@@ -6799,6 +6799,192 @@ def q_logreg_calibration(spark, sf_dir):
     return fml.calibration_buckets(feats, ["x_qty", "x_disc", "x_tax"], "y", w)
 
 
+def _linreg_sql() -> str:
+    """Twin of ``linreg_price_model``: the same rounded MEANS feed the
+    same CANONICAL 3×3 Cramer expression (``_det3``'s exact parse tree,
+    stated verbatim below), so the weights are bit-identical across
+    engines before their own 6-dp rounding; R² then scores with the
+    ROUNDED weights as literals (1-row scalars, both engines)."""
+    det = (
+        "g00*(g11*g22 - g12*g12) - g01*(g01*g22 - g12*g02)"
+        " + g02*(g01*g12 - g11*g02)"
+    )
+    det0 = (
+        "b0*(g11*g22 - g12*g12) - g01*(b1*g22 - g12*b2)"
+        " + g02*(b1*g12 - g11*b2)"
+    )
+    det1 = (
+        "g00*(b1*g22 - g12*b2) - b0*(g01*g22 - g12*g02)"
+        " + g02*(g01*b2 - b1*g02)"
+    )
+    det2 = (
+        "g00*(g11*b2 - b1*g12) - g01*(g01*b2 - b1*g02)"
+        " + b0*(g01*g12 - g11*g02)"
+    )
+    return f"""
+    WITH s AS MATERIALIZED (
+        SELECT ROUND(AVG(1.0 * 1.0), 6) AS g00,
+               ROUND(AVG(1.0 * l_quantity), 6) AS g01,
+               ROUND(AVG(1.0 * l_discount), 6) AS g02,
+               ROUND(AVG(l_quantity * l_quantity), 6) AS g11,
+               ROUND(AVG(l_quantity * l_discount), 6) AS g12,
+               ROUND(AVG(l_discount * l_discount), 6) AS g22,
+               ROUND(AVG(1.0 * l_extendedprice), 6) AS b0,
+               ROUND(AVG(l_quantity * l_extendedprice), 6) AS b1,
+               ROUND(AVG(l_discount * l_extendedprice), 6) AS b2,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+    ),
+    w AS MATERIALIZED (
+        SELECT ROUND(({det0}) / ({det}), 6) AS w0,
+               ROUND(({det1}) / ({det}), 6) AS w1,
+               ROUND(({det2}) / ({det}), 6) AS w2,
+               n
+        FROM s
+    ),
+    sc AS MATERIALIZED (
+        SELECT ROUND(1.0 - SUM((l_extendedprice - (w.w0 + w.w1 * l_quantity
+                                 + w.w2 * l_discount))
+                               * (l_extendedprice - (w.w0 + w.w1 * l_quantity
+                                 + w.w2 * l_discount)))
+                     / (SUM(l_extendedprice * l_extendedprice)
+                        - SUM(l_extendedprice) * SUM(l_extendedprice)
+                          / (SELECT n FROM w)), 4) AS r2
+        FROM lineitem, w
+    )
+    SELECT '_intercept' AS feature, w0 AS weight, sc.r2 AS r2, n FROM w, sc
+    UNION ALL SELECT 'l_quantity', w1, sc.r2, n FROM w, sc
+    UNION ALL SELECT 'l_discount', w2, sc.r2, n FROM w, sc
+    """
+
+
+@register("linreg_price_model", _linreg_sql())
+def q_linreg_price_model(spark, sf_dir):
+    """OLS linear regression of extendedprice on quantity + discount,
+    trained in ONE pass by the normal equations — the closed-form
+    sibling of ``logreg_returnflag_gd``: the Gram/moment MEANS are one
+    scalar aggregate (map-side partial, each executor ships 9 doubles
+    total vs GD's per-round round-trip), the 3×3 solve happens on the
+    driver via the canonical Cramer expression, and R² is one scoring
+    scan with the rounded weights as literals. HARD oracle: rounded
+    means → bit-identical Cramer arithmetic → identical weights (see
+    ``_linreg_sql``); at 100 TB the plan is unchanged — d² doubles per
+    executor is the communication lower bound for exact OLS."""
+    li = _t(spark, sf_dir, "lineitem")
+    return fml.linreg_summary(
+        li, ["l_quantity", "l_discount"], "l_extendedprice"
+    )
+
+
+_NB_TOKS_SQL = r"""
+        SELECT lang AS label, tok AS token
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(tok)
+        WHERE tok <> ''
+"""
+
+
+@register(
+    "nb_lang_top_tokens",
+    f"""
+    WITH toks AS ({_NB_TOKS_SQL}),
+    ct AS (SELECT label, token, COUNT(*) AS n_lt FROM toks GROUP BY 1, 2),
+    cl AS (SELECT label, COUNT(*) AS n_l FROM toks GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+    m AS (
+        SELECT label, token,
+               ROUND(LN((n_lt + 1.0) / (n_l + 1.0 * v.v)), 6) AS log_prob
+        FROM ct JOIN cl USING (label), v
+    )
+    SELECT label, token, log_prob, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY log_prob DESC, token ASC) AS INT)
+            AS rank
+        FROM m
+    ) WHERE rank <= 3
+    """,
+)
+def q_nb_lang_top_tokens(spark, sf_dir):
+    """Multinomial Naive Bayes language model trained over document
+    tokens (label = ``lang``), emitting each class's top-3 tokens by
+    smoothed log-probability — the classic minimum-communication
+    distributed classifier: training is two hash aggregates + one 1-row
+    vocabulary count, everything map-side-combinable (``fml.nb_train``).
+    HARD oracle: counts are integers, the smoothed ratio divides
+    identical doubles, and LN differs across engines by ≤ 1 ulp — far
+    under the 6-dp rounding; rank ties break on token."""
+    from pyspark.sql import Window as W
+
+    model = fml.nb_train(_t(spark, sf_dir, "documents"), "text", "lang")
+    w = W.partitionBy("label").orderBy(
+        F.col("log_prob").desc(), F.col("token").asc()
+    )
+    return (
+        model.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("label", "token", "log_prob", "rank")
+    )
+
+
+@register(
+    "nb_doc_lang",
+    f"""
+    WITH toks AS ({_NB_TOKS_SQL}),
+    ct AS (SELECT label, token, COUNT(*) AS n_lt FROM toks GROUP BY 1, 2),
+    cl AS (SELECT label, COUNT(*) AS n_l FROM toks GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+    m AS (
+        SELECT label, token,
+               ROUND(LN((n_lt + 1.0) / (n_l + 1.0 * v.v)), 6) AS log_prob
+        FROM ct JOIN cl USING (label), v
+    ),
+    pr AS (
+        SELECT lang AS label,
+               ROUND(LN(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents)), 6)
+                   AS log_prior
+        FROM documents GROUP BY 1
+    ),
+    dtoks AS (
+        SELECT doc_id, tok AS token
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(tok)
+        WHERE tok <> '' AND doc_id < 200
+    ),
+    scores AS (
+        SELECT d.doc_id, m.label,
+               ROUND(SUM(m.log_prob) + ANY_VALUE(pr.log_prior), 4) AS score
+        FROM dtoks d JOIN m USING (token) JOIN pr ON pr.label = m.label
+        GROUP BY d.doc_id, m.label
+    )
+    SELECT doc_id, label, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rk
+        FROM scores
+    ) WHERE rk = 1
+    """,
+)
+def q_nb_doc_lang(spark, sf_dir):
+    """Naive Bayes scoring path: argmax class per document (first 200
+    doc_ids) under the ``nb_lang_top_tokens`` model + class priors —
+    one explode, one broadcast model join, one per-(doc, class) sum,
+    one per-doc argmax (``fml.nb_classify``). Scores are sums of 6-dp
+    log-probs rounded to 4 dp with label tie-break — the proven
+    cross-engine ranking contract."""
+    docs = _t(spark, sf_dir, "documents")
+    model = fml.nb_train(docs, "text", "lang")
+    tot = docs.agg(F.count("*").alias("t"))
+    priors = (
+        docs.groupBy(F.col("lang").alias("label"))
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            F.round(F.log(F.col("c") / F.col("t")), 6).alias("log_prior"),
+        )
+    )
+    return fml.nb_classify(docs.filter(F.col("doc_id") < 200), model, priors)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #

@@ -120,3 +120,112 @@ class TestCalibration:
         )
         fracs = [r.frac_pos for r in rows]
         assert fracs == sorted(fracs)  # positive rate rises with p
+
+
+class TestLinregNormal:
+    def test_recovers_exact_linear_relation(self, spark):
+        # y = 2 + 3*x1 - x2 exactly -> OLS returns the coefficients
+        rows = [
+            (x1 / 4.0, x2 / 3.0, 2.0 + 3.0 * x1 / 4.0 - x2 / 3.0)
+            for x1 in range(8)
+            for x2 in range(3)
+        ]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+        w = ml.linreg_normal(df, ["x1", "x2"], "y")
+        assert [round(v, 4) for v in w] == [2.0, 3.0, -1.0]
+
+    def test_differential_vs_pure_python_solve(self, spark):
+        # same rounded MEANS + the same canonical 3x3 Cramer expression
+        # (the cross-engine contract) -> exact equality
+        rows = [
+            (0.5, 1.5, 3.1), (1.0, 0.5, 2.2), (2.0, 2.5, 6.0),
+            (3.0, 1.0, 4.4), (0.0, 2.0, 3.5), (1.5, 3.0, 6.6),
+        ]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+        got = ml.linreg_normal(df, ["x1", "x2"], "y", round_dp=6)
+
+        def det3(m):
+            (a, b, c), (dd, e, f), (g, h, i) = m
+            return a*(e*i - f*h) - b*(dd*i - f*g) + c*(dd*h - e*g)
+
+        def py_solve(rows):
+            cols = [[1.0, r[0], r[1]] for r in rows]
+            ys = [r[2] for r in rows]
+            n = len(rows)
+            a = [[round(sum(c[i] * c[j] for c in cols) / n, 6)
+                  for j in range(3)] for i in range(3)]
+            b = [round(sum(c[i] * y for c, y in zip(cols, ys)) / n, 6)
+                 for i in range(3)]
+            det = det3(a)
+            ws = []
+            for i in range(3):
+                m = [row[:] for row in a]
+                for r in range(3):
+                    m[r][i] = b[r]
+                ws.append(det3(m) / det)
+            return ws
+
+        assert got == py_solve(rows)
+
+    def test_null_rows_dropped(self, spark):
+        rows = [(1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (None, 9.0), (4.0, None)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        w = ml.linreg_normal(df, ["x"], "y")
+        assert [round(v, 4) for v in w] == [1.0, 2.0]  # y = 1 + 2x
+
+    def test_singular_and_empty_return_zeros(self, spark):
+        df = spark.createDataFrame([], "x double, y double")
+        assert ml.linreg_normal(df, ["x"], "y") == [0.0, 0.0]
+        # constant feature duplicates the intercept column -> singular
+        dup = spark.createDataFrame(
+            [(1.0, 2.0), (1.0, 3.0)], "x double, y double"
+        )
+        assert ml.linreg_normal(dup, ["x"], "y") == [0.0, 0.0]
+
+    def test_summary_r2_perfect_fit(self, spark):
+        # x in 0..7: every mean (x, x², xy, y) is an exact decimal, so
+        # the 6-dp mean rounding is the identity and the fit is exact
+        rows = [(float(i), 1.0 + 2.0 * i) for i in range(8)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        out = {r.feature: r for r in ml.linreg_summary(df, ["x"], "y").collect()}
+        assert out["_intercept"].weight == 1.0
+        assert out["x"].weight == 2.0
+        assert out["x"].r2 == 1.0 and out["x"].n == 8
+
+
+class TestNaiveBayes:
+    DOCS = [
+        (0, "spark spark join", "a"),
+        (1, "spark window agg", "a"),
+        (2, "cat dog cat", "b"),
+        (3, "dog fish", "b"),
+    ]
+
+    def test_train_matches_hand_counts(self, spark):
+        import math
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string, label string")
+        model = {
+            (r.label, r.token): r.log_prob
+            for r in ml.nb_train(df, "text", "label").collect()
+        }
+        # class a: 6 tokens, class b: 5; vocab = 7 distinct tokens
+        assert model[("a", "spark")] == round(math.log((3 + 1) / (6 + 7)), 6)
+        assert model[("b", "cat")] == round(math.log((2 + 1) / (5 + 7)), 6)
+        # only seen (class, token) pairs are materialized
+        assert ("a", "cat") not in model
+
+    def test_classify_separable_corpus(self, spark):
+        import math
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string, label string")
+        model = ml.nb_train(df, "text", "label")
+        priors = spark.createDataFrame(
+            [("a", math.log(0.5)), ("b", math.log(0.5))],
+            "label string, log_prior double",
+        )
+        got = {
+            r.doc_id: r.label
+            for r in ml.nb_classify(df, model, priors).collect()
+        }
+        assert got == {0: "a", 1: "a", 2: "b", 3: "b"}
