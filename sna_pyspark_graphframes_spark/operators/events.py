@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,4 +80,46 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .distinct()
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov chain trained over per-user event sequences:
+    ``(from_type, to_type, n, p)`` where ``p = n / Σ_to n`` rounded to
+    6 dp — the transition-matrix estimator behind next-event prediction
+    and session simulation (the sequence-model sibling of the NB/
+    logreg/OLS trainers in ``functions/ml.py``).
+
+    One window pass (``lead`` over each user's (ts, id)-ordered events —
+    the id tie-break makes the sequence, and therefore the counts,
+    deterministic under duplicate timestamps) + two hash aggregates on
+    the tiny (from, to) key space. At 100 TB the window sort is the one
+    shuffle, keyed by user — the same layout every sessionization query
+    here already uses; state never leaves the JVM."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
     )

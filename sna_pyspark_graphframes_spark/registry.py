@@ -5797,6 +5797,35 @@ def q_event_funnel(spark, sf_dir):
 
 
 @register(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           ROUND(c.n * 1.0 / t.tot, 6) AS p
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def q_markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (``operators/events.markov_transitions``) — the
+    next-event sequence model trained in one window pass + two hash
+    aggregates. HARD oracle: the (ts, event_id) tie-break makes the
+    sequences deterministic, counts are integers, and p divides
+    identical longs."""
+    return oevents.markov_transitions(_t(spark, sf_dir, "events"))
+
+
+@register(
     "cohort_retention",
     """
     WITH first AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
