@@ -7092,77 +7092,93 @@ def q_nb_doc_lang(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _WINDOW = [
-    # --- (a) the 8 never-driver-checked oracle pairs (late-r10
-    # registrations that postdate the r10 window pin; VERDICT r10 Next
-    # #1). All were 3-SF green under the driver-mirror before pinning;
-    # span_dedup/event_props_variant/value_trend_by_type additionally
-    # carry this round's fixes (xxhash64 span keys, TRY_CAST twin,
-    # bit-identical regressor) re-verified at 3 SFs. ---
-    "ivf_topk_kmeans",
-    "span_dedup",
-    "approx_price_quantiles",
-    "event_props_variant",
-    "scd2_user_event_type",
-    "apply_changelog_users",
-    "value_trend_by_type",
-    "quantize_embeddings_int8",
-    # --- (b) the WHOLE r11 rotation debt: all 37 queries last
-    # driver-checked in round 7 (VERDICT r10 Next #1; list pinned in
-    # REPORT.md r10 "r11 rotation debt" — CORRECTNESS_r07 minus
-    # r08/r09 minus the r10 window). The similarity/hints refactor,
-    # shared sym layout, setup fold, and the two-phase dense_rekey all
-    # landed under several of these since r7; swept green at sf0.01
-    # under the current tree before this pin (REPORT.md r11). ---
-    "adjacency",
-    "aggmsg_neighbor_price",
-    "avg_closeness_small",
-    "betweenness_exact_small",
-    "betweenness_path",
-    "connected_components_twophase_small",
-    "copurchase_edges",
-    "customer_nation_edges",
-    "customer_order_left_join",
-    "dedup_exact",
-    "dense_rekey_nation",
-    "diameter_small",
-    "dup_ngram_coverage",
-    "edge_file_roundtrip",
-    "induced_subgraph_small_parts",
-    "json_roundtrip",
-    "k_core_small",
-    "link_prediction_small",
-    "lpa_cliques",
-    "motif_four_cycles_small",
-    "motif_open_wedges_small",
-    "motif_triangles_small",
-    "n_vertices",
-    "order_priority_counts",
-    "pagerank_dangling_pairs",
-    "pagerank_order_rings",
-    "part_name_tokens",
-    "part_type_rollup",
-    "parts_never_ordered",
-    "repetition_quality",
-    "revenue_per_nation",
-    "scan_project_filter",
-    "scc_order_rings",
-    "shuffle_shards",
-    "sql_shipping_priority",
-    "top_order_per_customer",
-    "vertices_from_edges",
-    # --- (c) sentinels on the paths r11 touched (VERDICT r10 Next #1's
-    # exact five): the PR/PPR ranking twin + tol=None hoist
-    # (pagerank_top20), the walk certificate + shared sym layout + the
-    # now-eagerly-materialized dense_rekey two-phase gate
-    # (random_walk_sample), the codebook gate's IVF consumer
-    # (ivf_topk — ivf_topk_kmeans in (a) covers the trained-codebook
-    # branch), the shared-layout triangle family (triangle_count), and
-    # the BPE merge loop (bpe_merges_small). ---
+    # =====================================================================
+    # ROUND-12 WINDOW (VERDICT r11 Next #1). Swept 50/50 green at sf0.01
+    # under the final r12 tree before this pin (the r11 pre-pin protocol).
+    # Composition: (a) every never-driver-attested pair — the declared 16
+    # r11 rotation debt plus the 5 r12-new registrations; (b) sentinels on
+    # every path r12 changed; (c) oldest-unchecked-first (the r8-last
+    # cohort), mechanism-diverse among the 44-way tie.
+    # =====================================================================
+    # --- (a1) the 16 r11 rotation-debt pairs (VERDICT r11 "What's
+    # missing" #1 — all were judge-verified green locally in r11, never in
+    # a driver window). Several additionally carry r12 changes: the
+    # logreg pair rides the NULL-drop contract, katz/MIS/matching/MST
+    # ride the chained-round/folded-action loops + shared rings layouts,
+    # pagerank_incremental rides the named init_ranks resolution + twin
+    # memo. ---
+    "logreg_returnflag_gd",
+    "logreg_calibration",
+    "kn_bigram_top",
+    "kn_doc_surprisal",
+    "mad_price_outliers",
+    "ivf_recall",
+    "katz_order_rings",
+    "mis_order_rings",
+    "matching_order_rings",
+    "mst_order_rings",
+    "pit_purchase_state",
+    "unigram_viterbi_top100",
+    "user_activity_decay",
+    "trending_event_types",
+    "brand_assortativity",
+    "pagerank_incremental_top20",
+    # --- (a2) the 5 r12-new pairs (each 3-SF green + placement-
+    # independence-checked before registration, the r10 protocol):
+    # clustered-fixture IVF recall (VERDICT r11 Next #2), one-pass OLS
+    # with the canonical Cramer twin, the Naive Bayes train/score pair,
+    # and the Markov transition trainer. ---
+    "ivf_recall_clustered",
+    "linreg_price_model",
+    "nb_lang_top_tokens",
+    "nb_doc_lang",
+    "markov_event_transitions",
+    # --- (b) sentinels on the paths r12 touched: betweenness_sampled's
+    # OUTPUT changed (md5-ordered unbiased source sample, VERDICT r11
+    # Next #5); pagerank_top20/ppr_top20 ride the session twin-memo +
+    # _resolve_init_ranks (Next #4 / ADVICE); eigenvector_order_rings
+    # rides the shared rings sym layout + sym_layout param (Next #3);
+    # ivf_topk rides the n_probe-resolution branch (Next #2);
+    # random_walk_sample_capped re-attests the skew guard the round
+    # closed with a forcing test (Next #6). ---
+    "betweenness_sampled",
     "pagerank_top20",
-    "random_walk_sample",
+    "ppr_top20",
+    "eigenvector_order_rings",
     "ivf_topk",
-    "triangle_count",
-    "bpe_merges_small",
+    "random_walk_sample_capped",
+    # --- (c) oldest-unchecked-first: 23 of the 44 r8-last queries
+    # (nothing is older), mechanism-diverse across the tie — relational
+    # stats, degree metrics, LM surprisal, BM25, bucketed join, cohort
+    # retention, CC loop + count, peel, assortativity, double-sweep BFS,
+    # corpus chunking, HLL effective diameter, embedding dedup, gap-fill,
+    # the GraphFrames facade, hash split, inverted index, lang-id, exact
+    # LPA, multimodal featurize, the approx-count tolerance twin, and
+    # the jaccard floor pinned this round. The 21 r8-last queries not
+    # taken here are the declared r13 rotation debt (REPORT.md r12). ---
+    "acctbal_stats",
+    "avg_degree",
+    "bigram_surprisal",
+    "bm25_search",
+    "bucketed_colocated_join",
+    "cohort_retention",
+    "connected_components",
+    "connected_components_count",
+    "core_numbers_small",
+    "degree_assortativity",
+    "diameter_double_sweep_small",
+    "doc_chunks",
+    "effective_diameter_small",
+    "embedding_near_dup",
+    "event_hourly_gap_fill",
+    "graphframe_filter_degrees",
+    "hash_split",
+    "inverted_index",
+    "lang_id",
+    "lpa_labels_exact",
+    "multimodal_featurize",
+    "n_parts_approx",
+    "ngram_jaccard",
 ]
 
 
