@@ -589,6 +589,44 @@ def q_n_parts_approx(spark, sf_dir):
     )
 
 
+@register(
+    "window_distinct_users_approx",
+    """
+    SELECT to_timestamp(FLOOR(epoch(ts) / 21600) * 21600)::TIMESTAMP
+               AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+               <= 0.05 * COUNT(DISTINCT user_id) AS within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def q_window_distinct_users_approx(spark, sf_dir):
+    """Distinct users per 6-hour tumbling window via HLL++ — the
+    ``n_parts_approx`` tolerance-twin recipe applied PER WINDOW (the
+    shape a streaming dashboard's cardinality panel runs at 100 TB:
+    mergeable sketches per window, no exact-distinct shuffle; here the
+    batch equivalent). Exact counts are the hard cross-engine values;
+    each engine's own sketch asserts its ±5% boolean. Spark ``window``
+    buckets are epoch-aligned, which the twin states explicitly (the
+    ``trending_event_types`` convention — CAST to naive TIMESTAMP for
+    DuckDB's TIMESTAMPTZ-returning to_timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            exact.cast("long").alias("n_users_exact"),
+            (F.abs(approx - exact) <= 0.05 * exact).alias("within_5pct"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_users_exact",
+            "within_5pct",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Graph construction (SURVEY.md §2.1 #1-8, #15-17, #25-26)
 # ---------------------------------------------------------------------------
