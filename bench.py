@@ -145,6 +145,8 @@ HEADLINE = [
     "nb_lang_top_tokens",
     "nb_doc_lang",
     "ivf_recall_clustered",
+    "markov_event_transitions",
+    "window_distinct_users_approx",
 ]
 
 
