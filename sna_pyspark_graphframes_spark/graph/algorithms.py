@@ -2150,6 +2150,110 @@ def katz_centrality(
     return x.select("id", F.round("x", 6).alias("katz"))
 
 
+def label_spreading(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_classes: int = 2,
+    alpha: float = 0.8,
+    max_iter: int = 6,
+    round_dp: int | None = 6,
+    sym_layout: DataFrame | None = None,
+) -> DataFrame:
+    """``(id, f0..f{k-1}, label)`` — semi-supervised label spreading
+    (Zhou et al., "Learning with local and global consistency",
+    NeurIPS 2004), the random-walk-normalized variant:
+    ``F ← α·D⁻¹A·F + (1−α)·Y`` from ``F₀ = Y``, where Y one-hot-encodes
+    the seed labels. The semi-supervised member of the training family
+    (supervised :mod:`functions.ml` logreg/NB/OLS, unsupervised
+    k-means): a handful of labeled examples propagate over a similarity
+    graph — on a near-duplicate or co-occurrence graph this is
+    weak-label expansion for corpus curation. ``label`` is the 6-dp
+    argmax with class-ascending tie-break (unreached vertices score 0
+    everywhere and take class 0 — callers filter on score if they need
+    abstention).
+
+    Loop shape = :func:`katz_centrality`'s fixed-round path: the state
+    is referenced exactly ONCE per round (the neighbor-sum aggregate;
+    Y and deg ride a checkpointed base frame), so rounds chain with a
+    lineage checkpoint every 4th. Determinism is STRONGER than the
+    pagerank ``round_dp`` recipe: with ``round_dp`` set, the state is
+    kept in INTEGER micro-units (scale = 10^round_dp), so the per-round
+    neighbor SUM is a sum of longs — exact and summation-ORDER-
+    independent — and the single fp expression per round
+    (α·s/deg + (1−α)·y, then round-to-integer) evaluates on identical
+    inputs in any engine and under any partitioning: the trajectory is
+    placement-exact, not merely rounding-absorbed (a double-state
+    variant measured 6th-decimal flips under a 7-partition layout).
+    ``seeds``: ``(id, class)`` with class in ``[0, n_classes)``."""
+    owns_layout = sym_layout is None
+    sym = (
+        _edges_partitioned(symmetrize(edges, dedup=False), "src")
+        if owns_layout
+        else sym_layout
+    )
+    fcols = [f"f{c}" for c in range(n_classes)]
+    scale = 10 ** round_dp if round_dp is not None else None
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    one = F.lit(scale).cast("long") if scale else F.lit(1.0)
+    onehot = seeds.select(
+        "id",
+        *[
+            F.when(F.col("class") == c, one).otherwise(
+                F.lit(0).cast("long") if scale else F.lit(0.0)
+            ).alias(f"y{c}")
+            for c in range(n_classes)
+        ],
+    )
+    base = checkpointed(
+        deg.join(onehot, "id", "left").fillna(
+            {f"y{c}": 0 for c in range(n_classes)}
+        ),
+        lazy=True,
+    )
+    n = base.count()
+    if n == 0:
+        if owns_layout:
+            sym.unpersist(blocking=False)
+        schema = "id long, " + ", ".join(f"{f} double" for f in fcols)
+        return edges.sparkSession.createDataFrame([], schema + ", label int")
+    state = base.select(
+        "id", *[F.col(f"y{c}").alias(f"f{c}") for c in range(n_classes)]
+    )
+    for it in range(max_iter):
+        agg = (
+            sym.join(_state_hinted(state, n), sym.dst == state.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(*[F.sum(f).alias(f"s{c}") for c, f in enumerate(fcols)])
+        )
+        upd = []
+        for c in range(n_classes):
+            e = F.lit(alpha) * F.coalesce(
+                F.col(f"s{c}"), F.lit(0)
+            ) / F.col("deg") + F.lit(1.0 - alpha) * F.col(f"y{c}")
+            if scale:
+                e = F.round(e, 0).cast("long")
+            upd.append(e.alias(f"f{c}"))
+        state = base.join(agg, "id", "left").select("id", *upd)
+        if (it + 1) % 4 == 0 and it < max_iter - 1:
+            state = checkpointed(state, lazy=True)
+    state = checkpointed(state, lazy=True)
+    state.agg(F.count(F.lit(1))).first()  # materialize the final state
+    if owns_layout:
+        sym.unpersist(blocking=False)
+    label = F.lit(0)
+    best = F.col("f0")
+    for c in range(1, n_classes):
+        label = F.when(F.col(f"f{c}") > best, c).otherwise(label)
+        best = F.greatest(best, F.col(f"f{c}"))
+    out_f = [
+        (F.col(f) / F.lit(float(scale))).alias(f) if scale else F.col(f)
+        for f in fcols
+    ]
+    return state.select("id", *out_f, label.cast("int").alias("label"))
+
+
 def harmonic_centrality(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     """``(id, harmonic)`` — harmonic centrality ``Σ_{u≠v} 1/d(v,u)``
     (Boldi & Vigna, "Axioms for centrality", 2014 — the closeness variant

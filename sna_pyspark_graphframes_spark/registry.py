@@ -3172,6 +3172,78 @@ def q_pagerank_incremental(spark, sf_dir):
     return _top20_with_agreement(ref, prod)
 
 
+def _label_spreading_sql(
+    n_rounds: int = 6, alpha: float = 0.8, dp: int = 6
+) -> str:
+    """Twin of ``label_spreading_small``: the pagerank/hits unrolled-CTE
+    recipe with the INTEGER micro-unit state (scale = 10^dp) — the
+    per-round neighbor SUM is a sum of BIGINTs (exact, order-free), the
+    one fp expression per round evaluates on identical inputs, so the
+    twin is value-exact under any partitioning on either engine."""
+    scale = 10 ** dp
+    head = f"""
+    WITH {_SMALL_CTES},
+    degt AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+    base AS (
+        SELECT v.id, degt.deg,
+               CAST(CASE WHEN v.id % 20 = 0 THEN {scale} ELSE 0 END
+                    AS BIGINT) AS y0,
+               CAST(CASE WHEN v.id % 10 = 0 AND v.id % 20 <> 0
+                    THEN {scale} ELSE 0 END AS BIGINT) AS y1
+        FROM v JOIN degt USING (id)
+    ),
+    p0 AS (SELECT id, y0 AS f0, y1 AS f1 FROM base)"""
+    parts = [head]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+    p{r} AS MATERIALIZED (
+        SELECT b.id,
+               CAST(ROUND({alpha} * COALESCE(a.s0, 0) / b.deg
+                     + {1.0 - alpha} * b.y0, 0) AS BIGINT) AS f0,
+               CAST(ROUND({alpha} * COALESCE(a.s1, 0) / b.deg
+                     + {1.0 - alpha} * b.y1, 0) AS BIGINT) AS f1
+        FROM base b LEFT JOIN (
+            SELECT s.src AS id, SUM(p.f0) AS s0, SUM(p.f1) AS s1
+            FROM sym s JOIN p{r - 1} p ON p.id = s.dst
+            GROUP BY 1
+        ) a USING (id)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id, f0 / {float(scale)} AS f0, f1 / {float(scale)} AS f1,
+           CAST(CASE WHEN f1 > f0 THEN 1 ELSE 0 END AS INT) AS label
+    FROM p{n_rounds}"""
+    )
+    return "".join(parts)
+
+
+@register("label_spreading_small", _label_spreading_sql())
+def q_label_spreading_small(spark, sf_dir):
+    """Semi-supervised label spreading on the small co-purchase
+    subgraph: seeds are the id-divisible-by-10 vertices (class =
+    parity of the tens digit), 6 rounds of α·D⁻¹A·F + (1−α)·Y at
+    α=0.8 with per-round 6-dp rounding — the pagerank ``round_dp``
+    recipe lifted to a 2-column state, value-checked per vertex AND
+    per class score against the unrolled twin. Completes the training
+    family: supervised (logreg/NB/OLS), unsupervised (k-means),
+    semi-supervised (this)."""
+    e = _small_copurchase(spark, sf_dir)
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = vertices.filter(F.col("id") % 10 == 0).select(
+        "id",
+        F.when(F.col("id") % 20 == 0, 0).otherwise(1).alias("class"),
+    )
+    return algorithms.label_spreading(
+        e, seeds, n_classes=2, alpha=0.8, max_iter=6, round_dp=6
+    )
+
+
 @register("betweenness_sampled", _betweenness_sql(n_sources=16))
 def q_betweenness_sampled(spark, sf_dir):
     """Sampled-source Brandes (K=16 deterministic sources, n/K

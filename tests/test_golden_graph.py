@@ -1217,3 +1217,40 @@ class TestAttributeAssortativity:
         )
         r = metrics.attribute_assortativity(e, attrs).collect()[0]
         assert r.assortativity is None
+
+
+class TestLabelSpreading:
+    def test_two_components_adopt_their_seed_class(self, spark):
+        # disjoint triangles, one seed each -> every member classified
+        # by its component's seed; scores stay in [0, 1]
+        E = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+        seeds = spark.createDataFrame([(1, 0), (10, 1)], "id long, class int")
+        out = {
+            r.id: r
+            for r in algorithms.label_spreading(
+                edges_df(spark, E), seeds, n_classes=2
+            ).collect()
+        }
+        assert {v: out[v].label for v in (1, 2, 3)} == {1: 0, 2: 0, 3: 0}
+        assert {v: out[v].label for v in (10, 11, 12)} == {10: 1, 11: 1, 12: 1}
+        for r in out.values():
+            assert 0.0 <= r.f0 <= 1.0 and 0.0 <= r.f1 <= 1.0
+
+    def test_unseeded_component_scores_zero_class_zero(self, spark):
+        E = [(1, 2), (10, 11)]
+        seeds = spark.createDataFrame([(1, 1)], "id long, class int")
+        out = {
+            r.id: r
+            for r in algorithms.label_spreading(
+                edges_df(spark, E), seeds, n_classes=2
+            ).collect()
+        }
+        assert out[10].f0 == 0.0 and out[10].f1 == 0.0
+        assert out[10].label == 0  # tie -> class 0 (documented abstention)
+        assert out[2].label == 1
+
+    def test_empty_graph(self, spark):
+        seeds = spark.createDataFrame([], "id long, class int")
+        out = algorithms.label_spreading(edges_df(spark, []), seeds)
+        assert out.columns == ["id", "f0", "f1", "label"]
+        assert out.count() == 0
