@@ -7243,6 +7243,11 @@ _WINDOW = [
     "nb_lang_top_tokens",
     "nb_doc_lang",
     "markov_event_transitions",
+    # (late-r12 registrations, swapped in for two (c) slots — never-
+    # attested outranks oldest-unchecked, rule (a)): the per-window HLL
+    # tolerance twin and the integer-state label spreading.
+    "window_distinct_users_approx",
+    "label_spreading_small",
     # --- (b) sentinels on the paths r12 touched: betweenness_sampled's
     # OUTPUT changed (md5-ordered unbiased source sample, VERDICT r11
     # Next #5); pagerank_top20/ppr_top20 ride the session twin-memo +
@@ -7264,10 +7269,11 @@ _WINDOW = [
     # corpus chunking, HLL effective diameter, embedding dedup, gap-fill,
     # the GraphFrames facade, hash split, inverted index, lang-id, exact
     # LPA, multimodal featurize, the approx-count tolerance twin, and
-    # the jaccard floor pinned this round. The 21 r8-last queries not
-    # taken here are the declared r13 rotation debt (REPORT.md r12). ---
+    # the jaccard floor pinned this round. The 23 r8-last queries not
+    # taken here (avg_degree and doc_chunks ceded their slots to the two
+    # late-r12 never-attested pairs above) are the declared r13 rotation
+    # debt (REPORT.md r12). ---
     "acctbal_stats",
-    "avg_degree",
     "bigram_surprisal",
     "bm25_search",
     "bucketed_colocated_join",
@@ -7277,7 +7283,6 @@ _WINDOW = [
     "core_numbers_small",
     "degree_assortativity",
     "diameter_double_sweep_small",
-    "doc_chunks",
     "effective_diameter_small",
     "embedding_near_dup",
     "event_hourly_gap_fill",
