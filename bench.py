@@ -147,6 +147,7 @@ HEADLINE = [
     "ivf_recall_clustered",
     "markov_event_transitions",
     "window_distinct_users_approx",
+    "label_spreading_small",
 ]
 
 

@@ -1803,8 +1803,9 @@ def luby_mis(
         # LAZY (VERDICT r11 Next #3): the winners frame sits inside the
         # next active frame's plan (anti-join + neighborhood semi-join),
         # so the drain-check count below computes and checkpoints BOTH —
-        # one driver action per round instead of two. Measured at sf0.1:
-        # 4.6 s → ~2.5 s on the rings fixture.
+        # one driver action per round instead of two (sf0.1 bench line
+        # 4.9 → 3.2-3.9 s together with the shared rings layout;
+        # host-noise band ±30%, REPORT r12).
         winners = checkpointed(
             winners.withColumn("round", F.lit(rnd).cast("int")), lazy=True
         )
@@ -2104,8 +2105,10 @@ def katz_centrality(
         # lineage-hygiene checkpoint every 4th round — Catalyst then
         # plans 4 rounds at a time instead of once per round, and the
         # single count below is the only driver action after setup.
-        # Measured at sf0.1 on the rings fixture (8 rounds): per-round
-        # checkpoints 3.5 s, cadence-4 chaining 1.8 s warm.
+        # Measured at sf0.1 on the rings fixture (8 rounds), interleaved
+        # A/B including the layout build: old shape 4.3-4.4 s → this
+        # shape 2.9-3.3 s (bench-context line ~4.5 s under host
+        # contention; REPORT r12).
         for it in range(max_iter):
             y = F.lit(alpha) * F.col("ax") + F.lit(beta)
             if round_dp is not None:
