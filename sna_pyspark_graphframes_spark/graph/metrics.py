@@ -506,6 +506,56 @@ def rich_club_coefficient(
     )
 
 
+def average_neighbor_degree(
+    edges: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
+    """``(id, avg_nbr_degree)`` — mean degree of each vertex's
+    neighbors (NetworkX ``average_neighbor_degree``, undirected). One
+    symmetrize + one degree equi-join + one keyed mean; the per-vertex
+    value is an exact integer ratio, rounded to 6 dp."""
+    deg = deg if deg is not None else degrees(edges)
+    sym = symmetrize(edges, dedup=True)
+    nbr_deg = deg.select(
+        F.col("id").alias("dst"), F.col("degree").alias("d_nbr")
+    )
+    return (
+        sym.join(nbr_deg, "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.round(F.avg("d_nbr"), 6).alias("avg_nbr_degree"))
+    )
+
+
+def knn_by_degree(
+    edges: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
+    """``(k, n_vertices, knn)`` — the degree-correlation function
+    k_nn(k) (Pastor-Satorras, Vázquez & Vespignani 2001): the mean of
+    per-vertex average-neighbor-degree over the vertices of each degree
+    class k. The scalar curve behind assortativity — rising knn(k) =
+    assortative mixing, falling = hubs attach to leaves
+    (``degree_assortativity`` is its one-number summary). Plan: the
+    :func:`average_neighbor_degree` join + TWO keyed aggregates; the
+    output is O(max degree) rows."""
+    deg = deg if deg is not None else degrees(edges)
+    sym = symmetrize(edges, dedup=True)
+    nbr_deg = deg.select(
+        F.col("id").alias("dst"), F.col("degree").alias("d_nbr")
+    )
+    per_vertex = (
+        sym.join(nbr_deg, "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.avg("d_nbr").alias("and_"))
+    )
+    return (
+        per_vertex.join(deg, "id")
+        .groupBy(F.col("degree").alias("k"))
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.round(F.avg("and_"), 6).alias("knn"),
+        )
+    )
+
+
 def attribute_assortativity(
     edges: DataFrame, attrs: DataFrame, symmetric: bool = False
 ) -> DataFrame:

@@ -864,6 +864,32 @@ def q_degree_histogram(spark, sf_dir):
 
 
 @register(
+    "knn_degree_correlation",
+    f"""
+    WITH sym AS ({SYM_SQL}),
+    deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+    pv AS (
+        SELECT s.src AS id, AVG(d.degree) AS a
+        FROM sym s JOIN deg d ON d.id = s.dst GROUP BY s.src
+    )
+    SELECT deg.degree AS k, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           ROUND(AVG(pv.a), 6) AS knn
+    FROM pv JOIN deg USING (id) GROUP BY deg.degree
+    """,
+)
+def q_knn_degree_correlation(spark, sf_dir):
+    """Degree-correlation function k_nn(k) (Pastor-Satorras et al.
+    2001) over the co-purchase graph — the curve whose one-number
+    summary is ``degree_assortativity``; rides the shared sym layout
+    and the memoized degree frame (``metrics.knn_by_degree``). Output
+    is O(max degree) rows; per-vertex neighbor means are exact integer
+    ratios, the class mean rounds at 6 dp."""
+    return metrics.knn_by_degree(
+        _copurchase(spark, sf_dir), deg=_deg(spark, sf_dir)
+    )
+
+
+@register(
     "top10_degree",
     f"""
     WITH deg AS ({DEGREE_SQL})
@@ -7243,11 +7269,14 @@ _WINDOW = [
     "nb_lang_top_tokens",
     "nb_doc_lang",
     "markov_event_transitions",
-    # (late-r12 registrations, swapped in for two (c) slots — never-
+    # (late-r12 registrations, swapped in for three (c) slots — never-
     # attested outranks oldest-unchecked, rule (a)): the per-window HLL
-    # tolerance twin and the integer-state label spreading.
+    # tolerance twin, the integer-state label spreading, and the
+    # degree-correlation curve. Registrations FROZEN after these for the
+    # round so the pinned window is final.
     "window_distinct_users_approx",
     "label_spreading_small",
+    "knn_degree_correlation",
     # --- (b) sentinels on the paths r12 touched: betweenness_sampled's
     # OUTPUT changed (md5-ordered unbiased source sample, VERDICT r11
     # Next #5); pagerank_top20/ppr_top20 ride the session twin-memo +
@@ -7269,11 +7298,10 @@ _WINDOW = [
     # corpus chunking, HLL effective diameter, embedding dedup, gap-fill,
     # the GraphFrames facade, hash split, inverted index, lang-id, exact
     # LPA, multimodal featurize, the approx-count tolerance twin, and
-    # the jaccard floor pinned this round. The 23 r8-last queries not
-    # taken here (avg_degree and doc_chunks ceded their slots to the two
-    # late-r12 never-attested pairs above) are the declared r13 rotation
-    # debt (REPORT.md r12). ---
-    "acctbal_stats",
+    # the jaccard floor pinned this round. The 24 r8-last queries not
+    # taken here (avg_degree, doc_chunks and acctbal_stats ceded their
+    # slots to the three late-r12 never-attested pairs above) are the
+    # declared r13 rotation debt (REPORT.md r12). ---
     "bigram_surprisal",
     "bm25_search",
     "bucketed_colocated_join",
