@@ -148,6 +148,7 @@ HEADLINE = [
     "markov_event_transitions",
     "window_distinct_users_approx",
     "label_spreading_small",
+    "knn_degree_correlation",
 ]
 
 
