@@ -240,3 +240,104 @@ def test_duplicate_ngram_coverage_matches_brute_force(spark, docs):
         assert out[i][0] == len(g), (i, docs)
         expect = round(dup / len(g), 4) if g else 0.0
         assert abs(out[i][1] - expect) < 1e-9, (i, docs)
+
+
+@given(pairs=edge_lists, seeds=st.sets(st.integers(0, 12), min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_label_spreading_bounded_and_seed_faithful(spark, pairs, seeds):
+    """Scores stay in [0, 1] for every vertex; a seed vertex always
+    retains ≥ (1−α) mass on its own class (the Y term re-injects it
+    every round)."""
+    e = _df(spark, pairs)
+    seed_df = spark.createDataFrame(
+        [(int(s), int(s) % 2) for s in seeds], "id long, class int"
+    )
+    out = algorithms.label_spreading(e, seed_df, n_classes=2, alpha=0.8)
+    rows = {r.id: r for r in out.collect()}
+    for r in rows.values():
+        assert -1e-9 <= r.f0 <= 1.0 + 1e-9
+        assert -1e-9 <= r.f1 <= 1.0 + 1e-9
+    for s in seeds:
+        if s in rows:  # seed present in the graph
+            own = rows[s].f0 if s % 2 == 0 else rows[s].f1
+            assert own >= 0.2 - 1e-6  # (1-alpha) re-injection floor
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),            # user
+            st.integers(0, 30),           # ts offset (seconds)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_markov_transitions_match_brute_force(spark, rows):
+    """Counts equal the sequential per-user bigram counts under the
+    (ts, event_id) order, and per-from probabilities sum to ~1."""
+    from sna_pyspark_graphframes_spark.operators import events as oevents
+
+    data = [
+        (i, f"2024-01-01 00:00:{ts:02d}", u, t)
+        for i, (u, ts, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in oevents.markov_transitions(df).collect()
+    }
+    # brute force: per user, order by (ts, event_id)
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for i, (u, ts, t) in enumerate(rows):
+        seqs[u].append((ts, i, t))
+    want = Counter()
+    for u, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
+    # per-from probability mass ~1 (rounding at 6 dp per cell)
+    from collections import defaultdict as dd
+
+    mass = dd(float)
+    for r in oevents.markov_transitions(df).collect():
+        mass[r.from_type] += r.p
+    for v in mass.values():
+        assert abs(v - 1.0) < 1e-4
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(-3, 3, allow_nan=False),
+            st.floats(-3, 3, allow_nan=False),
+        ),
+        min_size=4,
+        max_size=12,
+    ),
+)
+@settings(**SETTINGS)
+def test_linreg_label_shift_moves_only_intercept(spark, rows):
+    """OLS equivariance: y → y + c changes the intercept by ~c and the
+    slope not at all (up to the 6-dp mean rounding)."""
+    import pytest as _pt
+
+    data = [(x, 0.5 + 1.5 * x + 0.1 * (i % 3)) for i, (x, _) in enumerate(rows)]
+    from sna_pyspark_graphframes_spark.functions import ml
+
+    df = spark.createDataFrame(data, "x double, y double")
+    w0 = ml.linreg_normal(df, ["x"], "y")
+    if w0 == [0.0, 0.0]:  # degenerate/singular draw
+        return
+    c = 2.5
+    df2 = df.select("x", (F.col("y") + c).alias("y"))
+    w1 = ml.linreg_normal(df2, ["x"], "y")
+    assert w1[1] == _pt.approx(w0[1], abs=5e-4)
+    assert w1[0] == _pt.approx(w0[0] + c, abs=5e-4)
