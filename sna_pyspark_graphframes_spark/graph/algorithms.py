@@ -2485,7 +2485,11 @@ def neighborhood_function(
             .groupBy("id")
             .agg(F.hll_union_agg("sk").alias("sk"))
         )
-        state = checkpointed(state)
+        # lazy: the pair-count read below is the materializing action —
+        # one job per radius instead of two (checkpoint write + read);
+        # the sketch state is the widest frame in the engine (~KB per
+        # row), so the saved pass matters (r12; the r7 delta-fold rule)
+        state = checkpointed(state, lazy=True)
         n = state.agg(
             F.sum(F.hll_sketch_estimate("sk")).alias("n")
         ).collect()[0][0]
