@@ -1464,3 +1464,68 @@ def unigram_viterbi_scores(
     return m.select(
         F.col("w").alias("word"), "freq", F.round(score, 4).alias("score")
     )
+
+
+def doc_token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, n_tokens, n_distinct, entropy)`` — Shannon entropy (in
+    nats) of each document's OWN token distribution: −Σ p·ln p over the
+    doc's token counts. The within-document diversity signal next to
+    ``unigram_surprisal``'s corpus-relative one — repetitive spam scores
+    LOW entropy at any corpus frequency (the Gopher repetition fractions
+    measure specific repetition shapes; entropy is their scale-free
+    summary). One explode + one (doc, token) hash aggregate + one
+    per-doc rollup — two keyed shuffles, all built-ins, map-side
+    combining; entropy is exact integer-ratio arithmetic per term,
+    rounded at 4 dp."""
+    counts = (
+        docs.select("doc_id", F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    # per-doc total rides a window over the (doc, token) counts — same
+    # partitioning as the rollup, so no extra exchange
+    t = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") / F.col("t")
+    return (
+        counts.withColumn("t", t)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+    )
+
+
+def zipf_slope(
+    docs: DataFrame, text_col: str = "text", min_rank: int = 1, max_rank: int = 200
+) -> DataFrame:
+    """1-row ``(n_ranks, slope, intercept, r2)`` — the Zipf exponent of
+    the corpus: OLS of ln(frequency) on ln(rank) over the top
+    ``max_rank`` token ranks (natural corpora fit slope ≈ −1; synthetic
+    or templated corpora flatten — a cheap distribution-health probe
+    for training data). One token aggregate + one rank window over
+    ≤ ``max_rank`` rows + Spark's built-in ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` aggregates (the same functions
+    exist verbatim in DuckDB — the twin is the identical expression).
+    Rank ties break on the token string, so ranks are deterministic."""
+    freq = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") >= min_rank) & (F.col("rank") <= max_rank))
+        .select(
+            F.log(F.col("rank").cast("double")).alias("lx"),
+            F.log(F.col("n").cast("double")).alias("ly"),
+        )
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_ranks"),
+        F.round(F.expr("regr_slope(ly, lx)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(ly, lx)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
+    )

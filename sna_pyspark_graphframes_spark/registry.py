@@ -7150,6 +7150,102 @@ def q_nb_doc_lang(spark, sf_dir):
     return fml.nb_classify(docs.filter(F.col("doc_id") < 200), model, priors)
 
 
+@register(
+    "linreg_by_group",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_linreg_by_group(spark, sf_dir):
+    """Per-group simple OLS via the built-in ``regr_*`` aggregates —
+    the grouped sibling of ``linreg_price_model``: one hash aggregate,
+    map-side combining, identical function definitions in Spark and
+    DuckDB (the twin is the same expression verbatim). The SQL-standard
+    regression-aggregate surface a warehouse user expects."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+            ).alias("slope"),
+            F.round(
+                F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+            ).alias("intercept"),
+            F.round(
+                F.expr("regr_r2(l_extendedprice, l_quantity)"), 6
+            ).alias("r2"),
+        )
+    )
+
+
+@register(
+    "doc_token_entropy",
+    r"""
+    WITH counts AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+            FROM documents
+        ) GROUP BY 1, 2
+    ),
+    wt AS (
+        SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS t FROM counts
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((c * 1.0 / t) * LN(c * 1.0 / t)), 4) AS entropy
+    FROM wt GROUP BY doc_id
+    """,
+)
+def q_doc_token_entropy(spark, sf_dir):
+    """Per-document Shannon token entropy (``corpus.doc_token_entropy``)
+    — the within-document diversity quality signal next to the
+    corpus-relative ``unigram_surprisal`` and the shape-specific Gopher
+    repetition fractions. Two keyed shuffles; per-term arithmetic is
+    exact integer ratios, rounded at 4 dp."""
+    return fcorpus.doc_token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "zipf_slope",
+    r"""
+    WITH words AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS n FROM words GROUP BY 1),
+    ranked AS (
+        SELECT LN(CAST(rank AS DOUBLE)) AS lx, LN(CAST(n AS DOUBLE)) AS ly
+        FROM (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS rank
+            FROM freq
+        ) WHERE rank BETWEEN 1 AND 200
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(regr_slope(ly, lx), 6) AS slope,
+           ROUND(regr_intercept(ly, lx), 6) AS intercept,
+           ROUND(regr_r2(ly, lx), 6) AS r2
+    FROM ranked
+    """,
+)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf exponent of the corpus (``corpus.zipf_slope``): OLS of
+    ln(frequency) on ln(rank) over the top-200 token ranks via the
+    built-in ``regr_*`` aggregates — the distribution-health probe for
+    training corpora (natural text fits slope ≈ −1; templated/synthetic
+    corpora flatten). Rank ties break on the token string, so the rank
+    table is deterministic cross-engine."""
+    return fcorpus.zipf_slope(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #
@@ -7272,8 +7368,10 @@ _WINDOW = [
     # (late-r12 registrations, swapped in for three (c) slots — never-
     # attested outranks oldest-unchecked, rule (a)): the per-window HLL
     # tolerance twin, the integer-state label spreading, and the
-    # degree-correlation curve. Registrations FROZEN after these for the
-    # round so the pinned window is final.
+    # degree-correlation curve. The WINDOW is final as of these three;
+    # registrations landing after this pin (linreg_by_group,
+    # doc_token_entropy, zipf_slope) stay outside it and join the
+    # declared r13 rotation debt.
     "window_distinct_users_approx",
     "label_spreading_small",
     "knn_degree_correlation",
