@@ -317,3 +317,69 @@ def mad_outliers(
             F.sum((F.col("_adev") > fence).cast("long")).alias("n_outliers"),
         )
     )
+
+
+def population_stability(
+    ref: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """1-row ``(n_ref, n_new, psi)`` — the Population Stability Index
+    between a reference slice and a new slice of the same numeric
+    column: bucket the REF distribution into ``n_buckets`` equal-mass
+    bins by its own exact interpolated percentiles, place both slices
+    into those bins, and sum ``(p - q)·ln(p/q)`` (p = ref share, q =
+    new share, both floored at ``eps`` so empty bins stay finite — the
+    standard convention). The drift monitor a training pipeline runs
+    per ingest batch: PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 act.
+
+    Determinism: exact ``percentile`` edges are bit-equal to DuckDB
+    ``quantile_cont`` (the ``price_quantiles`` parity), bucket counts
+    are integers, shares are exact integer ratios — the one fp sum runs
+    over ``n_buckets`` identical doubles, rounded at 6 dp. Plan: one
+    percentile aggregate on ref (collected as ONE 1-row action — the
+    edges are n_buckets−1 literals entering both bucketing scans), then
+    one codegen bucketing aggregate per slice; at 100 TB swap the edge
+    pass to ``approx_percentile`` (same call shape) and the twin to a
+    tolerance form."""
+    edges_row = ref.agg(
+        F.percentile(
+            value_col,
+            F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)]),
+        ).alias("e")
+    ).first()
+    edges = list(edges_row["e"] or [])
+    if not edges:
+        return ref.sparkSession.createDataFrame(
+            [(0, 0, 0.0)], "n_ref long, n_new long, psi double"
+        )
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(0)
+    for e in edges:  # strictly-less upper bound, same expression per engine
+        bucket = bucket + (v >= F.lit(float(e))).cast("int")
+
+    def shares(df):
+        return (
+            df.select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    p = shares(ref).withColumnRenamed("c", "cr")
+    q = shares(new).withColumnRenamed("c", "cq")
+    joined = p.join(q, "b", "full").fillna({"cr": 0, "cq": 0})
+    tot = joined.agg(
+        F.sum("cr").alias("nr"), F.sum("cq").alias("nq")
+    )
+    pe = F.greatest(F.col("cr") / F.col("nr"), F.lit(eps))
+    qe = F.greatest(F.col("cq") / F.col("nq"), F.lit(eps))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("nr").cast("long").alias("n_ref"),
+            F.min("nq").cast("long").alias("n_new"),
+            F.round(F.sum((pe - qe) * F.log(pe / qe)), 6).alias("psi"),
+        )
+    )

@@ -7246,6 +7246,56 @@ def q_zipf_slope(spark, sf_dir):
     return fcorpus.zipf_slope(_t(spark, sf_dir, "documents"))
 
 
+def _psi_sql(n_buckets: int = 10, eps: float = 1e-6) -> str:
+    """Twin of ``psi_price_drift``: DuckDB computes the reference-slice
+    quantile edges in-query (``quantile_cont`` is bit-equal to Spark's
+    exact ``percentile`` — the ``price_quantiles`` parity), buckets both
+    slices with the identical strictly-less-upper-bound expression, and
+    sums the eps-floored PSI terms."""
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    bucket = " + ".join(
+        f"CASE WHEN v >= es[{i}] THEN 1 ELSE 0 END"
+        for i in range(1, n_buckets)
+    )
+    return f"""
+    WITH ref AS (SELECT l_extendedprice AS v FROM lineitem
+                 WHERE l_shipdate < DATE '1996-01-01'),
+    nw AS (SELECT l_extendedprice AS v FROM lineitem
+           WHERE l_shipdate >= DATE '1996-01-01'),
+    e AS (SELECT quantile_cont(v, [{qs}]) AS es FROM ref),
+    rb AS (SELECT ({bucket}) AS b FROM ref, e),
+    nb AS (SELECT ({bucket}) AS b FROM nw, e),
+    rc AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY b),
+    nc AS (SELECT b, COUNT(*) AS cq FROM nb GROUP BY b),
+    j AS (
+        SELECT COALESCE(rc.b, nc.b) AS b,
+               COALESCE(cr, 0) AS cr, COALESCE(cq, 0) AS cq
+        FROM rc FULL OUTER JOIN nc ON rc.b = nc.b
+    ),
+    t AS (SELECT SUM(cr) AS nr, SUM(cq) AS nq FROM j)
+    SELECT CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nq AS BIGINT) AS n_new,
+           ROUND(SUM((GREATEST(cr * 1.0 / t.nr, {eps})
+                      - GREATEST(cq * 1.0 / t.nq, {eps}))
+                     * LN(GREATEST(cr * 1.0 / t.nr, {eps})
+                          / GREATEST(cq * 1.0 / t.nq, {eps}))), 6) AS psi
+    FROM j, t GROUP BY t.nr, t.nq
+    """
+
+
+@register("psi_price_drift", _psi_sql())
+def q_psi_price_drift(spark, sf_dir):
+    """Population Stability Index of extendedprice between the pre-1996
+    and 1996+ shipment slices (``relational.population_stability``) —
+    the per-ingest-batch drift monitor a training pipeline runs before
+    accepting a new data drop. HARD oracle: exact-percentile edges are
+    bit-equal cross-engine, bucket counts are integers, shares are
+    exact ratios; only the 10-term PSI sum is fp, rounded at 6 dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < "1996-01-01")
+    new = li.filter(F.col("l_shipdate") >= "1996-01-01")
+    return relational.population_stability(ref, new, "l_extendedprice")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #
