@@ -7246,6 +7246,53 @@ def q_zipf_slope(spark, sf_dir):
     return fcorpus.zipf_slope(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "chi2_lang_tokens",
+    r"""
+    WITH dt AS (
+        SELECT DISTINCT lang AS label, doc_id, tok AS token
+        FROM documents,
+             UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS u(tok)
+        WHERE tok <> ''
+    ),
+    nct AS (SELECT label, token, COUNT(*) AS na FROM dt GROUP BY 1, 2),
+    nt AS (SELECT token, COUNT(*) AS t FROM dt GROUP BY 1),
+    ncl AS (SELECT lang AS label, COUNT(*) AS c FROM documents GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    x AS (
+        SELECT label, token,
+               ROUND(
+                   CAST(n AS DOUBLE)
+                   * (CAST(na AS DOUBLE) * CAST(n - t - c + na AS DOUBLE)
+                      - CAST(t - na AS DOUBLE) * CAST(c - na AS DOUBLE))
+                   * (CAST(na AS DOUBLE) * CAST(n - t - c + na AS DOUBLE)
+                      - CAST(t - na AS DOUBLE) * CAST(c - na AS DOUBLE))
+                   / ((CAST(na AS DOUBLE) + CAST(t - na AS DOUBLE))
+                      * (CAST(c - na AS DOUBLE) + CAST(n - t - c + na AS DOUBLE))
+                      * (CAST(na AS DOUBLE) + CAST(c - na AS DOUBLE))
+                      * (CAST(t - na AS DOUBLE) + CAST(n - t - c + na AS DOUBLE))),
+                   6) AS chi2
+        FROM nct JOIN nt USING (token) JOIN ncl USING (label), nn
+    )
+    SELECT label, token, chi2, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY chi2 DESC, token ASC) AS INT) AS rank
+        FROM x
+    ) WHERE rank <= 5
+    """,
+)
+def q_chi2_lang_tokens(spark, sf_dir):
+    """χ² feature selection for the language classifier: top-5 tokens
+    per lang by the presence-based 2×2 contingency statistic
+    (``ml.chi2_top_tokens``, Yang & Pedersen 1997) — the selection step
+    in front of ``nb_lang_top_tokens``'s trainer. Integer counts + one
+    fp expression with the identical tree in both engines, rounded
+    6 dp; ranks tie-break on token."""
+    return fml.chi2_top_tokens(
+        _t(spark, sf_dir, "documents"), "text", "lang", k=5
+    )
+
+
 def _psi_sql(n_buckets: int = 10, eps: float = 1e-6) -> str:
     """Twin of ``psi_price_drift``: DuckDB computes the reference-slice
     quantile edges in-query (``quantile_cont`` is bit-equal to Spark's
