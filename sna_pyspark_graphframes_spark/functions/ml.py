@@ -453,3 +453,57 @@ def chi2_top_tokens(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def auc_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    w: list[float],
+    score_dp: int = 6,
+) -> DataFrame:
+    """1-row ``(n_pos, n_neg, auc)`` — exact tie-aware ROC AUC of a
+    linear model via the Mann-Whitney midrank identity:
+    ``AUC = (Σ midrank(pos) − n_pos(n_pos+1)/2) / (n_pos·n_neg)``.
+    The post-training evaluation next to :func:`calibration_buckets`
+    (calibration says the probabilities are honest; AUC says the
+    RANKING separates classes).
+
+    Exactness: scores are rounded to ``score_dp`` so grouping is
+    engine-identical; midranks come from cumulative counts over the
+    per-score aggregate (ties share the average rank — the exact
+    statistic, not an arbitrary row_number tie-break), so everything is
+    INTEGER arithmetic until the final ratio. Plan: one scoring
+    aggregate on the (small) distinct-score key + one ordered window
+    over |distinct scores| rows + a 1-row rollup."""
+    cols = [F.col(c).cast("double") for c in feature_cols]
+    z = sum((F.lit(wi) * xi for wi, xi in zip(w[1:], cols)), F.lit(w[0]))
+    y = F.col(label_col).cast("int")
+    g = (
+        df.select(F.round(z, score_dp).alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    win = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "before", F.coalesce(F.sum("cnt").over(win), F.lit(0))
+    ).withColumn(
+        # midrank of every row in this score group: positions
+        # before+1 .. before+cnt average to before + (cnt+1)/2
+        "midrank", F.col("before") + (F.col("cnt") + 1) / 2.0
+    )
+    return ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("pos") * F.col("midrank"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
+            )
+            / (F.sum("pos") * (F.sum("cnt") - F.sum("pos"))),
+            6,
+        ).alias("auc"),
+    )

@@ -6964,6 +6964,42 @@ def q_logreg_calibration(spark, sf_dir):
     return fml.calibration_buckets(feats, ["x_qty", "x_disc", "x_tax"], "y", w)
 
 
+@register(
+    "logreg_auc",
+    _logreg_stages()
+    + f""", sc AS (
+    SELECT ROUND({_logreg_final_z()}, 6) AS s, CAST(y AS INT) AS y FROM f
+), g AS (
+    SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM sc GROUP BY s
+), r AS (
+    SELECT *, COALESCE(SUM(cnt) OVER (
+        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS before
+    FROM g
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+       ROUND((SUM(pos * (before + (cnt + 1) / 2.0))
+              - SUM(pos) * (SUM(pos) + 1) / 2.0)
+             / (SUM(pos) * (SUM(cnt) - SUM(pos))), 6) AS auc
+FROM r""",
+)
+def q_logreg_auc(spark, sf_dir):
+    """Exact tie-aware ROC AUC of the trained data-filter model
+    (``ml.auc_score``, the Mann-Whitney midrank identity) — completes
+    the classifier evaluation set: weights (``logreg_returnflag_gd``),
+    calibration (``logreg_calibration``), ranking quality (this). The
+    twin re-derives the weight trajectory through the shared unrolled
+    stages and computes the identical midrank sum; scores round at 6 dp
+    so the grouping is engine-identical, and midranks are integer
+    arithmetic — only the final two sums are fp, ~7e-14 relative."""
+    feats = _logreg_feats(spark, sf_dir)
+    w = fml.logreg_gd(
+        feats, ["x_qty", "x_disc", "x_tax"], "y", lr=1.0, n_iter=5
+    )
+    return fml.auc_score(feats, ["x_qty", "x_disc", "x_tax"], "y", w)
+
+
 def _linreg_sql() -> str:
     """Twin of ``linreg_price_model``: the same rounded MEANS feed the
     same CANONICAL 3×3 Cramer expression (``_det3``'s exact parse tree,

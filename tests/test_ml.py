@@ -229,3 +229,30 @@ class TestNaiveBayes:
             for r in ml.nb_classify(df, model, priors).collect()
         }
         assert got == {0: "a", 1: "a", 2: "b", 3: "b"}
+
+
+class TestAuc:
+    def test_perfect_separation_is_one(self, spark):
+        # score = x, positives all above negatives -> AUC = 1
+        rows = [(float(i), 1.0 if i >= 5 else 0.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = ml.auc_score(df, ["x"], "y", [0.0, 1.0]).collect()[0]
+        assert (r.n_pos, r.n_neg, r.auc) == (5, 5, 1.0)
+
+    def test_reversed_separation_is_zero(self, spark):
+        rows = [(float(i), 0.0 if i >= 5 else 1.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        assert ml.auc_score(df, ["x"], "y", [0.0, 1.0]).collect()[0].auc == 0.0
+
+    def test_all_tied_scores_give_half(self, spark):
+        # constant score: midranks make AUC exactly 0.5, not 0 or 1
+        rows = [(1.0, float(i % 2)) for i in range(8)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        assert ml.auc_score(df, ["x"], "y", [0.0, 0.0]).collect()[0].auc == 0.5
+
+    def test_matches_sklearn_style_hand_computation(self, spark):
+        # scores [1,2,2,3], labels [0,0,1,1]: midranks 1, 2.5, 2.5, 4
+        # -> sum pos ranks = 6.5; AUC = (6.5 - 3) / (2*2) = 0.875
+        rows = [(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (3.0, 1.0)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        assert ml.auc_score(df, ["x"], "y", [0.0, 1.0]).collect()[0].auc == 0.875
