@@ -245,6 +245,11 @@ def main() -> None:
             }
         )
     )
+    # session teardown: evict the certificate-trajectory pool too
+    # (clear_session_caches between reps deliberately skips it — ADVICE
+    # r12; the blocks would otherwise live until JVM exit)
+    registry.clear_session_caches()
+    registry.clear_twin_memo()
 
 
 if __name__ == "__main__":

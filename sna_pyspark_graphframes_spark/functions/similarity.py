@@ -339,6 +339,31 @@ def ivf_assign(
     )
 
 
+def _derive_n_probe(
+    embeddings: DataFrame,
+    stride: int | None,
+    id_col: str,
+    k_rows: int | None = None,
+    codebook: DataFrame | None = None,
+) -> int:
+    """``max(2, ⌊√nlist⌋)`` with nlist taken from the ACTUAL codebook —
+    the trained codebook's row count when one is supplied, else the
+    count of ids with ``id % stride == 0`` (exactly what
+    :func:`ivf_centroids` emits and what the SQL twin counts). The r12
+    version estimated ``ceil(N/stride)``, which agrees only for
+    contiguous 0-based id spaces — sparse/1-based/filtered ids gave a
+    different n_probe than the twin's ``GREATEST(2, ⌊√COUNT(c)⌋)``,
+    a cross-engine recall mismatch (ADVICE r12)."""
+    if k_rows is not None:
+        nlist = k_rows
+    elif codebook is not None:
+        nlist = codebook.count()
+    else:
+        stride = _resolve_stride(embeddings, stride)
+        nlist = max(1, ivf_centroids(embeddings, stride, id_col).count())
+    return max(2, math.isqrt(int(nlist)))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -374,14 +399,9 @@ def ivf_topk(
     ``nlist`` (which degenerates toward brute force). Measure with the
     ``ivf_recall``-style probe before shipping either index."""
     if n_probe is None:
-        if k_rows is not None:
-            nlist = k_rows
-        elif codebook is not None:
-            nlist = codebook.count()
-        else:
-            s = _resolve_stride(embeddings, stride)
-            nlist = max(1, math.ceil(embeddings.count() / s))
-        n_probe = max(2, math.isqrt(int(nlist)))
+        n_probe = _derive_n_probe(
+            embeddings, stride, id_col, k_rows=k_rows, codebook=codebook
+        )
     assign = ivf_assign(
         embeddings, stride, max(1, n_probe), id_col, k_rows=k_rows,
         codebook=codebook,

@@ -343,7 +343,15 @@ def population_stability(
     edges are n_buckets−1 literals entering both bucketing scans), then
     one codegen bucketing aggregate per slice; at 100 TB swap the edge
     pass to ``approx_percentile`` (same call shape) and the twin to a
-    tolerance form."""
+    tolerance form.
+
+    NULL contract (ADVICE r12): NULL values are DROPPED from both
+    slices before bucketing — same contract as ``logreg_gd``. Without
+    the filter Spark's ``(v >= e).cast('int')`` sends NULLs to a NULL
+    bucket while a SQL CASE twin sends them to bucket 0, a latent
+    cross-engine mismatch on nullable columns."""
+    ref = ref.filter(F.col(value_col).isNotNull())
+    new = new.filter(F.col(value_col).isNotNull())
     edges_row = ref.agg(
         F.percentile(
             value_col,

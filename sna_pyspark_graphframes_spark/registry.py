@@ -106,6 +106,23 @@ def _twin_memo(spark, sf_dir, tag: str, make) -> DataFrame:
     return _TWIN_MEMO[key]
 
 
+def clear_twin_memo() -> None:
+    """Explicit eviction hook for the certificate-trajectory pool
+    (ADVICE r12): ``localCheckpoint`` blocks live in executor block-
+    manager storage and accumulate per (session, sf_dir, tag) for the
+    session lifetime, so long-lived sessions (a bench driver cycling
+    many sf_dirs, a notebook) need a teardown call. Deliberately a
+    SEPARATE hook from ``clear_session_caches`` — bench reps clear the
+    latter between reps while the twin memo must survive them (see
+    ``_twin_memo``); session teardown calls both."""
+    for df in _TWIN_MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _TWIN_MEMO.clear()
+
+
 def _memo(spark, sf_dir, tag: str, make) -> DataFrame:
     """Session-scoped cache for frames shared across registry queries
     (degrees and per-vertex triangle counts of the co-purchase graph feed
@@ -869,24 +886,40 @@ def q_degree_histogram(spark, sf_dir):
     WITH sym AS ({SYM_SQL}),
     deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
     pv AS (
-        SELECT s.src AS id, AVG(d.degree) AS a
+        SELECT s.src AS id, SUM(d.degree) AS s_v
         FROM sym s JOIN deg d ON d.id = s.dst GROUP BY s.src
+    ),
+    cur AS (
+        SELECT deg.degree AS k, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+               CAST(SUM(pv.s_v) AS BIGINT) AS sum_nbr_deg,
+               AVG(pv.s_v * 1.0 / deg.degree) AS knn_fp
+        FROM pv JOIN deg USING (id) GROUP BY deg.degree
     )
-    SELECT deg.degree AS k, CAST(COUNT(*) AS BIGINT) AS n_vertices,
-           ROUND(AVG(pv.a), 6) AS knn
-    FROM pv JOIN deg USING (id) GROUP BY deg.degree
+    SELECT k, n_vertices, sum_nbr_deg,
+           ABS(knn_fp - sum_nbr_deg * 1.0 / (n_vertices * k))
+             <= 1e-9 * GREATEST(1.0, ABS(sum_nbr_deg * 1.0 / (n_vertices * k)))
+             AS knn_within_tol
+    FROM cur
     """,
 )
 def q_knn_degree_correlation(spark, sf_dir):
     """Degree-correlation function k_nn(k) (Pastor-Satorras et al.
     2001) over the co-purchase graph — the curve whose one-number
     summary is ``degree_assortativity``; rides the shared sym layout
-    and the memoized degree frame (``metrics.knn_by_degree``). Output
-    is O(max degree) rows; per-vertex neighbor means are exact integer
-    ratios, the class mean rounds at 6 dp."""
+    and the memoized degree frame (``metrics.knn_by_degree``).
+
+    r13 RESHAPE (VERDICT r12 What's wrong #1 — the r12 window's one
+    hash failure): the old pair hashed ``ROUND(AVG(double), 6)``, and
+    at sf0.01 one degree class landed within half an ulp of a 6-dp
+    boundary under Spark-vs-DuckDB summation order. Since every vertex
+    of class k has degree exactly k, the curve is the exact rational
+    ``Σ S_v / (n_k·k)`` — the hashed columns are now the exact integers
+    (k, n_vertices, sum_nbr_deg) plus each engine's own fp-agreement
+    boolean; the fp convenience column is dropped from the hash (the
+    r10 tolerance-twin protocol, as in ``n_parts_approx``)."""
     return metrics.knn_by_degree(
         _copurchase(spark, sf_dir), deg=_deg(spark, sf_dir)
-    )
+    ).drop("knn")
 
 
 @register(
@@ -2027,17 +2060,39 @@ def _mis_rings_sql(n_rounds: int = 21, min_n: int = 3) -> str:
     return "".join(parts)
 
 
+def _assert_drained(stat_key: str, want=0) -> None:
+    """Loop-drain guard for the replay-oracle family (VERDICT r12 Next
+    #5): the unrolled DuckDB twins hard-bound their round count by the
+    fixture's max ring size, and the algorithms record (not raise) when
+    ``max_iter`` truncates — so a future fixture outgrowing both bounds
+    would ship a plausible-looking PARTIAL result into the comparison.
+    The registered queries refuse instead: the loops run eagerly inside
+    the algorithm call, so by the time the query fn returns, the drain
+    stat is final and a truncated run raises HERE, loudly, not as a
+    silent hash drift."""
+    got = algorithms.LAST_STATS.get(stat_key)
+    if got != want:
+        raise RuntimeError(
+            f"replay loop did not drain: LAST_STATS[{stat_key!r}] = {got!r}"
+            f" (want {want!r}) — raise max_iter / re-derive the oracle's"
+            f" unroll bound for this fixture"
+        )
+
+
 @register("mis_order_rings", _mis_rings_sql())
 def q_mis_order_rings(spark, sf_dir):
     """Luby's maximal independent set on the order rings — the
     keep-maximal-set dedup retention policy as a graph algorithm (see
     ``luby_mis``). HARD full-replay oracle: deterministic md5 priorities
     let DuckDB re-execute every round, value-checking both membership
-    AND the round each vertex was selected in."""
-    return algorithms.luby_mis(
+    AND the round each vertex was selected in. Refuses (raises) if the
+    active set did not drain — see ``_assert_drained``."""
+    out = algorithms.luby_mis(
         _order_rings(spark, sf_dir, min_n=3),
         sym_layout=_rings_sym3(spark, sf_dir),
     )
+    _assert_drained("mis_residual")
+    return out
 
 
 def _matching_rings_sql(n_rounds: int = 21, min_n: int = 3) -> str:
@@ -2114,11 +2169,14 @@ def q_matching_order_rings(spark, sf_dir):
     multilevel coarsening / one-to-one record linkage as a distributed
     algorithm (see ``greedy_matching``). HARD full-replay oracle, the
     ``mis_order_rings`` recipe on edges: membership AND selection round
-    value-checked."""
-    return algorithms.greedy_matching(
+    value-checked. Refuses (raises) if the active edge set did not
+    drain — see ``_assert_drained``."""
+    out = algorithms.greedy_matching(
         _order_rings(spark, sf_dir, min_n=3),
         can_layout=_rings_can3(spark, sf_dir),
     )
+    _assert_drained("matching_residual")
+    return out
 
 
 @register(
@@ -2163,11 +2221,15 @@ def q_mst_order_rings(spark, sf_dir):
     states the whole forest without replaying the rounds, while the
     Spark side runs the full component-contraction loop (lightest
     outgoing edge per component, ``connected_components`` contraction).
-    The forest is unique because the weight order is total."""
-    return algorithms.boruvka_mst(
+    The forest is unique because the weight order is total. Refuses
+    (raises) if the merge loop did not converge — see
+    ``_assert_drained``."""
+    out = algorithms.boruvka_mst(
         _order_rings(spark, sf_dir, min_n=3),
         can_layout=_rings_can3(spark, sf_dir),
     )
+    _assert_drained("mst_converged", want=True)
+    return out
 
 
 def _katz_regular_value(
@@ -7342,9 +7404,11 @@ def _psi_sql(n_buckets: int = 10, eps: float = 1e-6) -> str:
     )
     return f"""
     WITH ref AS (SELECT l_extendedprice AS v FROM lineitem
-                 WHERE l_shipdate < DATE '1996-01-01'),
+                 WHERE l_shipdate < DATE '1996-01-01'
+                   AND l_extendedprice IS NOT NULL),
     nw AS (SELECT l_extendedprice AS v FROM lineitem
-           WHERE l_shipdate >= DATE '1996-01-01'),
+           WHERE l_shipdate >= DATE '1996-01-01'
+             AND l_extendedprice IS NOT NULL),
     e AS (SELECT quantile_cont(v, [{qs}]) AS es FROM ref),
     rb AS (SELECT ({bucket}) AS b FROM ref, e),
     nb AS (SELECT ({bucket}) AS b FROM nw, e),

@@ -238,6 +238,27 @@ class TestSimilarity:
                     for r in fsim.ivf_topk(df, k=3, stride=20, n_probe=2).collect()}
         assert auto == explicit
 
+    def test_derive_n_probe_counts_actual_centroids(self, spark):
+        """ADVICE r12: nlist must come from the ACTUAL codebook (ids with
+        id % stride == 0), not ceil(N/stride) — on a sparse id space the
+        two disagree, and the SQL twin counts the centroid table. ids =
+        0,100,...,900 with stride 10: every id is a centroid (nlist=10,
+        n_probe=3); the ceil estimate said nlist=1 (n_probe=2)."""
+        import random
+
+        rng = random.Random(7)
+        vecs = [
+            (i * 100, [rng.uniform(-1, 1) for _ in range(4)])
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        assert fsim._derive_n_probe(df, 10, "vec_id") == 3
+        # trained-codebook path: nlist = codebook row count
+        cb = fsim.ivf_centroids(df, 1)
+        assert fsim._derive_n_probe(df, None, "vec_id", codebook=cb) == 3
+        # k_rows short-circuits any job
+        assert fsim._derive_n_probe(df, None, "vec_id", k_rows=100) == 10
+
     def test_ivf_assign_stat_gate_matches_exact_k_rows(self, spark):
         """The r9 plan-statistics byte gate (no per-call count() job) must
         produce the identical assignment as an exact caller-supplied
@@ -627,3 +648,22 @@ class TestBinaryFileIngest:
             assert (r.width, r.height) == (5, 4)
             assert r.px_sum == int(flat.sum())
             assert r.px_weighted == int((np.arange(flat.size) * flat).sum())
+
+
+class TestTwinMemoEviction:
+    def test_clear_twin_memo_unpersists_and_survives_rep_clear(self, spark):
+        """ADVICE r12: the certificate-trajectory pool must survive the
+        per-rep clear_session_caches (bench honesty contract) but be
+        evictable at session teardown via the explicit hook."""
+        from sna_pyspark_graphframes_spark import registry as R
+
+        before = len(R._TWIN_MEMO)
+        df = R._twin_memo(spark, "/tmp/none", "_test_tag", lambda: spark.range(3))
+        assert df.count() == 3
+        assert len(R._TWIN_MEMO) == before + 1
+        R.clear_session_caches()  # per-rep clear must NOT touch the pool
+        assert len(R._TWIN_MEMO) == before + 1
+        # memo hit: same frame back, no rebuild
+        assert R._twin_memo(spark, "/tmp/none", "_test_tag", lambda: 1 / 0) is df
+        R.clear_twin_memo()
+        assert len(R._TWIN_MEMO) == 0

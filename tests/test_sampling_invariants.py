@@ -73,6 +73,7 @@ def test_walk_respects_community_size(spark, sf_dir):
 def test_walk_length_formula():
     assert sampling.walk_length(100, 0.0, 2.0) == 101
     assert sampling.walk_length(100, 0.5, 2.0) == 51
+    assert sampling.walk_length(10, 1.0, 5.0) == 2
 
 
 def test_split_oversized_triggers_and_certificate_legs_hold(spark, sf_dir):
@@ -111,7 +112,6 @@ def test_split_oversized_triggers_and_certificate_legs_hold(spark, sf_dir):
         .count()
     )
     assert uncovered == 0  # every parent community keeps >= 1 vertex
-    assert sampling.walk_length(10, 1.0, 5.0) == 2
 
 
 class TestNode2VecWalks:

@@ -260,6 +260,34 @@ class TestMadOutliers:
         assert (r.n, r.median, r.mad, r.n_outliers) == (5, 7.0, 0.0, 0)
 
 
+class TestPopulationStability:
+    def test_identical_slices_zero_psi(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in range(1, 101)], "x double"
+        )
+        r = relational.population_stability(df, df, "x", n_buckets=4).collect()[0]
+        assert (r.n_ref, r.n_new, r.psi) == (100, 100, 0.0)
+
+    def test_nulls_dropped_both_slices(self, spark):
+        """ADVICE r12: NULL values must be DROPPED, not bucketed —
+        Spark's (v >= e) is NULL on NULL v (a NULL bucket) while a SQL
+        CASE twin sends NULLs to bucket 0. With the drop, a slice that
+        only differs by NULL rows is identical: PSI 0 and counts
+        exclude the NULLs."""
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        ref = spark.createDataFrame(
+            [(float(v),) for v in range(1, 101)], "x double"
+        )
+        new = ref.unionAll(
+            spark.createDataFrame([(None,)] * 7, "x double")
+        )
+        r = relational.population_stability(ref, new, "x", n_buckets=4).collect()[0]
+        assert (r.n_ref, r.n_new, r.psi) == (100, 100, 0.0)
+
+
 class TestTrendingEventTypes:
     def test_per_window_top3_with_ties(self, spark):
         from datetime import datetime
