@@ -342,41 +342,110 @@ def nb_train(
     )
 
 
+def nb_class_floors(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """``(label, log_floor)`` — each class's smoothed log-probability
+    for a token UNSEEN in that class's training tokens,
+    ``ln(α / (n_c + α·|V|))``. The companion frame :func:`nb_classify`
+    needs for the EXACT multinomial score: the floor depends on the
+    per-class token total ``n_c``, so it is NOT a per-doc constant
+    shift across classes (ADVICE r12 — the sparse inner-join score can
+    flip the argmax). One per-class count + one 1-row vocabulary count,
+    rounded 6 dp like the model's log_probs."""
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    cl = toks.groupBy("label").agg(F.count("*").alias("n_l"))
+    vocab = toks.select("token").distinct().agg(F.count("*").alias("v"))
+    return cl.crossJoin(F.broadcast(vocab)).select(
+        "label",
+        F.round(
+            F.log(F.lit(alpha) / (F.col("n_l") + F.lit(alpha) * F.col("v"))),
+            6,
+        ).alias("log_floor"),
+    )
+
+
 def nb_classify(
     docs: DataFrame,
     model: DataFrame,
     priors: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    floors: DataFrame | None = None,
 ) -> DataFrame:
     """``(doc_id, label, score)`` — each document's argmax Naive Bayes
-    class: score = prior log-prob + Σ token log-probs (UNSEEN tokens
-    contribute nothing — the equal-smoothing-mass-per-class term is a
-    per-doc constant shift that cannot change the argmax, and dropping
-    it keeps the score a plain inner join + sum).
+    class.
+
+    With ``floors`` (:func:`nb_class_floors` output — the default the
+    registered query uses) the score is the EXACT smoothed multinomial:
+    ``log_prior + Σ_seen log_prob + (n_tok − n_seen)·log_floor`` — every
+    token the class never saw contributes that class's smoothing floor
+    ``ln(α/(n_c + α|V|))``, which varies ACROSS classes (it depends on
+    the class token total), so it can change the argmax; docs whose
+    tokens are all out-of-model still score (n_tok·floor) and appear in
+    the output (ADVICE r12 — both defects of the sparse form).
+
+    Without ``floors`` the score degrades to the SPARSE inner-join
+    approximation (prior + Σ seen log-probs, unseen tokens contribute
+    0): cheaper — no |docs|×|classes| grid — but the argmax can deviate
+    from exact NB when class token totals differ, and all-out-of-model
+    docs vanish. Use it only when every class saw ~the same token mass.
 
     ``model``: :func:`nb_train` output; ``priors``: ``(label,
-    log_prior)``. One explode + one (token, label) equi-join against
-    the (small, broadcastable) model + one per-(doc, label) sum + one
-    per-doc max — scores rounded to 4 dp before the argmax with label
-    as tie-break, the cross-engine ranking contract."""
+    log_prior)``. Plan: one explode + one (token, label) equi-join
+    against the (small, broadcastable) model + one per-(doc, label) sum;
+    the exact path adds a per-doc token count and a broadcast
+    |classes|-grid cross join (classes are few — the grid is |docs|×|C|
+    narrow rows, nothing wider than the score frame itself). Docs with
+    ZERO tokens have no multinomial score and are omitted on both
+    paths. Scores rounded to 4 dp before the argmax with label as
+    tie-break, the cross-engine ranking contract."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("token"),
     ).filter(F.col("token") != "")
-    scores = (
+    seen = (
         toks.join(F.broadcast(model), "token")
         .groupBy("doc_id", "label")
-        .agg(F.sum("log_prob").alias("s"))
-        .join(F.broadcast(priors), "label")
-        .select(
+        .agg(
+            F.sum("log_prob").alias("s"),
+            F.count("*").cast("long").alias("n_seen"),
+        )
+    )
+    if floors is None:
+        scores = seen.join(F.broadcast(priors), "label").select(
             "doc_id",
             "label",
             F.round(F.col("s") + F.col("log_prior"), 4).alias("score"),
         )
-    )
+    else:
+        classes = priors.join(F.broadcast(floors), "label")
+        grid = (
+            toks.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tok"))
+            .crossJoin(F.broadcast(classes))
+        )
+        scores = grid.join(seen, ["doc_id", "label"], "left").select(
+            "doc_id",
+            "label",
+            F.round(
+                F.col("log_prior")
+                + F.coalesce(F.col("s"), F.lit(0.0))
+                + (F.col("n_tok") - F.coalesce(F.col("n_seen"), F.lit(0)))
+                * F.col("log_floor"),
+                4,
+            ).alias("score"),
+        )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("label").asc()
     )

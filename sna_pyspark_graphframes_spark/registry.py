@@ -7207,17 +7207,29 @@ def q_nb_lang_top_tokens(spark, sf_dir):
                    AS log_prior
         FROM documents GROUP BY 1
     ),
+    fl AS (
+        SELECT label, ROUND(LN(1.0 / (n_l + 1.0 * v.v)), 6) AS log_floor
+        FROM cl, v
+    ),
     dtoks AS (
         SELECT doc_id, tok AS token
         FROM documents,
              UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(tok)
         WHERE tok <> '' AND doc_id < 200
     ),
+    dn AS (SELECT doc_id, COUNT(*) AS n_tok FROM dtoks GROUP BY 1),
+    seen AS (
+        SELECT d.doc_id, m.label, SUM(m.log_prob) AS s, COUNT(*) AS n_seen
+        FROM dtoks d JOIN m USING (token) GROUP BY 1, 2
+    ),
     scores AS (
-        SELECT d.doc_id, m.label,
-               ROUND(SUM(m.log_prob) + ANY_VALUE(pr.log_prior), 4) AS score
-        FROM dtoks d JOIN m USING (token) JOIN pr ON pr.label = m.label
-        GROUP BY d.doc_id, m.label
+        SELECT dn.doc_id, pr.label,
+               ROUND(pr.log_prior + COALESCE(seen.s, 0)
+                     + (dn.n_tok - COALESCE(seen.n_seen, 0)) * fl.log_floor,
+                     4) AS score
+        FROM dn CROSS JOIN pr
+        JOIN fl ON fl.label = pr.label
+        LEFT JOIN seen ON seen.doc_id = dn.doc_id AND seen.label = pr.label
     )
     SELECT doc_id, label, score FROM (
         SELECT *, ROW_NUMBER() OVER (
@@ -7229,10 +7241,14 @@ def q_nb_lang_top_tokens(spark, sf_dir):
 def q_nb_doc_lang(spark, sf_dir):
     """Naive Bayes scoring path: argmax class per document (first 200
     doc_ids) under the ``nb_lang_top_tokens`` model + class priors —
-    one explode, one broadcast model join, one per-(doc, class) sum,
-    one per-doc argmax (``fml.nb_classify``). Scores are sums of 6-dp
-    log-probs rounded to 4 dp with label tie-break — the proven
-    cross-engine ranking contract."""
+    the EXACT smoothed multinomial score (r13, ADVICE r12): unseen
+    (token, class) pairs contribute the class's smoothing floor
+    ``ln(α/(n_c + α|V|))``, which varies across classes, so the sparse
+    inner-join form could flip the argmax. One explode, one broadcast
+    model join, one per-doc token count, one broadcast class grid
+    (``fml.nb_classify`` with ``fml.nb_class_floors``). Scores are sums
+    of 6-dp log-probs + an integer×6-dp product, rounded to 4 dp with
+    label tie-break — the proven cross-engine ranking contract."""
     docs = _t(spark, sf_dir, "documents")
     model = fml.nb_train(docs, "text", "lang")
     tot = docs.agg(F.count("*").alias("t"))
@@ -7245,7 +7261,12 @@ def q_nb_doc_lang(spark, sf_dir):
             F.round(F.log(F.col("c") / F.col("t")), 6).alias("log_prior"),
         )
     )
-    return fml.nb_classify(docs.filter(F.col("doc_id") < 200), model, priors)
+    return fml.nb_classify(
+        docs.filter(F.col("doc_id") < 200),
+        model,
+        priors,
+        floors=fml.nb_class_floors(docs, "text", "lang"),
+    )
 
 
 @register(

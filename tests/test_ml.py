@@ -230,6 +230,62 @@ class TestNaiveBayes:
         }
         assert got == {0: "a", 1: "a", 2: "b", 3: "b"}
 
+    def test_exact_floors_flip_argmax_vs_sparse(self, spark):
+        """ADVICE r12: the unseen-token smoothing floor ln(α/(n_c+α|V|))
+        depends on the class token total n_c, so it is NOT a constant
+        shift — hand-built case where the sparse inner-join argmax (a)
+        differs from exact multinomial NB (b), plus the all-OOV doc that
+        the sparse path silently drops."""
+        import math
+
+        train = spark.createDataFrame(
+            [(0, "x x x x x x x x y", "a"), (1, "x y", "b")],
+            "doc_id long, text string, label string",
+        )
+        # n_a=9, n_b=2, V=2; floors: a -> 1/11, b -> 1/4
+        model = ml.nb_train(train, "text", "label")
+        floors = {
+            r.label: r.log_floor
+            for r in ml.nb_class_floors(train, "text", "label").collect()
+        }
+        assert floors["a"] == round(math.log(1 / 11), 6)
+        assert floors["b"] == round(math.log(1 / 4), 6)
+        priors = spark.createDataFrame(
+            [("a", math.log(0.5)), ("b", math.log(0.5))],
+            "label string, log_prior double",
+        )
+        test = spark.createDataFrame(
+            [(10, "x z"), (11, "z w")], "doc_id long, text string"
+        )
+        sparse = {
+            r.doc_id: r.label
+            for r in ml.nb_classify(test, model, priors).collect()
+        }
+        exact = {
+            r.doc_id: (r.label, r.score)
+            for r in ml.nb_classify(
+                test,
+                model,
+                priors,
+                floors=ml.nb_class_floors(train, "text", "label"),
+            ).collect()
+        }
+        # sparse: only the seen token scores -> P(x|a)=9/11 beats 1/2
+        assert sparse[10] == "a" and 11 not in sparse  # all-OOV doc vanishes
+        # exact: b's higher floor on the OOV token flips the argmax
+        assert exact[10][0] == "b"
+        assert exact[10][1] == round(
+            math.log(0.5)
+            + round(math.log(2 / 4), 6)
+            + 1 * round(math.log(1 / 4), 6),
+            4,
+        )
+        # all-OOV doc is scored: 2 floor terms, argmax = b again
+        assert exact[11][0] == "b"
+        assert exact[11][1] == round(
+            math.log(0.5) + 2 * round(math.log(1 / 4), 6), 4
+        )
+
 
 class TestAuc:
     def test_perfect_separation_is_one(self, spark):
