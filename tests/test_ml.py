@@ -287,6 +287,34 @@ class TestNaiveBayes:
         )
 
 
+class TestLearningDemonstration:
+    """VERDICT r12 Next #4: prove the GD loop LEARNS, not just
+    converges — on the planted noisy-monotone label (Bayes AUC ≈ 0.94)
+    the trained model must rank near-optimally and its calibration
+    buckets must move."""
+
+    def test_sep_auc_at_least_090(self, spark, sf_dir):
+        from sna_pyspark_graphframes_spark import registry as R
+
+        r = R.REGISTRY["logreg_sep_auc"].fn(spark, sf_dir).collect()[0]
+        assert r.auc >= 0.9  # broken loop -> 0.5, sign error -> <= 0.1
+        assert r.n_pos > 0 and r.n_neg > 0
+
+    def test_sep_calibration_buckets_move(self, spark, sf_dir):
+        from sna_pyspark_graphframes_spark import registry as R
+
+        rows = sorted(
+            R.REGISTRY["logreg_sep_calibration"].fn(spark, sf_dir).collect(),
+            key=lambda r: r.bucket,
+        )
+        assert len(rows) >= 5  # predictions spread over many deciles
+        # observed positive rate tracks the ramp: low buckets near the
+        # 0.05 floor, high buckets near the 0.95 ceiling
+        assert rows[0].frac_pos <= 0.15
+        assert rows[-1].frac_pos >= 0.85
+        assert rows[-1].frac_pos - rows[0].frac_pos >= 0.7
+
+
 class TestAuc:
     def test_perfect_separation_is_one(self, spark):
         # score = x, positives all above negatives -> AUC = 1
