@@ -1529,3 +1529,63 @@ def zipf_slope(
         F.round(F.expr("regr_intercept(ly, lx)"), 6).alias("intercept"),
         F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
     )
+
+
+def token_kl_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """1-row ``(n_tokens_a, n_tokens_b, vocab, kl_ab, kl_ba, js)`` —
+    add-one-smoothed unigram-distribution divergences between two corpus
+    slices: the TEXT sibling of ``population_stability`` (PSI watches a
+    numeric feature drift; this watches the token distribution drift
+    between ingest batches — the standard new-crawl health check before
+    mixing data into a training run).
+
+    ``p = (c_a + 1)/(n_a + V)``, ``q = (c_b + 1)/(n_b + V)`` over the
+    UNION vocabulary (smoothing keeps every term finite without an eps
+    floor); ``kl_ab = Σ p·ln(p/q)``, ``kl_ba`` symmetric, and ``js`` the
+    Jensen–Shannon divergence against the midpoint m = (p+q)/2 (bounded
+    by ln 2, the usual report number).
+
+    Plan: one token-count aggregate per slice (map-side combining), a
+    full-outer equi-join on token, three 1-row scalar reductions — the
+    per-term math is codegen expressions over exact integer counts, so
+    the only fp is the final Σ over |V| terms (continuous values, ~1e-13
+    relative jitter against the half-quantum at ``round_dp=4`` — the
+    safe class in the REPORT r13 fp audit)."""
+
+    def counts(df, name):
+        return (
+            df.select(F.explode(_words(F.col(text_col))).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count("*").alias(name))
+        )
+
+    ca, cb = counts(docs_a, "ca"), counts(docs_b, "cb")
+    j = ca.join(cb, "w", "full").fillna({"ca": 0, "cb": 0})
+    tot = j.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("v"),
+    )
+    p = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    q = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    m = (p + q) / 2
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("na").alias("n_tokens_a"),
+            F.min("nb").alias("n_tokens_b"),
+            F.min("v").alias("vocab"),
+            F.round(F.sum(p * F.log(p / q)), round_dp).alias("kl_ab"),
+            F.round(F.sum(q * F.log(q / p)), round_dp).alias("kl_ba"),
+            F.round(
+                (F.sum(p * F.log(p / m)) + F.sum(q * F.log(q / m))) / 2,
+                round_dp,
+            ).alias("js"),
+        )
+    )

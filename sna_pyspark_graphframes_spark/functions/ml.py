@@ -576,3 +576,85 @@ def auc_score(
             6,
         ).alias("auc"),
     )
+
+
+def nearest_centroid_confusion(
+    vectors: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """``(label, pred_label, n)`` — the resubstitution confusion matrix
+    of a nearest-centroid (Rocchio) classifier over an embedding column:
+    per-label mean vectors, then every vector assigned to the centroid
+    with the highest cosine. The standard LABEL-QUALITY probe a training
+    pipeline runs before trusting a labeled corpus — a clean embedding
+    space puts the diagonal near 1; heavy off-diagonal mass means noisy
+    labels or a collapsed space.
+
+    Plan: centroids are ONE map-side-combining groupBy carrying ``dim``
+    codegen'd ``avg`` aggregates (the ``kmeans_centroids`` recipe — d
+    doubles per executor per label, the exact-centroid communication
+    floor); scoring is a broadcast cross join against the |labels|-row
+    centroid frame with the per-vector argmax as a partial-aggregating
+    ``max_by`` (no wide-row window exchange); the confusion rollup is a
+    tiny keyed count. Nothing scans more than the vector table itself.
+
+    Cross-engine exactness: centroid components round to 6 dp (means of
+    continuous floats — summation-order jitter ~1e-16 against a 1e-6
+    quantum), cosines round to 6 dp before the argmax with smallest
+    pred_label as tie-break, and the OUTPUT is pure integers — the
+    hash-safe shape (REPORT r13 fp audit)."""
+    if dim is None:
+        first = vectors.select(embedding_col).first()
+        if first is None:
+            return vectors.sparkSession.createDataFrame(
+                [], "label long, pred_label long, n long"
+            )
+        dim = len(first[0])
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("long").alias("label"),
+        F.col(embedding_col).cast("array<double>").alias("v"),
+    )
+    centroids = v.groupBy(F.col("label").alias("pred_label")).agg(
+        F.array(
+            *[F.round(F.avg(F.col("v")[d]), 6) for d in range(dim)]
+        ).alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "v", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.zip_with("cv", "cv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "label",
+        "pred_label",
+        F.round(dot / (nv * nc), 6).alias("cos"),
+    )
+    best = scored.groupBy("id").agg(
+        F.any_value("label").alias("label"),
+        F.max_by(
+            "pred_label",
+            F.struct(F.col("cos"), (-F.col("pred_label")).alias("tb")),
+        ).alias("pred_label"),
+    )
+    return best.groupBy("label", "pred_label").agg(
+        F.count("*").cast("long").alias("n")
+    )

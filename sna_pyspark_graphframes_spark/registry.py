@@ -7623,6 +7623,112 @@ def q_psi_price_drift(spark, sf_dir):
     return relational.population_stability(ref, new, "l_extendedprice")
 
 
+@register(
+    "centroid_confusion",
+    """
+    WITH v AS (
+        SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    m AS (
+        SELECT label AS pred_label, pos, AVG(val) AS mv
+        FROM (SELECT label, unnest(v) AS val,
+                     unnest(range(1, 65)) AS pos FROM v)
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT pred_label,
+               list(ROUND(CAST(mv AS DOUBLE), 6) ORDER BY pos) AS cv
+        FROM m GROUP BY 1
+    ),
+    s AS (
+        SELECT v.id, v.label, c.pred_label,
+               ROUND(list_dot_product(v.v, c.cv)
+                     / (sqrt(list_dot_product(v.v, v.v))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+        FROM v, c
+    ),
+    b AS (
+        SELECT id, label, pred_label FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY cos DESC, pred_label ASC) AS rn
+            FROM s
+        ) WHERE rn = 1
+    )
+    SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_centroid_confusion(spark, sf_dir):
+    """Nearest-centroid (Rocchio) confusion matrix over the labeled
+    embeddings table — the label-quality probe a pipeline runs before
+    trusting a labeled corpus (``ml.nearest_centroid_confusion``):
+    per-label mean vectors (one groupBy carrying 64 codegen'd avgs),
+    broadcast 10-row centroid frame, partial-aggregating max_by argmax,
+    integer confusion rollup. HARD oracle: 6-dp centroid components +
+    6-dp cosine + label tie-break make the argmax engine-identical, and
+    the output is pure integers."""
+    return fml.nearest_centroid_confusion(
+        _t(spark, sf_dir, "embeddings"), "label", "vec_id", dim=64
+    )
+
+
+_KL_TOKS_SQL = r"""
+        SELECT doc_id, tok AS w
+        FROM documents,
+             UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS u(tok)
+        WHERE tok <> ''
+"""
+
+
+@register(
+    "token_kl_drift",
+    f"""
+    WITH toks AS ({_KL_TOKS_SQL}),
+    ca AS (SELECT w, COUNT(*) AS ca FROM toks WHERE doc_id % 2 = 0 GROUP BY 1),
+    cb AS (SELECT w, COUNT(*) AS cb FROM toks WHERE doc_id % 2 = 1 GROUP BY 1),
+    j AS (
+        SELECT COALESCE(ca.w, cb.w) AS w,
+               COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v FROM j)
+    SELECT CAST(t.na AS BIGINT) AS n_tokens_a,
+           CAST(t.nb AS BIGINT) AS n_tokens_b,
+           CAST(t.v AS BIGINT) AS vocab,
+           ROUND(SUM(((ca + 1) / (t.na + t.v))
+                     * LN(((ca + 1) / (t.na + t.v))
+                          / ((cb + 1) / (t.nb + t.v)))), 4) AS kl_ab,
+           ROUND(SUM(((cb + 1) / (t.nb + t.v))
+                     * LN(((cb + 1) / (t.nb + t.v))
+                          / ((ca + 1) / (t.na + t.v)))), 4) AS kl_ba,
+           ROUND((SUM(((ca + 1) / (t.na + t.v))
+                      * LN(((ca + 1) / (t.na + t.v))
+                           / ((((ca + 1) / (t.na + t.v))
+                               + ((cb + 1) / (t.nb + t.v))) / 2)))
+                  + SUM(((cb + 1) / (t.nb + t.v))
+                        * LN(((cb + 1) / (t.nb + t.v))
+                             / ((((ca + 1) / (t.na + t.v))
+                                 + ((cb + 1) / (t.nb + t.v))) / 2)))) / 2,
+                 4) AS js
+    FROM j, t GROUP BY t.na, t.nb, t.v
+    """,
+)
+def q_token_kl_drift(spark, sf_dir):
+    """Unigram-distribution KL/JS divergence between the even- and
+    odd-doc_id halves of the corpus (``corpus.token_kl_drift``) — the
+    text sibling of ``psi_price_drift``: the new-crawl drift check run
+    before mixing an ingest batch into a training run. Two map-side
+    token counts + one full-outer token join + 1-row reductions; per-
+    term math is codegen over exact integer counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return fcorpus.token_kl_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #

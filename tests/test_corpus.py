@@ -818,3 +818,45 @@ class TestSpanDedup:
             span_words=2,
         )
         assert again.agg(F.sum("n_dropped")).collect()[0][0] == 0
+
+
+class TestTokenKlDrift:
+    def test_identical_slices_zero(self, spark):
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        df = spark.createDataFrame(
+            [(0, "a b c a"), (1, "b c d")], "doc_id long, text string"
+        )
+        r = corpus.token_kl_drift(df, df).collect()[0]
+        assert (r.kl_ab, r.kl_ba, r.js) == (0.0, 0.0, 0.0)
+        assert r.n_tokens_a == r.n_tokens_b == 7
+        assert r.vocab == 4
+
+    def test_disjoint_slices_positive_and_js_bounded(self, spark):
+        import math
+
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        a = spark.createDataFrame([(0, "x x y")], "doc_id long, text string")
+        b = spark.createDataFrame([(1, "z w w")], "doc_id long, text string")
+        r = corpus.token_kl_drift(a, b).collect()[0]
+        assert r.kl_ab > 0 and r.kl_ba > 0
+        assert 0 < r.js <= math.log(2) + 1e-9
+        assert r.vocab == 4  # union vocabulary
+
+    def test_hand_computed_kl(self, spark):
+        import math
+
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        # a: {x:2}, b: {y:1}; V=2, na=2, nb=1
+        # p = (2+1)/4, (0+1)/4 ; q = (0+1)/3, (1+1)/3
+        a = spark.createDataFrame([(0, "x x")], "doc_id long, text string")
+        b = spark.createDataFrame([(1, "y")], "doc_id long, text string")
+        p = [3 / 4, 1 / 4]
+        q = [1 / 3, 2 / 3]
+        kl_ab = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+        kl_ba = sum(qi * math.log(qi / pi) for pi, qi in zip(p, q))
+        r = corpus.token_kl_drift(a, b).collect()[0]
+        assert r.kl_ab == round(kl_ab, 4)
+        assert r.kl_ba == round(kl_ba, 4)

@@ -340,3 +340,40 @@ class TestAuc:
         rows = [(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (3.0, 1.0)]
         df = spark.createDataFrame(rows, "x double, y double")
         assert ml.auc_score(df, ["x"], "y", [0.0, 1.0]).collect()[0].auc == 0.875
+
+
+class TestNearestCentroid:
+    def test_clean_clusters_perfect_diagonal(self, spark):
+        vecs = [
+            (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [1.0, 0.1], 0),
+            (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1), (5, [0.1, 1.0], 1),
+        ]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>, label int"
+        )
+        cm = {
+            (r.label, r.pred_label): r.n
+            for r in ml.nearest_centroid_confusion(df).collect()
+        }
+        assert cm == {(0, 0): 3, (1, 1): 3}
+
+    def test_noisy_label_lands_off_diagonal(self, spark):
+        # vector 5 labeled 1 but sits in cluster 0 -> off-diagonal cell
+        vecs = [
+            (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [1.0, 0.1], 0),
+            (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1), (5, [0.95, 0.05], 1),
+        ]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>, label int"
+        )
+        cm = {
+            (r.label, r.pred_label): r.n
+            for r in ml.nearest_centroid_confusion(df).collect()
+        }
+        assert cm[(1, 0)] == 1 and cm[(0, 0)] == 3 and cm[(1, 1)] == 2
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+        assert ml.nearest_centroid_confusion(df).count() == 0
