@@ -645,3 +645,88 @@ def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
             lambda acc, x: acc + (x * x).cast("long"),
         ).alias("qnorm"),
     )
+
+
+def pca_power_component(
+    embeddings: DataFrame,
+    n_iter: int = 6,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """``(pos, loading, eigenvalue, total_var)`` — the top principal
+    component of the (centered) embedding cloud by ``n_iter`` rounds of
+    distributed power iteration, plus the covariance trace. The
+    embedding-space health probe of a training pipeline: ``eigenvalue /
+    total_var`` is the variance share of the leading direction — near
+    1/dim means an isotropic (healthy) space, large means a collapsed
+    or dominated one (the anisotropy diagnostic of Mu & Viswanath 2018,
+    "All-but-the-Top").
+
+    Execution shape — the ``logreg_gd`` layout applied to an
+    eigenproblem: the iterate ``w`` (dim floats) lives on the DRIVER and
+    enters each round as literals; one round = ONE scan computing the
+    projection ``y_i = (x_i − μ)·w`` as a codegen projection followed by
+    ``dim`` map-side-combining ``avg(y·(x_d − μ_d))`` aggregates — each
+    executor ships dim doubles per round, the matrix-free covariance
+    product C·w without ever materializing the d² covariance (or any
+    |rows|-sized state). Normalization and the Rayleigh value
+    ``λ = ‖C·w‖`` happen on the driver over dim floats.
+
+    Cross-engine contract: the OUTPUT is the ``n_iter``-round iterate,
+    not "the converged eigenvector" — μ, every C·w component, the
+    normalized ``w``, λ and the trace all round to ``round_dp`` decimals
+    (the pagerank ``round_dp`` recipe), so an unrolled-CTE twin matches
+    value-for-value; the deterministic init is the uniform unit vector.
+    Degenerate inputs (no rows, zero variance) return the zero vector
+    with λ = 0 rather than dividing by zero."""
+    if dim is None:
+        first = embeddings.select("embedding").first()
+        if first is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "pos int, loading double, eigenvalue double, total_var double"
+            )
+        dim = len(first[0])
+    v = embeddings.select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu_row = v.agg(
+        *[F.round(F.avg(F.col("v")[d]), round_dp).alias(f"m{d}") for d in range(dim)]
+    ).first()
+    mu = [mu_row[f"m{d}"] for d in range(dim)]
+    w = [round(1.0 / math.sqrt(dim), round_dp)] * dim
+    tv = None
+    for it in range(n_iter):
+        cv = [F.col("v")[d] - F.lit(mu[d]) for d in range(dim)]
+        y = sum(
+            (c * F.lit(wi) for c, wi in zip(cv[1:], w[1:])),
+            cv[0] * F.lit(w[0]),
+        )
+        proj = v.select(
+            *[cv[d].alias(f"c{d}") for d in range(dim)], y.alias("y")
+        )
+        aggs = [
+            F.round(F.avg(F.col("y") * F.col(f"c{d}")), round_dp).alias(f"u{d}")
+            for d in range(dim)
+        ]
+        if tv is None:  # covariance trace rides round 1's pass
+            trace = sum(
+                (F.col(f"c{d}") * F.col(f"c{d}") for d in range(1, dim)),
+                F.col("c0") * F.col("c0"),
+            )
+            aggs.append(F.round(F.avg(trace), round_dp).alias("tv"))
+        row = proj.agg(*aggs).first()
+        if tv is None:
+            tv = row["tv"] if row["tv"] is not None else 0.0
+        u = [row[f"u{d}"] or 0.0 for d in range(dim)]
+        norm = math.sqrt(sum(x * x for x in u))
+        if norm == 0.0:
+            w, ev = [0.0] * dim, 0.0
+            break
+        w = [round(x / norm, round_dp) for x in u]
+        ev = round(norm, round_dp)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(d + 1, float(w[d]), float(ev), float(tv)) for d in range(dim)],
+        "pos int, loading double, eigenvalue double, total_var double",
+    )

@@ -7674,6 +7674,71 @@ def q_centroid_confusion(spark, sf_dir):
     )
 
 
+def _pca_power_sql(n_iter: int = 6, dim: int = 64) -> str:
+    """Twin of ``similarity.pca_power_component``: the unrolled power
+    iteration — each round one centered-projection CTE + one
+    per-dimension mean (the unnest(range) device of ``_kmeans_stages``)
+    + a normalize step, every value rounded 6 dp so the rounds chain on
+    identical decimals in both engines."""
+    d1 = dim + 1
+    parts = [
+        f"""WITH v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    m AS (
+        SELECT pos, ROUND(AVG(val), 6) AS mv
+        FROM (SELECT unnest(v) AS val, unnest(range(1, {d1})) AS pos FROM v)
+        GROUP BY pos
+    ),
+    mu AS (SELECT list(mv ORDER BY pos) AS mu FROM m),
+    c AS (SELECT id, list_transform(v, (x, i) -> x - mu[i]) AS cv FROM v, mu),
+    tv AS (SELECT ROUND(AVG(list_dot_product(cv, cv)), 6) AS tv FROM c),
+    w0 AS (SELECT list_transform(range(1, {d1}),
+                                 x -> ROUND(1.0 / sqrt({dim}), 6)) AS w)"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    y{i} AS (SELECT id, cv, list_dot_product(cv, w{p}.w) AS y FROM c, w{p}),
+    up{i} AS (
+        SELECT pos, ROUND(AVG(val * y), 6) AS uv
+        FROM (SELECT unnest(cv) AS val, unnest(range(1, {d1})) AS pos, y
+              FROM y{i})
+        GROUP BY pos
+    ),
+    u{i} AS (SELECT list(uv ORDER BY pos) AS u FROM up{i}),
+    w{i} AS MATERIALIZED (
+        SELECT list_transform(u, x -> ROUND(x / sqrt(list_dot_product(u, u)),
+                                            6)) AS w,
+               ROUND(sqrt(list_dot_product(u, u)), 6) AS ev
+        FROM u{i}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(pos AS INT) AS pos, w{n_iter}.w[pos] AS loading,
+           w{n_iter}.ev AS eigenvalue, tv.tv AS total_var
+    FROM range(1, {d1}) t(pos), w{n_iter}, tv"""
+    )
+    return "".join(parts)
+
+
+@register("embedding_pca_power", _pca_power_sql())
+def q_embedding_pca_power(spark, sf_dir):
+    """Top principal component of the embedding cloud by 6 rounds of
+    distributed power iteration (``similarity.pca_power_component``) —
+    the embedding-space anisotropy probe (Mu & Viswanath 2018): the
+    iterate lives on the driver (the ``logreg_gd`` layout), each round
+    is ONE scan shipping dim doubles per executor — the matrix-free C·w
+    without materializing the d² covariance. HARD oracle: every round's
+    inputs are 6-dp decimals (μ, C·w components, the normalized w, λ,
+    trace), so the unrolled twin matches value-for-value."""
+    return fsim.pca_power_component(
+        _t(spark, sf_dir, "embeddings"), n_iter=6, dim=64
+    )
+
+
 _KL_TOKS_SQL = r"""
         SELECT doc_id, tok AS w
         FROM documents,

@@ -667,3 +667,43 @@ class TestTwinMemoEviction:
         assert R._twin_memo(spark, "/tmp/none", "_test_tag", lambda: 1 / 0) is df
         R.clear_twin_memo()
         assert len(R._TWIN_MEMO) == 0
+
+
+class TestPcaPower:
+    def test_planted_dominant_direction(self, spark):
+        """Vectors = t·d + small noise for a fixed direction d: the
+        6-round iterate must align with d (|cos| > 0.99) and the
+        eigenvalue must capture most of the trace."""
+        import math
+        import random
+
+        rng = random.Random(3)
+        d = [0.6, 0.8, 0.0, 0.0]
+        vecs = []
+        for i in range(200):
+            t = rng.uniform(-1, 1)
+            vecs.append(
+                (i, [t * dj + rng.uniform(-0.01, 0.01) for dj in d])
+            )
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        rows = sorted(
+            fsim.pca_power_component(df, n_iter=6, dim=4).collect(),
+            key=lambda r: r.pos,
+        )
+        w = [r.loading for r in rows]
+        assert abs(sum(wi * di for wi, di in zip(w, d))) > 0.99
+        assert rows[0].eigenvalue / rows[0].total_var > 0.95
+        # unit vector out of the normalize step
+        assert math.isclose(sum(x * x for x in w), 1.0, rel_tol=1e-4)
+
+    def test_zero_variance_returns_zero(self, spark):
+        df = spark.createDataFrame(
+            [(i, [1.0, 2.0]) for i in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = fsim.pca_power_component(df, n_iter=3, dim=2).collect()
+        assert all(r.loading == 0.0 and r.eigenvalue == 0.0 for r in rows)
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert fsim.pca_power_component(df).count() == 0
