@@ -123,3 +123,67 @@ def markov_transitions(
             F.round(F.col("n") / F.col("tot"), 6).alias("p"),
         )
     )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    trailing: int = 24,
+    threshold: float = 3.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``(event_type, window_start, n, z, is_anomaly)`` — per-type
+    hourly event counts z-scored against the TRAILING ``trailing``
+    complete hours (frame ``[t-trailing, t-1]``): the ingest-rate
+    anomaly monitor a pipeline runs on every batch (a stuck producer or
+    a crawler burst shows up as |z| > ``threshold`` long before
+    downstream stats move). Buckets without a full trailing window are
+    dropped (no z to stand on); zero-variance windows emit z = NULL
+    (flagged false) rather than dividing by zero. The frame is the
+    trailing ``trailing`` OBSERVED buckets — hours with zero events
+    produce no row; feed gap-filled buckets (``event_hourly_gap_fill``)
+    when wall-clock frames are required.
+
+    Determinism: hourly counts are integers; the trailing mean and
+    variance are built EXPLICITLY from SUM / SUM-of-squares / COUNT
+    window sums (never the engine's stddev aggregate, whose Welford
+    accumulation order is engine-specific) — sums of ≤``trailing``
+    small integers are EXACT in fp64, so mean, variance, z and the
+    flag are bit-identical in any engine, even at rounding-boundary
+    ties. Plan: one hash aggregate to hours, one per-type ordered
+    window over the (tiny) bucket table — nothing rescans events."""
+    hours = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("window_start"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-trailing, -1)
+    )
+    nn = F.col("n").cast("double")
+    stats = hours.select(
+        "event_type",
+        "window_start",
+        "n",
+        F.count("n").over(w).alias("k"),
+        F.sum(nn).over(w).alias("s1"),
+        F.sum(nn * nn).over(w).alias("s2"),
+    ).filter(F.col("k") == trailing)
+    mean = F.col("s1") / F.col("k")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    z = F.when(var > 0, F.round((nn - mean) / F.sqrt(var), 4))
+    return stats.select(
+        "event_type",
+        "window_start",
+        "n",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -7674,6 +7674,99 @@ def q_centroid_confusion(spark, sf_dir):
     )
 
 
+@register(
+    "event_rate_anomaly",
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, window_start, n,
+               COUNT(n) OVER w AS k,
+               SUM(CAST(n AS DOUBLE)) OVER w AS s1,
+               SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w AS s2
+        FROM h
+        WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, window_start, n,
+           CASE WHEN (s2 - s1 * s1 / k) / (k - 1) > 0
+                THEN ROUND((CAST(n AS DOUBLE) - s1 / k)
+                           / SQRT((s2 - s1 * s1 / k) / (k - 1)), 4)
+           END AS z,
+           COALESCE(ABS(CASE WHEN (s2 - s1 * s1 / k) / (k - 1) > 0
+                             THEN ROUND((CAST(n AS DOUBLE) - s1 / k)
+                                        / SQRT((s2 - s1 * s1 / k) / (k - 1)),
+                                        4)
+                        END) > 3.0, FALSE) AS is_anomaly
+    FROM s WHERE k = 24
+    """,
+)
+def q_event_rate_anomaly(spark, sf_dir):
+    """Per-type hourly ingest-rate z-scores against the trailing 24
+    observed buckets (``events.rate_anomaly``) — the batch-health
+    monitor in front of every other event query. HARD oracle: integer
+    hourly counts, mean/variance built explicitly from exact window
+    sums (never the engine's Welford stddev), so z is bit-identical
+    cross-engine."""
+    return oevents.rate_anomaly(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "token_fertility_by_lang",
+    r"""
+    WITH d AS (
+        SELECT lang, octet_length(encode(text)) AS n_bytes,
+               len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                     '\s+'),
+                               t -> t <> '')) AS n_toks
+        FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+           ROUND(SUM(n_bytes) * 1.0 / SUM(n_toks), 4) AS bytes_per_token,
+           ROUND(SUM(n_toks) * 1.0 / COUNT(*), 4) AS tokens_per_doc
+    FROM d GROUP BY lang
+    """,
+)
+def q_token_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility / compression stats per language: bytes per
+    whitespace token and tokens per document — the per-language budget
+    numbers (context-window cost, sampling weights) every multilingual
+    data mix is planned around. ONE map-side-combining aggregate over
+    in-row expressions; hashed columns are exact integers plus two
+    single-division ratios (the safe fp class)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    return (
+        docs.select(
+            "lang",
+            F.octet_length("text").alias("n_bytes"),
+            toks.alias("n_toks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.round(
+                F.sum("n_bytes") * 1.0 / F.sum("n_toks"), 4
+            ).alias("bytes_per_token"),
+            F.round(F.sum("n_toks") * 1.0 / F.count("*"), 4).alias(
+                "tokens_per_doc"
+            ),
+        )
+    )
+
+
 def _pca_power_sql(n_iter: int = 6, dim: int = 64) -> str:
     """Twin of ``similarity.pca_power_component``: the unrolled power
     iteration — each round one centered-projection CTE + one

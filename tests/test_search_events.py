@@ -325,3 +325,51 @@ class TestTrendingEventTypes:
             (6, "x"): (1, 1),
             (6, "y"): (1, 2),
         }
+
+
+class TestRateAnomaly:
+    def test_spike_flagged_steady_not(self, spark):
+        """26 hourly buckets of 10 events, then one 100-event spike:
+        the spike's z against the trailing-24 window (mean 10, var 0 ->
+        NULL z) ... use a slightly varied baseline so variance > 0."""
+        from datetime import datetime, timedelta
+
+        from sna_pyspark_graphframes_spark.operators import events as oe
+
+        rows = []
+        eid = 0
+        base = datetime(2024, 1, 1)
+        # alternating 9/11 baseline -> mean 10, sample var ~1.04
+        for h in range(26):
+            n = 9 if h % 2 == 0 else 11
+            if h == 25:
+                n = 100  # the spike
+            for _ in range(n):
+                rows.append((eid, base + timedelta(hours=h), "click"))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        out = {r.window_start.hour + 24 * (r.window_start.day - 1): r
+               for r in oe.rate_anomaly(df).collect()}
+        # buckets 0..23 have incomplete trailing windows -> dropped
+        assert min(out) == 24 and len(out) == 2
+        assert not out[24].is_anomaly  # 9 vs trailing mean ~10: |z| small
+        spike = out[25]
+        assert spike.n == 100 and spike.is_anomaly and spike.z > 3
+
+    def test_zero_variance_window_emits_null_unflagged(self, spark):
+        from datetime import datetime, timedelta
+
+        from sna_pyspark_graphframes_spark.operators import events as oe
+
+        rows = []
+        eid = 0
+        base = datetime(2024, 1, 1)
+        for h in range(25):
+            for _ in range(5):  # constant rate -> var 0
+                rows.append((eid, base + timedelta(hours=h), "x"))
+                eid += 1
+        out = oe.rate_anomaly(df := spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )).collect()
+        assert len(out) == 1
+        assert out[0].z is None and out[0].is_anomaly is False
