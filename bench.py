@@ -149,6 +149,27 @@ HEADLINE = [
     "window_distinct_users_approx",
     "label_spreading_small",
     "knn_degree_correlation",
+    # round-13 appends: the separable-target learning demo (AUC + moving
+    # calibration), the nearest-centroid label-quality probe, the token
+    # KL drift monitor, the PCA power-iteration anisotropy probe, the
+    # ingest-rate anomaly monitor, and per-lang tokenizer fertility.
+    # (The six r12 post-window registrations — logreg_auc,
+    # linreg_by_group, doc_token_entropy, zipf_slope, chi2_lang_tokens,
+    # psi_price_drift — join here too so BENCH_r13 carries their first
+    # readings.)
+    "logreg_auc",
+    "linreg_by_group",
+    "doc_token_entropy",
+    "zipf_slope",
+    "chi2_lang_tokens",
+    "psi_price_drift",
+    "logreg_sep_auc",
+    "logreg_sep_calibration",
+    "centroid_confusion",
+    "token_kl_drift",
+    "embedding_pca_power",
+    "event_rate_anomaly",
+    "token_fertility_by_lang",
 ]
 
 

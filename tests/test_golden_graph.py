@@ -1280,3 +1280,27 @@ class TestLabelSpreading:
         out = algorithms.label_spreading(edges_df(spark, []), seeds)
         assert out.columns == ["id", "f0", "f1", "label"]
         assert out.count() == 0
+
+
+def test_rings_oracle_unroll_bound_covers_fixture(spark):
+    """The MIS/matching replay twins unroll 21 rounds, derived from the
+    worst case ceil(ring/2) with max orders/customer = 41 at TPC-H sf1
+    (VERDICT r11/r12): FORCE the derivation against the actual fixtures
+    so a regenerated fixture that outgrows the bound fails HERE, not as
+    a silent oracle drift (the drain guard catches the Spark side; this
+    catches the SQL side)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sna_pyspark_graphframes_spark.sources import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        biggest = (
+            load_table(spark, sf, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("m"))
+            .first()["m"]
+        )
+        assert math.ceil(biggest / 2) <= 21, (sf, biggest)
