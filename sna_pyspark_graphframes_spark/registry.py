@@ -7966,12 +7966,91 @@ def q_token_kl_drift(spark, sf_dir):
 
 _WINDOW = [
     # =====================================================================
-    # ROUND-12 WINDOW (VERDICT r11 Next #1). Swept 50/50 green at sf0.01
-    # under the final r12 tree before this pin (the r11 pre-pin protocol).
-    # Composition: (a) every never-driver-attested pair — the declared 16
-    # r11 rotation debt plus the 5 r12-new registrations; (b) sentinels on
-    # every path r12 changed; (c) oldest-unchecked-first (the r8-last
-    # cohort), mechanism-diverse among the 44-way tie.
+    # ROUND-13 WINDOW (VERDICT r12 Next #2). Swept 50/50 green at sf0.01
+    # under the final r13 tree before this pin (the r11/r12 pre-pin
+    # protocol). Composition, by the standing rotation rules:
+    # (a) every never-driver-attested pair — the 6 declared r13 rotation
+    #     debt (r12 post-window registrations) + the 7 r13-new
+    #     registrations (13 slots);
+    # (b) sentinels on every path r13 changed: knn_degree_correlation
+    #     (the exact-integer reshape closing the repo's one standing
+    #     driver failure — VERDICT r12 Next #1), nb_doc_lang (exact
+    #     smoothed scoring, ADVICE r12), mis/matching/mst_order_rings
+    #     (drain guards now raise on truncation), ivf_topk (n_probe from
+    #     the actual codebook count) — 6 slots;
+    # (c) ALL 24 r8-stale queries (oldest attestations, four rounds old
+    #     — VERDICT r12 What's missing #2); after this window nothing
+    #     oracle-paired is older than r9;
+    # (d) remaining 7 slots to the oldest r9-last cohort,
+    #     mechanism-diverse: HyperANF, Kleinberg loop, Lloyd's,
+    #     streaming, LSH-ANN, triangle family, DSIR corpus selection.
+    # =====================================================================
+    # --- (a) never-attested: the 6 r12 post-window pairs ---
+    "logreg_auc",
+    "linreg_by_group",
+    "doc_token_entropy",
+    "zipf_slope",
+    "chi2_lang_tokens",
+    "psi_price_drift",
+    # --- (a) never-attested: the 7 r13 registrations ---
+    "logreg_sep_auc",
+    "logreg_sep_calibration",
+    "centroid_confusion",
+    "token_kl_drift",
+    "embedding_pca_power",
+    "event_rate_anomaly",
+    "token_fertility_by_lang",
+    # --- (b) sentinels on r13-touched paths ---
+    "knn_degree_correlation",
+    "nb_doc_lang",
+    "mis_order_rings",
+    "matching_order_rings",
+    "mst_order_rings",
+    "ivf_topk",
+    # --- (c) the full 24-query r8-last cohort ---
+    "acctbal_stats",
+    "avg_degree",
+    "degree",
+    "degree_histogram",
+    "doc_chunks",
+    "doc_fingerprint",
+    "embedding_norms",
+    "event_funnel",
+    "event_props_extract",
+    "event_session_window",
+    "event_tumbling_window",
+    "harmonic_small",
+    "in_out_degree",
+    "kcore_cliques",
+    "lpa_community_count",
+    "orders_per_month",
+    "price_math",
+    "quality_score",
+    "redact_pii",
+    "repetition_ratio",
+    "simhash",
+    "token_count",
+    "top10_degree",
+    "user_session_edges",
+    # --- (d) oldest r9-last, mechanism-diverse ---
+    "effective_diameter_approx",
+    "hits_customer_orders",
+    "kmeans_centroids_small",
+    "stream_tumbling_window",
+    "ann_topk",
+    "avg_clustering",
+    "dsir_log_weights",
+]
+
+_WINDOW_R12 = [
+    # =====================================================================
+    # ROUND-12 WINDOW (VERDICT r11 Next #1), kept for the rotation
+    # ledger. Swept 50/50 green at sf0.01 under the final r12 tree
+    # before its pin. Composition: (a) every never-driver-attested pair
+    # — the declared 16 r11 rotation debt plus the 5 r12-new
+    # registrations; (b) sentinels on every path r12 changed;
+    # (c) oldest-unchecked-first (the r8-last cohort),
+    # mechanism-diverse among the 44-way tie.
     # =====================================================================
     # --- (a1) the 16 r11 rotation-debt pairs (VERDICT r11 "What's
     # missing" #1 — all were judge-verified green locally in r11, never in
