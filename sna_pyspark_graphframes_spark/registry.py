@@ -4424,6 +4424,75 @@ def q_ivf_topk_kmeans(spark, sf_dir):
     return fsim.ivf_topk(emb, k=5, n_probe=2, codebook=cb.select("centroid_id", "cv"))
 
 
+@register(
+    "kmeans_cluster_purity",
+    _kmeans_stages(n_iter=3, stride=40, dim=64)[0]
+    + """
+    , lbl AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+              FROM embeddings),
+    cl AS (
+        SELECT b3.centroid_id, lbl.label, COUNT(*) AS nl
+        FROM b3 JOIN lbl USING (id) GROUP BY 1, 2
+    ),
+    tot AS (SELECT centroid_id, CAST(SUM(nl) AS BIGINT) AS n_members
+            FROM cl GROUP BY 1)
+    SELECT cl.centroid_id, tot.n_members,
+           cl.label AS majority_label, CAST(cl.nl AS BIGINT) AS n_majority
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY centroid_id ORDER BY nl DESC, label ASC) AS rk
+        FROM cl
+    ) cl JOIN tot USING (centroid_id)
+    WHERE cl.rk = 1
+    """,
+)
+def q_kmeans_cluster_purity(spark, sf_dir):
+    """Cluster purity of the Lloyd's codebook against the embeddings
+    table's labels — the unsupervised-vs-label agreement check that
+    closes the clustering-eval family (``centroid_confusion`` probes
+    labels via supervised centroids; this probes the UNSUPERVISED
+    clusters): per final cluster its size, majority label, and majority
+    count — Σ n_majority / Σ n_members is the standard purity score.
+
+    The assignment is round 3's ``b3`` frame (vectors vs the round-2
+    codebook) — in Spark, ``ivf_assign(codebook=kmeans_centroids(
+    n_iter=2))`` scores the identical codebook with the identical 6-dp
+    cosine + centroid_id tie-break, so membership is engine-exact and
+    the output is pure integers (the hash-safe shape). Plan: the
+    training loop + ONE gated assignment scan + two tiny keyed
+    aggregates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = fsim.kmeans_centroids(emb, stride=40, n_iter=2, dim=64)
+    assign = fsim.ivf_assign(
+        emb, n_probe=1, codebook=cb.select("centroid_id", "cv"), dim=64
+    ).filter(F.col("probe_rank") == 1)
+    lbl = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("label").cast("long").alias("label")
+    )
+    from pyspark.sql import Window
+
+    cl = assign.join(lbl, "id").groupBy("centroid_id", "label").agg(
+        F.count("*").alias("nl")
+    )
+    tot = cl.groupBy("centroid_id").agg(
+        F.sum("nl").cast("long").alias("n_members")
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("nl").desc(), F.col("label").asc()
+    )
+    return (
+        cl.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(tot, "centroid_id")
+        .select(
+            "centroid_id",
+            "n_members",
+            F.col("label").alias("majority_label"),
+            F.col("nl").cast("long").alias("n_majority"),
+        )
+    )
+
+
 @register("kmeans_centroids_small", _kmeans_sql())
 def q_kmeans_centroids(spark, sf_dir):
     """Lloyd's k-means codebook (3 iterations from the deterministic
@@ -8032,14 +8101,17 @@ _WINDOW = [
     "token_count",
     "top10_degree",
     "user_session_edges",
-    # --- (d) oldest r9-last, mechanism-diverse ---
+    # --- (d) oldest r9-last, mechanism-diverse. (kmeans_cluster_purity
+    # registered after the first pin and took the last (d) slot — rule
+    # (a): never-attested outranks oldest-unchecked; dsir_log_weights
+    # cedes and joins the declared r14 rotation debt.) ---
     "effective_diameter_approx",
     "hits_customer_orders",
     "kmeans_centroids_small",
     "stream_tumbling_window",
     "ann_topk",
     "avg_clustering",
-    "dsir_log_weights",
+    "kmeans_cluster_purity",
 ]
 
 _WINDOW_R12 = [
