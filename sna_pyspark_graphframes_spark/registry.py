@@ -5932,6 +5932,34 @@ def q_multimodal_decode_wav(spark, sf_dir):
     return fmm.decode_audio_stats(fmm.planted_wav_media(ids, n_samples=240, rate=8000))
 
 
+@register(
+    "audio_frame_energy",
+    """
+    WITH g AS (
+        SELECT doc_id, (doc_id*31 + i*7) % 2000 - 1000 AS s, i
+        FROM documents, UNNEST(generate_series(0, 239)) AS gi(i)
+    )
+    SELECT doc_id AS media_id, CAST(i // 80 AS INT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM g GROUP BY 1, 2
+    """,
+)
+def q_audio_frame_energy(spark, sf_dir):
+    """Windowed PCM frame energies from real WAV bytes
+    (``multimodal.audio_frame_energy``) — the VAD / silence-trim
+    primitive of audio curation: 80-sample (10 ms @ 8 kHz) frames with
+    int64 Σ s² and peak. HARD oracle: the planted sample stream is
+    closed-form, so DuckDB recomputes every frame's integers without
+    decoding — the value check passes only if the byte-level RIFF walk
+    AND the frame split are exactly right."""
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return fmm.audio_frame_energy(
+        fmm.planted_wav_media(ids, n_samples=240, rate=8000), frame=80
+    )
+
+
 # ---------------------------------------------------------------------------
 # Keyword search (functions/search.py) and event analytics (operators/events.py)
 # ---------------------------------------------------------------------------
@@ -8102,14 +8130,15 @@ _WINDOW = [
     "top10_degree",
     "user_session_edges",
     # --- (d) oldest r9-last, mechanism-diverse. (kmeans_cluster_purity
-    # registered after the first pin and took the last (d) slot — rule
-    # (a): never-attested outranks oldest-unchecked; dsir_log_weights
-    # cedes and joins the declared r14 rotation debt.) ---
+    # and audio_frame_energy registered after the first pin and took the
+    # last two (d) slots — rule (a): never-attested outranks
+    # oldest-unchecked; dsir_log_weights and ann_topk cede and join the
+    # declared r14 rotation debt.) ---
     "effective_diameter_approx",
     "hits_customer_orders",
     "kmeans_centroids_small",
     "stream_tumbling_window",
-    "ann_topk",
+    "audio_frame_energy",
     "avg_clustering",
     "kmeans_cluster_purity",
 ]

@@ -707,3 +707,26 @@ class TestPcaPower:
     def test_empty_input(self, spark):
         df = spark.createDataFrame([], "vec_id long, embedding array<float>")
         assert fsim.pca_power_component(df).count() == 0
+
+
+class TestAudioFrameEnergy:
+    def test_hand_computed_frames_with_short_tail(self, spark):
+        """100 samples at frame=80: one full frame + a 20-sample tail
+        whose n/energy/peak are computed from the planted closed form."""
+        import numpy as np
+
+        ids = spark.createDataFrame([(3,)], "doc_id long")
+        media = fmm.planted_wav_media(ids, n_samples=100, rate=8000)
+        got = {
+            r.frame_idx: (r.n, r.energy, r.peak)
+            for r in fmm.audio_frame_energy(media, frame=80).collect()
+        }
+        s = ((3 * 31 + np.arange(100, dtype=np.int64) * 7) % 2000 - 1000)
+        for f0 in (0, 80):
+            w = s[f0 : f0 + 80]
+            assert got[f0 // 80] == (
+                len(w),
+                int((w * w).sum()),
+                int(np.abs(w).max()),
+            )
+        assert len(got) == 2
