@@ -341,3 +341,61 @@ def test_linreg_label_shift_moves_only_intercept(spark, rows):
     w1 = ml.linreg_normal(df2, ["x"], "y")
     assert w1[1] == _pt.approx(w0[1], abs=5e-4)
     assert w1[0] == _pt.approx(w0[0] + c, abs=5e-4)
+
+
+texts = st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=20), min_size=1, max_size=8
+)
+
+
+@given(ta=texts, tb=texts)
+@settings(max_examples=10, deadline=None)
+def test_token_kl_properties(spark, ta, tb):
+    """Gibbs: KL ≥ 0 both directions (0 iff the smoothed distributions
+    coincide); JS bounded by ln 2; swapping the slices transposes
+    kl_ab/kl_ba and fixes js."""
+    import math
+
+    from sna_pyspark_graphframes_spark.functions import corpus
+
+    def df(ts):
+        return spark.createDataFrame(list(enumerate(ts)), "doc_id long, text string")
+
+    a, b = df(ta), df(tb)
+    r = corpus.token_kl_drift(a, b).collect()[0]
+    if r.vocab == 0:  # all-whitespace corpora: no tokens, no distribution
+        return
+    assert r.kl_ab >= 0 and r.kl_ba >= 0
+    assert 0 <= r.js <= math.log(2) + 1e-9
+    s = corpus.token_kl_drift(b, a).collect()[0]
+    assert (s.kl_ab, s.kl_ba, s.js) == (r.kl_ba, r.kl_ab, r.js)
+    assert (s.n_tokens_a, s.n_tokens_b) == (r.n_tokens_b, r.n_tokens_a)
+
+
+@given(
+    labels=st.lists(st.integers(0, 2), min_size=4, max_size=20),
+    seed=st.integers(0, 5),
+)
+@settings(max_examples=10, deadline=None)
+def test_nearest_centroid_confusion_partitions_input(spark, labels, seed):
+    """The confusion matrix is a partition of the input: cell counts
+    sum to |rows|, and per-true-label row sums equal the label counts."""
+    import random
+
+    from sna_pyspark_graphframes_spark.functions import ml
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)], lab)
+        for i, lab in enumerate(labels)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cm = ml.nearest_centroid_confusion(df).collect()
+    assert sum(r.n for r in cm) == len(labels)
+    from collections import Counter
+
+    want = Counter(labels)
+    got = Counter()
+    for r in cm:
+        got[r.label] += r.n
+    assert got == {k: v for k, v in want.items()}
