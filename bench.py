@@ -170,6 +170,8 @@ HEADLINE = [
     "embedding_pca_power",
     "event_rate_anomaly",
     "token_fertility_by_lang",
+    "kmeans_cluster_purity",
+    "audio_frame_energy",
 ]
 
 
