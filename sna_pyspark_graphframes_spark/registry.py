@@ -7188,7 +7188,16 @@ def _sep_feats(spark, sf_dir):
     """Spark side of ``_SEP_F_SQL`` — expression trees shaped exactly
     like the SQL (same op order), so every intermediate double is the
     same correctly-rounded value in both engines and the u < p label
-    comparison is bit-deterministic."""
+    comparison is bit-deterministic.
+
+    The frame is localCheckpoint'ed: the md5-uniform label generator
+    costs one hash per row, and the GD loop re-scans its input once per
+    round — without the checkpoint the 8-round trainer recomputes the
+    label gen 9× (measured 11.8 s → ~5 s at sf0.1). Intra-query reuse,
+    not a cross-rep memo: each bench rep (and each fresh session) pays
+    the one materialization."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
     li = _t(spark, sf_dir, "lineitem")
     u = (
         F.conv(
@@ -7214,10 +7223,12 @@ def _sep_feats(spark, sf_dir):
         .when(q > 30, F.lit(0.95))
         .otherwise(F.lit(0.05) + F.lit(0.9) * (q - 20) / F.lit(10.0))
     )
-    return li.select(
-        (q / 50.0).alias("x1"),
-        (F.col("l_discount") * 10.0).alias("x2"),
-        (u < p).cast("double").alias("y"),
+    return checkpointed(
+        li.select(
+            (q / 50.0).alias("x1"),
+            (F.col("l_discount") * 10.0).alias("x2"),
+            (u < p).cast("double").alias("y"),
+        )
     )
 
 
