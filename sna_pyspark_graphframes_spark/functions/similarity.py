@@ -687,6 +687,8 @@ def pca_power_component(
                 [], "pos int, loading double, eigenvalue double, total_var double"
             )
         dim = len(first[0])
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
     v = embeddings.select(
         F.col("embedding").cast("array<double>").alias("v")
     )
@@ -694,17 +696,29 @@ def pca_power_component(
         *[F.round(F.avg(F.col("v")[d]), round_dp).alias(f"m{d}") for d in range(dim)]
     ).first()
     mu = [mu_row[f"m{d}"] for d in range(dim)]
+    # materialize the CENTERED columns once — μ is fixed across rounds,
+    # so each round's scan becomes a cached-read of dim narrow doubles
+    # instead of re-extracting and re-centering the array column (and
+    # the per-round codegen unit shrinks to y + the dim products)
+    centered = checkpointed(
+        v.select(
+            *[(F.col("v")[d] - F.lit(mu[d])).alias(f"c{d}") for d in range(dim)]
+        )
+    )
     w = [round(1.0 / math.sqrt(dim), round_dp)] * dim
     tv = None
+    # w stays LITERALS (the logreg layout): a broadcast-1-row-frame
+    # variant that would let codegen compile once across rounds was
+    # A/B'd and REJECTED — the per-round createDataFrame + broadcast
+    # exchange cost more than the compile it saved (13.2 s vs 8.6 s
+    # warm at sf0.1, 3-rep medians).
     for it in range(n_iter):
-        cv = [F.col("v")[d] - F.lit(mu[d]) for d in range(dim)]
+        cols = [F.col(f"c{d}") for d in range(dim)]
         y = sum(
-            (c * F.lit(wi) for c, wi in zip(cv[1:], w[1:])),
-            cv[0] * F.lit(w[0]),
+            (c * F.lit(wi) for c, wi in zip(cols[1:], w[1:])),
+            cols[0] * F.lit(w[0]),
         )
-        proj = v.select(
-            *[cv[d].alias(f"c{d}") for d in range(dim)], y.alias("y")
-        )
+        proj = centered.select("*", y.alias("y"))
         aggs = [
             F.round(F.avg(F.col("y") * F.col(f"c{d}")), round_dp).alias(f"u{d}")
             for d in range(dim)
