@@ -479,3 +479,54 @@ def duplicate_ngram_coverage(
             ).alias("dup_ngram_frac"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_a, id_b, dist)`` — all pairs of strings within Levenshtein
+    distance 1, by the SymSpell deletion-neighborhood join (Garbe 2012,
+    the industry-standard spelling-variant blocker): two strings at
+    distance ≤ 1 MUST share a key in ``{s} ∪ {s minus one char}``
+    (equality shares s; an insertion/deletion pair shares the shorter
+    string; a substitution pair shares the both-sides deletion at the
+    differing position), so candidate generation is an EQUI-JOIN on
+    those keys — never an all-pairs product — and the exact
+    ``levenshtein`` then verifies each candidate once. The short-string
+    sibling of the n-gram/MinHash near-dup family (those block on
+    content overlap; this blocks on character edits — usernames,
+    titles, entity names).
+
+    Scale: key fan-out is len+1 per string (explode → |rows|·len keys,
+    map-side), the self-join shuffles on the key, dup candidates
+    collapse with one distinct, and the verify is a codegen
+    ``levenshtein`` on O(candidates) pairs. Everything integer/string —
+    hash-exact output in any engine."""
+    s = F.trim(F.col(text_col))
+    keys = F.array_union(
+        F.array(s),
+        F.expr(
+            f"transform(sequence(1, length(trim({text_col}))), i -> "
+            f"concat(substring(trim({text_col}), 1, i - 1), "
+            f"substring(trim({text_col}), i + 1, length(trim({text_col})))))"
+        ),
+    )
+    k = df.select(
+        F.col(id_col).alias("id"), s.alias("s"), F.explode(keys).alias("k")
+    )
+    a = k.select(F.col("id").alias("id_a"), F.col("s").alias("sa"), "k")
+    b = k.select(F.col("id").alias("id_b"), F.col("s").alias("sb"), "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("sa", "sb").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )

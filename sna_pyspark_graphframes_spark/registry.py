@@ -7732,6 +7732,40 @@ def q_psi_price_drift(spark, sf_dir):
 
 
 @register(
+    "supplier_name_edit_pairs",
+    """
+    WITH s AS (SELECT s_suppkey AS id, TRIM(s_name) AS s FROM supplier),
+    k AS (
+        SELECT id, s, UNNEST(list_append(
+            list_transform(range(1, LEN(s) + 1),
+                           i -> substr(s, 1, i - 1) || substr(s, i + 1)),
+            s)) AS k
+        FROM s
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+        FROM k a JOIN k b ON a.k = b.k AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+    FROM cand WHERE levenshtein(sa, sb) <= 1
+    """,
+)
+def q_supplier_name_edit_pairs(spark, sf_dir):
+    """Levenshtein-distance-1 supplier-name pairs via the SymSpell
+    deletion-neighborhood join (``dedup.edit_distance_pairs``) — the
+    spelling-variant / entity-name blocker of the dedup family: two
+    strings at distance ≤ 1 must share a deletion key, so candidates
+    come from an equi-join on keys (len+1 fan-out), never all pairs.
+    The sequential Supplier#NNNNNNNNN names make single-digit
+    substitutions a dense non-trivial answer set. HARD oracle: both
+    engines generate the identical key sets and verify with their
+    built-in levenshtein — pure integers out."""
+    return fdedup.edit_distance_pairs(
+        _t(spark, sf_dir, "supplier"), "s_name", "s_suppkey"
+    )
+
+
+@register(
     "centroid_confusion",
     """
     WITH v AS (

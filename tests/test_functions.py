@@ -730,3 +730,60 @@ class TestAudioFrameEnergy:
                 int(np.abs(w).max()),
             )
         assert len(got) == 2
+
+
+class TestEditDistancePairs:
+    def test_hand_built_variants(self, spark):
+        """Substitution, deletion, insertion each at distance 1 are
+        found; distance-2 and unrelated strings are not; exact
+        duplicates pair at distance 0."""
+        rows = [
+            (0, "spark"),
+            (1, "spork"),    # substitution -> dist 1
+            (2, "spar"),     # deletion -> dist 1
+            (3, "sparko"),   # insertion -> dist 1
+            (4, "spoon"),    # dist 3 from spark
+            (5, "spark"),    # exact dup -> dist 0
+            (6, "sprk"),     # deletion of 'a' -> dist 1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in fdedup.edit_distance_pairs(df, "text").collect()
+        }
+        assert got[(0, 1)] == 1 and got[(0, 2)] == 1 and got[(0, 3)] == 1
+        assert got[(0, 5)] == 0 and got[(0, 6)] == 1
+        assert (0, 4) not in got
+        # symmetric companions of the planted pairs, nothing else bogus
+        assert all(d <= 1 for d in got.values())
+
+    def test_matches_brute_force(self, spark):
+        """The deletion-neighborhood candidates are COMPLETE for
+        distance <= 1: equal to the brute-force pair scan."""
+        import itertools
+
+        words = ["cat", "cut", "cart", "ca", "dog", "dig", "dg", "cat"]
+        df = spark.createDataFrame(
+            list(enumerate(words)), "doc_id long, text string"
+        )
+        got = {
+            (r.id_a, r.id_b): r.dist
+            for r in fdedup.edit_distance_pairs(df, "text").collect()
+        }
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        want = {
+            (i, j): lev(words[i], words[j])
+            for i, j in itertools.combinations(range(len(words)), 2)
+            if lev(words[i], words[j]) <= 1
+        }
+        assert got == want
