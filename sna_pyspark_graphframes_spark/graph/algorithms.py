@@ -1834,6 +1834,112 @@ def luby_mis(
     return out
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    weight_col: str = "w",
+    damping: float = 0.85,
+    max_iter: int = 8,
+    directed: bool = True,
+) -> DataFrame:
+    """``(id, pagerank)`` — PageRank with edge WEIGHTS: each vertex
+    splits its rank over out-edges proportionally,
+    ``pr(v) = (1-d)/N + d·(Σ_{u→v} pr(u)·w(u,v)/s(u) + dm/N)`` with
+    ``s(u)`` the out-STRENGTH (Σ of u's out-weights) and ``dm`` the
+    dangling mass — the GraphFrames-missing weighted variant (count- or
+    affinity-weighted graphs: co-occurrence multiplicity, interaction
+    strength). Weights must be positive; zero/negative weights are a
+    contract violation.
+
+    A multigraph reduction through the unweighted loop (explode a
+    weight-w edge into w unit edges) was built first and REJECTED:
+    :func:`_edges_partitioned` deduplicates (src, dst) as part of the
+    loop layout, silently collapsing the parallel edges back to weight
+    1 (caught by the closed-form star oracle). The direct formulation
+    keeps the weighted edge list intact and reuses the loop hygiene —
+    dst-partitioned persisted layout WITHOUT the dedup, out-strength
+    joined once from the checkpointed base, one edge-state join + one
+    keyed sum per round, dangling mass as the per-round driver scalar
+    riding the same materializing action, per-round lazy checkpoints.
+
+    Fixed ``max_iter`` rounds (the oracle contract); production callers
+    wanting tol-based early exit compose it like :func:`pagerank`'s
+    delta fold. Output rounds at 6 dp like the unweighted loop."""
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    e = (
+        e.filter(F.col("src") != F.col("dst"))
+        .repartition("dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out_w = e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("s"))
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    base = checkpointed(vertices.join(out_w, "id", "left"), lazy=True)
+    row = base.agg(
+        F.count("*"), F.sum(F.col("s").isNull().cast("int"))
+    ).first()
+    n = row[0]
+    if n == 0:
+        e.unpersist(blocking=False)
+        return edges.sparkSession.createDataFrame(
+            [], "id long, pagerank double"
+        )
+    n_dangling = row[1] or 0
+    ranks = base.withColumn("pr", F.lit(1.0 / n))
+    dangling_mass = n_dangling * (1.0 / n)
+    for _ in range(max_iter):
+        contribs = (
+            e.join(
+                _state_hinted(
+                    ranks.select(
+                        F.col("id").alias("src"), "pr", F.col("s").alias("os")
+                    ),
+                    n,
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") * F.col("w") / F.col("os")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_pr = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+            F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling_mass / n)
+        )
+        ranks = checkpointed(
+            base.join(contribs, "id", "left").select(
+                "id", "s", new_pr.alias("pr")
+            ),
+            lazy=True,
+        )
+        # ONE action per round: the dangling-mass read materializes the
+        # lazily-checkpointed state (the unweighted loop's r7 fold)
+        dangling_mass = (
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("s").isNull(), F.col("pr"))),
+                    F.lit(0.0),
+                )
+            ).first()[0]
+        )
+    e.unpersist(blocking=False)
+    return ranks.select("id", F.round(F.col("pr"), 6).alias("pagerank"))
+
+
 def edge_hash_weight(src: Column, dst: Column) -> Column:
     """Deterministic U(0,1) edge weight from the canonical endpoint pair
     — the ``dsir_select_topk`` md5 device: ``(int(md5[:8],16)+0.5)/2³²``

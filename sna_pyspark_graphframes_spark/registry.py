@@ -1855,6 +1855,77 @@ def q_pagerank_dangling_pairs(spark, sf_dir):
 
 
 @register(
+    "pagerank_weighted_stars",
+    """
+    WITH RECURSIVE t AS (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS nn
+        FROM orders
+    ),
+    m AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS a,
+               MAX(CASE WHEN rn = 2 THEN o_orderkey END) AS b,
+               MAX(CASE WHEN rn = 3 THEN o_orderkey END) AS c
+        FROM t WHERE nn >= 3 AND rn <= 3 GROUP BY o_custkey
+    ),
+    p AS (SELECT 3.0 * COUNT(*) AS n FROM m),
+    it(k, a, b, c) AS (
+        SELECT 0, 1.0 / n, 1.0 / n, 1.0 / n FROM p
+        UNION ALL
+        SELECT k + 1,
+               0.15 / p.n + 0.85 * ((b + c) / 3),
+               0.15 / p.n + 0.85 * (a / 3 + (b + c) / 3),
+               0.15 / p.n + 0.85 * (2 * (a / 3) + (b + c) / 3)
+        FROM it, p WHERE k < 8
+    )
+    SELECT m.a AS id, ROUND((SELECT a FROM it WHERE k = 8), 6) AS pagerank
+    FROM m
+    UNION ALL
+    SELECT m.b, ROUND((SELECT b FROM it WHERE k = 8), 6) FROM m
+    UNION ALL
+    SELECT m.c, ROUND((SELECT c FROM it WHERE k = 8), 6) FROM m
+    """,
+)
+def q_pagerank_weighted_stars(spark, sf_dir):
+    """Integer-weighted PageRank (``algorithms.pagerank_weighted`` — the
+    exact multigraph reduction through the attested unweighted loop) on
+    a closed-form fixture: per customer with ≥3 orders, a 2-edge star
+    a→b (weight 1), a→c (weight 2). Every 'a' carries value a_k, every
+    'b' b_k, every 'c' c_k, and b/c are DANGLING, so the whole graph
+    reduces to a 3-variable recurrence with weighted splits 1/3 vs 2/3
+    — the oracle iterates it through a recursive CTE for the same 8
+    supersteps (tol=None pins the exact-maxIter contract). Exercises
+    BOTH the weight path (pr·w/Σw) and the dangling-mass fold."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    t = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("o_custkey")).alias("nn"),
+    ).filter((F.col("nn") >= 3) & (F.col("rn") <= 3))
+    m = t.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("o_orderkey"))).alias("a"),
+        F.max(F.when(F.col("rn") == 2, F.col("o_orderkey"))).alias("b"),
+        F.max(F.when(F.col("rn") == 3, F.col("o_orderkey"))).alias("c"),
+    )
+    edges = m.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1).alias("w")
+    ).unionByName(
+        m.select(
+            F.col("a").alias("src"), F.col("c").alias("dst"),
+            F.lit(2).alias("w"),
+        )
+    )
+    return algorithms.pagerank_weighted(edges, "w", directed=True, max_iter=8)
+
+
+@register(
     "eigenvector_order_rings",
     """
     WITH r AS (

@@ -1304,3 +1304,64 @@ def test_rings_oracle_unroll_bound_covers_fixture(spark):
             .first()["m"]
         )
         assert math.ceil(biggest / 2) <= 21, (sf, biggest)
+
+
+class TestPagerankWeighted:
+    def test_star_matches_hand_recurrence(self, spark):
+        """One star a->b (w=1), a->c (w=2): 3-variable recurrence with
+        weighted splits 1/3 vs 2/3 and b,c dangling."""
+        edges = spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 2)], "src long, dst long, w int"
+        )
+        got = {
+            r.id: r.pagerank
+            for r in algorithms.pagerank_weighted(
+                edges, "w", directed=True, max_iter=8
+            ).collect()
+        }
+        n = 3.0
+        a = b = c = 1 / n
+        for _ in range(8):
+            dm = (b + c) / 3
+            a, b, c = (
+                0.15 / n + 0.85 * dm,
+                0.15 / n + 0.85 * (a / 3 + dm),
+                0.15 / n + 0.85 * (2 * (a / 3) + dm),
+            )
+        assert got == {1: round(a, 6), 2: round(b, 6), 3: round(c, 6)}
+        assert got[3] > got[2]  # the weight-2 target outranks weight-1
+
+    def test_unit_weights_match_unweighted_loop(self, spark):
+        """w=1 everywhere must reproduce the attested unweighted loop
+        (same rounds, tol off) to the 6-dp output contract."""
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        ew = e.withColumn("w", F.lit(1))
+        want = {
+            r.id: r.pagerank
+            for r in algorithms.pagerank(
+                e, directed=True, max_iter=8, tol=None
+            ).collect()
+        }
+        got = {
+            r.id: r.pagerank
+            for r in algorithms.pagerank_weighted(
+                ew, "w", directed=True, max_iter=8
+            ).collect()
+        }
+        assert got == want
+
+    def test_undirected_symmetrizes(self, spark):
+        # undirected single weighted edge: both endpoints symmetric
+        e = spark.createDataFrame([(1, 2, 5)], "src long, dst long, w int")
+        got = {
+            r.id: r.pagerank
+            for r in algorithms.pagerank_weighted(
+                e, "w", directed=False, max_iter=5
+            ).collect()
+        }
+        assert got[1] == got[2] == 0.5
+
+    def test_empty(self, spark):
+        e = spark.createDataFrame([], "src long, dst long, w int")
+        assert algorithms.pagerank_weighted(e, "w").count() == 0
