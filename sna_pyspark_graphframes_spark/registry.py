@@ -8289,18 +8289,24 @@ _WINDOW = [
     "token_count",
     "top10_degree",
     "user_session_edges",
-    # --- (d) oldest r9-last, mechanism-diverse. (kmeans_cluster_purity
-    # and audio_frame_energy registered after the first pin and took the
-    # last two (d) slots — rule (a): never-attested outranks
-    # oldest-unchecked; dsir_log_weights and ann_topk cede and join the
-    # declared r14 rotation debt.) ---
+    # --- (d) oldest r9-last, mechanism-diverse — REDUCED to two slots
+    # by rule (a) as round-13 registrations kept landing (never-attested
+    # outranks oldest-unchecked): kmeans_cluster_purity,
+    # audio_frame_energy, supplier_name_edit_pairs,
+    # pagerank_weighted_stars and ks_price_drift took five (d) slots;
+    # dsir_log_weights, ann_topk, hits_customer_orders,
+    # kmeans_centroids_small and stream_tumbling_window cede and join
+    # the declared r14 rotation debt (all r9/r10-attested green, none
+    # ever red). effective_diameter_approx (HyperANF — the round's
+    # watch item) and avg_clustering (the fp-audit sentinel) keep
+    # their slots. ---
     "effective_diameter_approx",
-    "hits_customer_orders",
-    "kmeans_centroids_small",
-    "stream_tumbling_window",
-    "audio_frame_energy",
     "avg_clustering",
     "kmeans_cluster_purity",
+    "audio_frame_energy",
+    "supplier_name_edit_pairs",
+    "pagerank_weighted_stars",
+    "ks_price_drift",
 ]
 
 _WINDOW_R12 = [
