@@ -172,6 +172,9 @@ HEADLINE = [
     "token_fertility_by_lang",
     "kmeans_cluster_purity",
     "audio_frame_energy",
+    "supplier_name_edit_pairs",
+    "pagerank_weighted_stars",
+    "ks_price_drift",
 ]
 
 
