@@ -399,3 +399,33 @@ def test_nearest_centroid_confusion_partitions_input(spark, labels, seed):
     for r in cm:
         got[r.label] += r.n
     assert got == {k: v for k, v in want.items()}
+
+
+@given(
+    xs=st.lists(st.integers(0, 8), min_size=1, max_size=15),
+    ys=st.lists(st.integers(0, 8), min_size=1, max_size=15),
+)
+@settings(max_examples=10, deadline=None)
+def test_ks_statistic_properties(spark, xs, ys):
+    """KS is symmetric (D(a,b) = D(b,a)), bounded in [0,1], zero iff
+    the empirical distributions coincide, and matches a brute-force
+    ECDF evaluation."""
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    def df(vs):
+        return spark.createDataFrame([(float(v),) for v in vs], "x double")
+
+    r = relational.ks_statistic(df(xs), df(ys), "x").collect()[0]
+    s = relational.ks_statistic(df(ys), df(xs), "x").collect()[0]
+    assert (r.ks_num, r.ks) == (s.ks_num, s.ks)
+    assert 0.0 <= r.ks <= 1.0
+    # brute force over the pooled support
+    na, nb = len(xs), len(ys)
+    want = max(
+        abs(sum(x <= v for x in xs) * nb - sum(y <= v for y in ys) * na)
+        for v in set(xs) | set(ys)
+    )
+    assert r.ks_num == want
+    assert r.ks == round(want / (na * nb), 6)
+    if sorted(xs) == sorted(ys):
+        assert r.ks == 0.0
