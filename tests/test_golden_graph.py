@@ -1365,3 +1365,16 @@ class TestPagerankWeighted:
     def test_empty(self, spark):
         e = spark.createDataFrame([], "src long, dst long, w int")
         assert algorithms.pagerank_weighted(e, "w").count() == 0
+
+
+def test_average_neighbor_degree_star(spark):
+    """Star5: the hub's neighbors are 5 leaves of degree 1 (avg 1.0);
+    each leaf's only neighbor is the hub of degree 5 (avg 5.0)."""
+    out = as_map(
+        metrics.average_neighbor_degree(edges_df(spark, STAR5)),
+        "id",
+        "avg_nbr_degree",
+    )
+    assert out[0] == 1.0
+    for leaf in range(1, 6):
+        assert out[leaf] == 5.0
