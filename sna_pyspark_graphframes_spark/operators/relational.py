@@ -393,6 +393,105 @@ def population_stability(
     )
 
 
+def range_prefix_sums(
+    g: DataFrame,
+    order_col: str,
+    cols: list[str],
+    n_range_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Distributed PREFIX SUMS over an ordered table, without a global
+    single-task window: range-repartition on ``order_col``, pin the
+    physical partition ids with a checkpoint, per-partition window
+    sums, then ONE |partitions|-row driver read whose running offsets
+    re-enter as a broadcast join. Two parallel passes; every stage
+    scales. Returns ``(frame with cum_<c> columns, {c: total})`` —
+    the shared engine under :func:`ks_statistic` and :func:`ecdf`.
+
+    Adjacent-coalescing safe: AQE merges only ADJACENT range
+    partitions, so partition-id order still follows value order and
+    the running offsets stay correct."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+    spark = g.sparkSession
+    p = n_range_partitions or spark.sparkContext.defaultParallelism
+    gp = checkpointed(  # pid is physical — pin it before the two reads
+        g.repartitionByRange(p, order_col).withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = gp.select(
+        "*", *[F.sum(c).over(w).alias(f"_l_{c}") for c in cols]
+    )
+    parts = sorted(
+        gp.groupBy("pid")
+        .agg(*[F.sum(c).alias(c) for c in cols])
+        .collect(),
+        key=lambda r: r.pid,
+    )
+    offsets_rows, run = [], {c: 0 for c in cols}
+    for r in parts:
+        offsets_rows.append((r.pid, *[run[c] for c in cols]))
+        for c in cols:
+            run[c] += r[c] or 0
+    totals = dict(run)
+    if not offsets_rows:
+        out = g.select(
+            "*", *[F.lit(0).cast("long").alias(f"cum_{c}") for c in cols]
+        )
+        return out, totals
+    schema = "pid int, " + ", ".join(f"_o_{c} long" for c in cols)
+    offsets = g.sparkSession.createDataFrame(offsets_rows, schema)
+    out = (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            *[c for c in g.columns],
+            *[
+                (F.col(f"_l_{c}") + F.col(f"_o_{c}"))
+                .cast("long")
+                .alias(f"cum_{c}")
+                for c in cols
+            ],
+        )
+    )
+    return out, totals
+
+
+def ecdf(
+    df: DataFrame,
+    value_col: str,
+    round_dp: int = 6,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """``(v, n_le, ecdf)`` — the exact empirical CDF of a numeric
+    column, one row per distinct value: ``n_le`` = count of rows ≤ v
+    (exact BIGINT — the hash-safe column), ``ecdf = n_le/n`` (single
+    division off exact integers, rounded). The building block under
+    percentile-rank normalization and the KS drift test, computed with
+    the distributed prefix-sum pattern (:func:`range_prefix_sums`) —
+    no global single-task window. NULLs drop."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cum, totals = range_prefix_sums(g, "v", ["c"], n_range_partitions)
+    n = totals.get("c", 0)
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "v double, n_le long, ecdf double"
+        )
+    return cum.select(
+        "v",
+        F.col("cum_c").alias("n_le"),
+        F.round(F.col("cum_c") / F.lit(float(n)), round_dp).alias("ecdf"),
+    )
+
+
 def ks_statistic(
     ref: DataFrame,
     new: DataFrame,
@@ -433,56 +532,68 @@ def ks_statistic(
     g = pooled.groupBy("v").agg(
         F.sum("a").cast("long").alias("ca"), F.sum("b").cast("long").alias("cb")
     )
-    p = n_range_partitions or spark.sparkContext.defaultParallelism
-    gp = (
-        g.repartitionByRange(p, "v")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
-
-    gp = checkpointed(gp)  # pid is physical — pin it before the two reads
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = gp.select(
-        "v",
-        "pid",
-        F.sum("ca").over(w).alias("la"),
-        F.sum("cb").over(w).alias("lb"),
-    )
-    # |partitions|-row driver read -> running offsets re-enter broadcast
-    parts = (
-        gp.groupBy("pid")
-        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
-        .collect()
-    )
-    off_a, off_b, rows = {}, {}, sorted(parts, key=lambda r: r.pid)
-    run_a = run_b = 0
-    for r in rows:
-        off_a[r.pid], off_b[r.pid] = run_a, run_b
-        run_a += r.sa or 0
-        run_b += r.sb or 0
-    na, nb = run_a, run_b
+    cum, totals = range_prefix_sums(g, "v", ["ca", "cb"], n_range_partitions)
+    na, nb = totals.get("ca", 0), totals.get("cb", 0)
     if na == 0 or nb == 0:
         return spark.createDataFrame(
             [(na, nb, 0, 0.0)],
             "n_ref long, n_new long, ks_num long, ks double",
         )
-    offsets = spark.createDataFrame(
-        [(pid, off_a[pid], off_b[pid]) for pid in off_a],
-        "pid int, oa long, ob long",
-    )
-    cum = local.join(F.broadcast(offsets), "pid").select(
-        ((F.col("la") + F.col("oa")) * F.lit(nb)
-         - (F.col("lb") + F.col("ob")) * F.lit(na)).alias("d")
-    )
+    d = F.col("cum_ca") * F.lit(nb) - F.col("cum_cb") * F.lit(na)
     return cum.agg(
         F.lit(na).alias("n_ref"),
         F.lit(nb).alias("n_new"),
-        F.max(F.abs(F.col("d"))).cast("long").alias("ks_num"),
+        F.max(F.abs(d)).cast("long").alias("ks_num"),
         F.round(
-            F.max(F.abs(F.col("d"))) / F.lit(float(na) * float(nb)), 6
+            F.max(F.abs(d)) / F.lit(float(na) * float(nb)), 6
         ).alias("ks"),
+    )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """``(group, n, n_kept, q_lo, q_hi, trimmed_mean)`` — per-group
+    robust location via quantile trimming: keep values inside the
+    exact interpolated ``[q_lo, q_hi]`` percentiles and average them —
+    the tail-insensitive mean next to :func:`mad_outliers`' fence
+    count (MAD says how many outliers; the trimmed mean says what the
+    bulk looks like without them). NULLs drop.
+
+    Cross-engine: exact ``percentile`` is bit-equal to DuckDB
+    ``quantile_cont`` (the ``price_quantiles`` parity), the keep
+    predicate compares against identical doubles, counts are integers,
+    and the trimmed mean is a safe-class continuous AVG rounded 4 dp.
+    Plan: one per-group percentile aggregate (|groups| rows) joined
+    back broadcast onto the fact scan, then one filtered aggregate —
+    two passes, the :func:`mad_outliers` shape; at 100 TB swap the
+    percentile pass to ``approx_percentile`` (same call shape)."""
+    df = df.filter(F.col(value_col).isNotNull())
+    v = F.col(value_col)
+    q = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(float(lo))).alias("_qlo"),
+        F.percentile(value_col, F.lit(float(hi))).alias("_qhi"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        df.join(F.broadcast(q), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("n").alias("n"),
+            F.sum(
+                ((v >= F.col("_qlo")) & (v <= F.col("_qhi"))).cast("long")
+            ).alias("n_kept"),
+            F.round(F.min("_qlo"), 4).alias("q_lo"),
+            F.round(F.min("_qhi"), 4).alias("q_hi"),
+            F.round(
+                F.avg(
+                    F.when((v >= F.col("_qlo")) & (v <= F.col("_qhi")), v)
+                ),
+                4,
+            ).alias("trimmed_mean"),
+        )
     )

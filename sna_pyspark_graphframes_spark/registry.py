@@ -7803,6 +7803,61 @@ def q_psi_price_drift(spark, sf_dir):
 
 
 @register(
+    "quantity_ecdf",
+    """
+    WITH g AS (
+        SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem
+        WHERE l_quantity IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT SUM(c) AS n FROM g)
+    SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS n_le,
+           ROUND(SUM(c) OVER (ORDER BY v) / (SELECT n FROM t), 6) AS ecdf
+    FROM g
+    """,
+)
+def q_quantity_ecdf(spark, sf_dir):
+    """Exact empirical CDF of lineitem quantity
+    (``relational.ecdf``) — the percentile-rank normalization /
+    KS building block, computed with the distributed prefix-sum
+    pattern (range repartition → per-partition windows → offset
+    broadcast; ``range_prefix_sums``). ``n_le`` hashes as an exact
+    BIGINT; ``ecdf`` is one division off exact integers."""
+    return relational.ecdf(_t(spark, sf_dir, "lineitem"), "l_quantity")
+
+
+@register(
+    "trimmed_price_stats",
+    """
+    WITH d AS (SELECT l_returnflag AS g, l_extendedprice AS v
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    q AS (
+        SELECT g, quantile_cont(v, 0.05) AS qlo, quantile_cont(v, 0.95) AS qhi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY g
+    )
+    SELECT d.g AS l_returnflag, MIN(q.n) AS n,
+           CAST(SUM(CASE WHEN d.v >= q.qlo AND d.v <= q.qhi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(MIN(q.qlo), 4) AS q_lo,
+           ROUND(MIN(q.qhi), 4) AS q_hi,
+           ROUND(AVG(CASE WHEN d.v >= q.qlo AND d.v <= q.qhi
+                          THEN d.v END), 4) AS trimmed_mean
+    FROM d JOIN q USING (g) GROUP BY d.g
+    """,
+)
+def q_trimmed_price_stats(spark, sf_dir):
+    """5-95% trimmed mean of extendedprice per returnflag
+    (``relational.trimmed_stats``) — the tail-insensitive location next
+    to ``mad_price_outliers``' fences. Exact interpolated percentiles
+    are bit-equal cross-engine (the ``price_quantiles`` parity); the
+    keep predicate compares identical doubles; the trimmed mean is a
+    safe-class continuous AVG at 4 dp."""
+    return relational.trimmed_stats(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag"
+    )
+
+
+@register(
     "ks_price_drift",
     """
     WITH ref AS (SELECT l_extendedprice AS v FROM lineitem

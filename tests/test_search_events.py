@@ -416,3 +416,44 @@ class TestKsStatistic:
         b = spark.createDataFrame([], "x double")
         r = relational.ks_statistic(a, b, "x").collect()[0]
         assert (r.n_ref, r.n_new, r.ks) == (1, 0, 0.0)
+
+
+class TestEcdfAndTrimmed:
+    def test_ecdf_hand_computed(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        df = spark.createDataFrame(
+            [(v,) for v in [1.0, 1.0, 2.0, 5.0]], "x double"
+        )
+        got = {r.v: (r.n_le, r.ecdf) for r in relational.ecdf(df, "x").collect()}
+        assert got == {1.0: (2, 0.5), 2.0: (3, 0.75), 5.0: (4, 1.0)}
+        # forced through many range partitions: identical
+        forced = {
+            r.v: (r.n_le, r.ecdf)
+            for r in relational.ecdf(df, "x", n_range_partitions=4).collect()
+        }
+        assert forced == got
+
+    def test_ecdf_empty_and_null(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        df = spark.createDataFrame([(None,)], "x double")
+        assert relational.ecdf(df, "x").count() == 0
+
+    def test_trimmed_mean_drops_tails(self, spark):
+        """Group a: 1..9 plus outlier 1000; 5-95% keeps 1..9 (q95 of the
+        10 values = 595.45 interpolated... compute exactly instead):
+        assert the planted outlier is excluded when bounds say so and
+        means/counts follow the exact interpolated quantiles."""
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        r = relational.trimmed_stats(df, "x", "g", lo=0.1, hi=0.9).collect()[0]
+        # exact interpolated quantiles over 10 values: position 0.1*(10-1)
+        # = 0.9 -> q10 = 1 + 0.9*(2-1) = 1.9; position 8.1 -> q90 =
+        # 9 + 0.1*(1000-9) = 108.1
+        assert (r.n, r.q_lo, r.q_hi) == (10, 1.9, 108.1)
+        # kept: 2..9 (1 < 1.9; 1000 > 108.1)
+        assert r.n_kept == 8
+        assert r.trimmed_mean == round(sum(range(2, 10)) / 8, 4)
