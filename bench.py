@@ -175,6 +175,8 @@ HEADLINE = [
     "supplier_name_edit_pairs",
     "pagerank_weighted_stars",
     "ks_price_drift",
+    "quantity_ecdf",
+    "trimmed_price_stats",
 ]
 
 
