@@ -429,3 +429,31 @@ def test_ks_statistic_properties(spark, xs, ys):
     assert r.ks == round(want / (na * nb), 6)
     if sorted(xs) == sorted(ys):
         assert r.ks == 0.0
+
+
+@given(
+    vals=st.lists(st.integers(0, 20), min_size=1, max_size=40),
+    parts=st.integers(1, 9),
+)
+@settings(max_examples=10, deadline=None)
+def test_range_prefix_sums_match_single_window(spark, vals, parts):
+    """The distributed prefix-sum engine must equal a plain ordered
+    cumsum for ANY partition count (the offsets stitch exactly)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(float(v), 1) for v in vals], "v double, c long"
+    )
+    g = df.groupBy("v").agg(F.sum("c").alias("c"))
+    cum, totals = relational.range_prefix_sums(g, "v", ["c"], parts)
+    got = {r.v: r.cum_c for r in cum.collect()}
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.v: r.cc
+        for r in g.select("v", F.sum("c").over(w).alias("cc")).collect()
+    }
+    assert got == want
+    assert totals["c"] == len(vals)
