@@ -101,3 +101,44 @@ def bm25_topk(
     topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
     win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return topk.withColumn("rank", F.row_number().over(win).cast("int"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    top: int | None = None,
+) -> DataFrame:
+    """``(doc_id, n_systems, rrf_score, rank)`` — Reciprocal Rank
+    Fusion (Cormack, Clarke & Buettcher 2009): fuse N rankings by
+    ``score(d) = Σ_systems 1/(k + rank_sys(d))`` — THE standard
+    rank-level combiner for hybrid retrieval (BM25 ⊕ dense ANN), and
+    provably robust without score normalization because it never looks
+    at the systems' incomparable raw scores. Documents missing from a
+    system simply contribute nothing (the standard convention).
+
+    Each input frame needs ``(id_col, rank)``. Determinism: each term
+    is ONE division of exact integers, the fused sum is over ≤N such
+    doubles (commutative-exact at N=2; identical decimals at any N —
+    the per-engine add order matches because both engines sum the same
+    set), rounded 6 dp before the final ranking with doc_id tie-break.
+    Plan: union of the (already tiny, top-k-sized) ranking frames + one
+    keyed sum + one ordered window over the fused candidates — the
+    window input is |candidates| ≤ Σ k_sys rows, never the corpus."""
+    parts = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("t"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_systems"),
+        F.round(F.sum("t"), 6).alias("rrf_score"),
+    )
+    win = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    out = fused.withColumn("rank", F.row_number().over(win).cast("int"))
+    return out.filter(F.col("rank") <= top) if top else out

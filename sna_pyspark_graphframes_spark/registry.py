@@ -6092,6 +6092,75 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def _bm25_rank_cte(terms: list[str], tag: str) -> str:
+    """One BM25 top-10 ranking as a CTE chain suffixed ``tag`` — shared
+    by the ``hybrid_rrf_search`` twin (two rankings fused)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    m{tag} AS (SELECT * FROM tf WHERE w IN ({in_list})),
+    df{tag} AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM m{tag} GROUP BY w),
+    sc{tag} AS (
+        SELECT m.doc_id,
+               ROUND(SUM(
+                   LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (m.tf * 2.2)
+                   / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+               ), 4) AS score
+        FROM m{tag} m
+        JOIN df{tag} USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus
+        GROUP BY m.doc_id
+    ),
+    r{tag} AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS INT) AS rank
+            FROM sc{tag}
+        ) WHERE rank <= 10
+    )"""
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH words AS ({_WORDS_SQL}),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs,
+                      AVG(LEN(string_split_regex(TRIM(LOWER(text)), '\\s+'))) AS avgdl
+               FROM documents),
+    {_bm25_rank_cte(["spark", "hash", "window"], "a")},
+    {_bm25_rank_cte(["scan", "merge", "join"], "b")},
+    fused AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_systems,
+               ROUND(SUM(1.0 / (60.0 + rank)), 6) AS rrf_score
+        FROM (SELECT doc_id, rank FROM ra
+              UNION ALL SELECT doc_id, rank FROM rb)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_systems, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+               AS rank
+    FROM fused
+    """,
+)
+def q_hybrid_rrf_search(spark, sf_dir):
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of two BM25 top-10
+    rankings — THE standard hybrid-retrieval combiner
+    (``search.rrf_fuse``): score(d) = Σ 1/(60 + rank_sys(d)), no score
+    normalization needed because only RANKS enter. HARD oracle: each
+    RRF term is one division of exact integers, the fused sum is over
+    ≤2 such doubles (commutative-exact), rounded 6 dp with doc_id
+    tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return fsearch.rrf_fuse(
+        [
+            fsearch.bm25_topk(docs, ["spark", "hash", "window"], k=10),
+            fsearch.bm25_topk(docs, ["scan", "merge", "join"], k=10),
+        ]
+    )
+
+
 @register(
     "event_hourly_gap_fill",
     """

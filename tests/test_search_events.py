@@ -457,3 +457,32 @@ class TestEcdfAndTrimmed:
         # kept: 2..9 (1 < 1.9; 1000 > 108.1)
         assert r.n_kept == 8
         assert r.trimmed_mean == round(sum(range(2, 10)) / 8, 4)
+
+
+class TestRrfFuse:
+    def test_overlapping_doc_wins(self, spark):
+        """A doc ranked mid-list by BOTH systems outranks docs that are
+        top-1 in only one: 1/(60+3)+1/(60+3) > 1/(60+1)."""
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        r1 = spark.createDataFrame(
+            [(10, 1), (11, 2), (99, 3)], "doc_id long, rank int"
+        )
+        r2 = spark.createDataFrame(
+            [(20, 1), (21, 2), (99, 3)], "doc_id long, rank int"
+        )
+        got = {r.doc_id: (r.n_systems, r.rrf_score, r.rank)
+               for r in fs.rrf_fuse([r1, r2]).collect()}
+        assert got[99][0] == 2 and got[99][2] == 1  # fused winner
+        assert got[99][1] == round(2 / 63, 6)
+        assert got[10][1] == got[20][1] == round(1 / 61, 6)
+        # tie between the two single-system top-1s breaks by doc_id
+        assert got[10][2] == 2 and got[20][2] == 3
+
+    def test_top_cap(self, spark):
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        r1 = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "doc_id long, rank int"
+        )
+        assert fs.rrf_fuse([r1], top=2).count() == 2
