@@ -597,3 +597,51 @@ def trimmed_stats(
             ).alias("trimmed_mean"),
         )
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Input rows + ``z`` — per-group standardization
+    ``z = (v − μ_g)/σ_g``: the data-derived feature scaling in front of
+    a GD trainer (``logreg_returnflag_gd`` hand-scales; this computes
+    the scaling from the data). Zero-variance groups emit z = NULL;
+    NULL values pass through with z = NULL.
+
+    Determinism: μ and σ come from explicit SUM / SUM-of-squares /
+    COUNT aggregates (never the engine's Welford ``stddev``, whose
+    accumulation order is engine-specific — the ``rate_anomaly``
+    contract); the per-row z is then one fp expression over those
+    shared scalars, rounded. Plan: one |groups|-row aggregate joined
+    back broadcast onto the scan — the ``mad_outliers`` two-pass
+    shape."""
+    v = F.col(value_col).cast("double")
+    stats = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("double").alias("_k"),
+            F.sum(v).alias("_s1"),
+            F.sum(v * v).alias("_s2"),
+        )
+    )
+    mean = F.col("_s1") / F.col("_k")
+    # try_divide: a single-value group has k-1 = 0, and under ANSI mode
+    # a plain division raises even inside an unevaluated WHEN branch;
+    # NULL-on-zero matches DuckDB's division semantics exactly
+    var = F.try_divide(
+        F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_k"),
+        F.col("_k") - 1,
+    )
+    z = F.when(
+        F.col(value_col).isNotNull() & (var > 0),
+        F.round((v - mean) / F.sqrt(var), round_dp),
+    )
+    return (
+        df.join(F.broadcast(stats), group_col, "left")
+        .withColumn("z", z)
+        .drop("_k", "_s1", "_s2")
+    )

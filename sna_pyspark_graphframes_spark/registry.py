@@ -7872,6 +7872,41 @@ def q_psi_price_drift(spark, sf_dir):
 
 
 @register(
+    "zscore_price_sample",
+    """
+    WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+                      l_extendedprice AS v
+               FROM lineitem WHERE l_orderkey % 37 = 0),
+    s AS (
+        SELECT g, CAST(COUNT(v) AS DOUBLE) AS k,
+               SUM(v) AS s1, SUM(v * v) AS s2
+        FROM d WHERE v IS NOT NULL GROUP BY g
+    )
+    SELECT d.l_orderkey, d.l_linenumber, d.g AS l_returnflag,
+           CASE WHEN d.v IS NOT NULL
+                     AND (s2 - s1 * s1 / k) / (k - 1) > 0
+                THEN ROUND((d.v - s1 / k)
+                           / SQRT((s2 - s1 * s1 / k) / (k - 1)), 4)
+           END AS z
+    FROM d LEFT JOIN s ON s.g = d.g
+    """,
+)
+def q_zscore_price_sample(spark, sf_dir):
+    """Per-returnflag z-score standardization of extendedprice on a
+    hash-sampled order slice (``relational.zscore_normalize``) — the
+    data-derived feature scaling in front of the GD trainers. μ/σ from
+    explicit exact-sum aggregates (engine-Welford-free, the
+    ``rate_anomaly`` contract), broadcast back onto the scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 37 == 0)
+    return relational.zscore_normalize(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"),
+        "l_extendedprice",
+        "l_returnflag",
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "z")
+
+
+@register(
     "quantity_ecdf",
     """
     WITH g AS (

@@ -486,3 +486,20 @@ class TestRrfFuse:
             [(i, i + 1) for i in range(5)], "doc_id long, rank int"
         )
         assert fs.rrf_fuse([r1], top=2).count() == 2
+
+
+class TestZscoreNormalize:
+    def test_hand_computed(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", None)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {(r.g, r.x): r.z for r in
+               relational.zscore_normalize(df, "x", "g").collect()}
+        # group a: mean 2, sample sd 1
+        assert got[("a", 1.0)] == -1.0
+        assert got[("a", 2.0)] == 0.0
+        assert got[("a", 3.0)] == 1.0
+        # group b: single value -> zero variance -> NULL z; NULL passes through
+        assert got[("b", 5.0)] is None
+        assert got[("b", None)] is None
