@@ -177,6 +177,8 @@ HEADLINE = [
     "ks_price_drift",
     "quantity_ecdf",
     "trimmed_price_stats",
+    "hybrid_rrf_search",
+    "zscore_price_sample",
 ]
 
 
