@@ -696,37 +696,42 @@ def pca_power_component(
         *[F.round(F.avg(F.col("v")[d]), round_dp).alias(f"m{d}") for d in range(dim)]
     ).first()
     mu = [mu_row[f"m{d}"] for d in range(dim)]
-    # materialize the CENTERED columns once — μ is fixed across rounds,
-    # so each round's scan becomes a cached-read of dim narrow doubles
-    # instead of re-extracting and re-centering the array column (and
-    # the per-round codegen unit shrinks to y + the dim products)
+    # materialize the CENTERED vectors once (μ is fixed across rounds)
+    # as ONE array column — and make w an ARRAY LITERAL in the per-round
+    # projection: non-primitive literals enter generated code through
+    # the references table (scalar literals inline), so every round's
+    # whole-stage codegen SOURCE is byte-identical and the JIT compiles
+    # the loop body ONCE. A/B at sf0.1 (3-rep): 64-scalar-literal form
+    # 8.4 s → array-literal form 5.7 s warm, outputs bit-identical (the
+    # zip_with/aggregate fold sums in the same left-to-right index
+    # order as the unrolled expression tree). A broadcast-1-row w-frame
+    # variant was also tried and rejected (the per-round createDataFrame
+    # + broadcast exchange cost more than the compile it saved).
     centered = checkpointed(
         v.select(
-            *[(F.col("v")[d] - F.lit(mu[d])).alias(f"c{d}") for d in range(dim)]
+            F.array(
+                *[(F.col("v")[d] - F.lit(mu[d])) for d in range(dim)]
+            ).alias("cv")
         )
     )
     w = [round(1.0 / math.sqrt(dim), round_dp)] * dim
     tv = None
-    # w stays LITERALS (the logreg layout): a broadcast-1-row-frame
-    # variant that would let codegen compile once across rounds was
-    # A/B'd and REJECTED — the per-round createDataFrame + broadcast
-    # exchange cost more than the compile it saved (13.2 s vs 8.6 s
-    # warm at sf0.1, 3-rep medians).
     for it in range(n_iter):
-        cols = [F.col(f"c{d}") for d in range(dim)]
-        y = sum(
-            (c * F.lit(wi) for c, wi in zip(cols[1:], w[1:])),
-            cols[0] * F.lit(w[0]),
+        y = F.aggregate(
+            F.zip_with("cv", F.lit(w), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        proj = centered.select("*", y.alias("y"))
+        proj = centered.select("cv", y.alias("y"))
         aggs = [
-            F.round(F.avg(F.col("y") * F.col(f"c{d}")), round_dp).alias(f"u{d}")
+            F.round(F.avg(F.col("y") * F.col("cv")[d]), round_dp).alias(f"u{d}")
             for d in range(dim)
         ]
         if tv is None:  # covariance trace rides round 1's pass
-            trace = sum(
-                (F.col(f"c{d}") * F.col(f"c{d}") for d in range(1, dim)),
-                F.col("c0") * F.col("c0"),
+            trace = F.aggregate(
+                F.zip_with("cv", "cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
             aggs.append(F.round(F.avg(trace), round_dp).alias("tv"))
         row = proj.agg(*aggs).first()
