@@ -433,18 +433,31 @@ def range_prefix_sums(
         .collect(),
         key=lambda r: r.pid,
     )
-    offsets_rows, run = [], {c: 0 for c in cols}
+    from pyspark.sql.types import DoubleType, FloatType
+
+    def _is_fp(c):
+        return isinstance(g.schema[c].dataType, (DoubleType, FloatType))
+
+    offsets_rows, run = [], {c: (0.0 if _is_fp(c) else 0) for c in cols}
     for r in parts:
         offsets_rows.append((r.pid, *[run[c] for c in cols]))
         for c in cols:
-            run[c] += r[c] or 0
+            run[c] += r[c] or (0.0 if _is_fp(c) else 0)
     totals = dict(run)
     if not offsets_rows:
         out = g.select(
-            "*", *[F.lit(0).cast("long").alias(f"cum_{c}") for c in cols]
+            "*",
+            *[
+                F.lit(0)
+                .cast("double" if _is_fp(c) else "long")
+                .alias(f"cum_{c}")
+                for c in cols
+            ],
         )
         return out, totals
-    schema = "pid int, " + ", ".join(f"_o_{c} long" for c in cols)
+    schema = "pid int, " + ", ".join(
+        f"_o_{c} {'double' if _is_fp(c) else 'long'}" for c in cols
+    )
     offsets = g.sparkSession.createDataFrame(offsets_rows, schema)
     out = (
         local.join(F.broadcast(offsets), "pid")
@@ -452,7 +465,7 @@ def range_prefix_sums(
             *[c for c in g.columns],
             *[
                 (F.col(f"_l_{c}") + F.col(f"_o_{c}"))
-                .cast("long")
+                .cast("double" if _is_fp(c) else "long")
                 .alias(f"cum_{c}")
                 for c in cols
             ],

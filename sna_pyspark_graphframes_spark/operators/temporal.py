@@ -255,3 +255,94 @@ def time_decay_score(
             F.round(F.sum(F.col(value_col) * decay), 4).alias("decayed_value"),
         )
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    event_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    round_dp: int = 6,
+) -> DataFrame:
+    """``(duration_days, n_risk, n_events, n_censored, survival)`` —
+    the Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) of
+    time-to-``event_type``: each user enrolls at their FIRST event of
+    any type; users who reach ``event_type`` contribute an EVENT at
+    ``days(first event_type − enrollment)``, users who never do are
+    right-CENSORED at their last activity — the standard
+    time-to-conversion / retention-survival curve, censoring handled
+    correctly (naive conversion rates over a finite window are biased
+    against late converters).
+
+    ``S(t) = Π_{u ≤ t} (1 − d_u / n_u)`` with ``d_u`` events at
+    duration u and ``n_u`` subjects still at risk (duration ≥ u).
+
+    Exactness: per-duration ``d``/``c`` and the at-risk counts are
+    exact integers (``n_risk = N − cum(d+c) + (d+c)`` off the shared
+    :func:`relational.range_prefix_sums` engine — no global
+    single-task window); the survival product is computed as
+    ``exp(Σ ln(1 − d/n))`` with the SAME expression in the SQL twin
+    and the cumulative Σ over the sorted duration axis, rounded — the
+    safe fp class. Plan: one per-user aggregate, one per-duration
+    aggregate, two parallel prefix passes over the (tiny) duration
+    table."""
+    from sna_pyspark_graphframes_spark.operators.relational import (
+        range_prefix_sums,
+    )
+
+    per_user = events.groupBy(F.col(user_col).alias("uid")).agg(
+        F.min(ts_col).alias("enroll"),
+        F.min(
+            F.when(F.col(type_col) == event_type, F.col(ts_col))
+        ).alias("ev_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    dur = per_user.select(
+        F.datediff(
+            F.coalesce("ev_ts", "last_ts"), F.col("enroll")
+        ).alias("duration_days"),
+        F.col("ev_ts").isNotNull().cast("long").alias("e"),
+    )
+    g = dur.groupBy("duration_days").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(1 - F.col("e")).cast("long").alias("c"),
+    )
+    g = g.withColumn("dc", (F.col("d") + F.col("c")).cast("long"))
+    cum1, totals = range_prefix_sums(g, "duration_days", ["dc"])
+    n_total = totals.get("dc", 0)
+    if n_total == 0:
+        return events.sparkSession.createDataFrame(
+            [],
+            "duration_days int, n_risk long, n_events long,"
+            " n_censored long, survival double",
+        )
+    factor = F.lit(1.0) - F.col("d") / F.col("n_risk")
+    risk = (
+        cum1.select(
+            "duration_days",
+            "d",
+            "c",
+            (F.lit(n_total) - F.col("cum_dc") + F.col("dc")).alias("n_risk"),
+        )
+        # ln(1 - d/n): 0 for censor-only rows (d = 0) so they ride the
+        # cumulative sum without moving the curve; a ZERO factor (every
+        # at-risk subject has the event — the curve's terminal drop to
+        # S = 0) cannot go through ln, so it rides a separate cumulative
+        # flag instead (ln(0) errors in DuckDB and NULLs in Spark, both
+        # wrong)
+        .withColumn(
+            "lnterm", F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0))
+        )
+        .withColumn("zflag", (factor <= 0).cast("long"))
+    )
+    cum2, _ = range_prefix_sums(risk, "duration_days", ["lnterm", "zflag"])
+    return cum2.select(
+        F.col("duration_days").cast("int").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("cum_zflag") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_lnterm")), round_dp))
+        .alias("survival"),
+    )

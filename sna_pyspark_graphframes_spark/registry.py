@@ -7872,6 +7872,60 @@ def q_psi_price_drift(spark, sf_dir):
 
 
 @register(
+    "km_time_to_purchase",
+    """
+    WITH pu AS (
+        SELECT user_id, MIN(ts) AS enroll,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS ev_ts,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ),
+    dd AS (
+        SELECT DATE_DIFF('day', CAST(enroll AS DATE),
+                         CAST(COALESCE(ev_ts, last_ts) AS DATE))
+                   AS duration_days,
+               CASE WHEN ev_ts IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM pu
+    ),
+    g AS (SELECT duration_days, SUM(e) AS d, SUM(1 - e) AS c
+          FROM dd GROUP BY 1),
+    t AS (SELECT SUM(d + c) AS n FROM g),
+    r AS (
+        SELECT duration_days, d, c,
+               (SELECT n FROM t)
+                   - SUM(d + c) OVER (ORDER BY duration_days)
+                   + (d + c) AS n_risk
+        FROM g
+    )
+    SELECT CAST(duration_days AS INT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN MAX(CASE WHEN 1.0 - d / n_risk <= 0 THEN 1 ELSE 0 END)
+                     OVER (ORDER BY duration_days) > 0
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(CASE WHEN 1.0 - d / n_risk > 0
+                                        THEN LN(1.0 - d / n_risk)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY duration_days)), 6)
+           END AS survival
+    FROM r
+    """,
+)
+def q_km_time_to_purchase(spark, sf_dir):
+    """Kaplan–Meier survival curve of time-to-first-purchase
+    (``temporal.kaplan_meier``): users enroll at their first event,
+    convert at their first purchase, or are right-censored at their
+    last activity — the censoring-correct conversion curve (naive
+    window rates bias against late converters). Hash-exact integer
+    columns (duration, n_risk, d, c — off the shared
+    ``range_prefix_sums`` engine) + the safe-class rounded survival
+    product, computed as exp(Σ ln(1 − d/n)) with the identical
+    expression in both engines."""
+    return temporal.kaplan_meier(_t(spark, sf_dir, "events"))
+
+
+@register(
     "zscore_price_sample",
     """
     WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag AS g,

@@ -140,3 +140,62 @@ class TestScd2CarryCols:
         got = {(r.v): (r.eid, r.is_current) for r in out}
         # each version carries its OPENING row's eid
         assert got == {"a": (10, False), "b": (12, True)}
+
+
+class TestKaplanMeier:
+    def test_textbook_curve_with_censoring(self, spark):
+        """Durations [1 event, 2 censored, 3 event, 4 event, 5 censored]:
+        S = 0.8, 0.8, 0.5333, 0.2667, 0.2667 — the classic KM table,
+        censored subjects leave the risk set without moving the curve."""
+        from datetime import datetime, timedelta
+
+        from sna_pyspark_graphframes_spark.operators import temporal
+
+        base = datetime(2024, 1, 1)
+        rows, eid = [], 0
+
+        def ev(uid, day, typ):
+            nonlocal eid
+            eid += 1
+            rows.append((eid, uid, typ, base + timedelta(days=day)))
+
+        for uid in range(1, 6):
+            ev(uid, 0, "view")
+        ev(1, 1, "purchase")
+        ev(2, 2, "click")
+        ev(3, 3, "purchase")
+        ev(4, 4, "purchase")
+        ev(5, 5, "click")
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r.duration_days: (r.n_risk, r.n_events, r.n_censored, r.survival)
+            for r in temporal.kaplan_meier(df).collect()
+        }
+        assert got[1] == (5, 1, 0, 0.8)
+        assert got[2] == (4, 0, 1, 0.8)
+        assert got[3] == (3, 1, 0, round(0.8 * 2 / 3, 6))
+        assert got[4] == (2, 1, 0, round(0.8 * 2 / 3 * 0.5, 6))
+        assert got[5] == (1, 0, 1, round(0.8 * 2 / 3 * 0.5, 6))
+
+    def test_terminal_full_event_drops_to_zero(self, spark):
+        """When every remaining at-risk subject has the event, the
+        factor hits 0 and S terminates at exactly 0.0 (the zflag path
+        — ln(0) is unrepresentable in both engines)."""
+        from datetime import datetime, timedelta
+
+        from sna_pyspark_graphframes_spark.operators import temporal
+
+        base = datetime(2024, 1, 1)
+        rows = []
+        for uid in (1, 2):
+            rows.append((uid * 10, uid, "view", base))
+            rows.append((uid * 10 + 1, uid, "purchase", base + timedelta(days=2)))
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = temporal.kaplan_meier(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.duration_days, r.n_risk, r.n_events, r.survival) == (2, 2, 2, 0.0)
