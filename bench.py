@@ -179,6 +179,7 @@ HEADLINE = [
     "trimmed_price_stats",
     "hybrid_rrf_search",
     "zscore_price_sample",
+    "km_time_to_purchase",
 ]
 
 
