@@ -457,3 +457,42 @@ def test_range_prefix_sums_match_single_window(spark, vals, parts):
     }
     assert got == want
     assert totals["c"] == len(vals)
+
+
+@given(
+    plan=st.lists(
+        st.tuples(st.integers(0, 6), st.booleans()), min_size=1, max_size=12
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_kaplan_meier_invariants(spark, plan):
+    """For ANY cohort (duration, converted?) plan: survival starts ≤ 1,
+    is non-increasing over duration, n_risk is strictly decreasing,
+    and Σ(n_events + n_censored) = cohort size."""
+    from datetime import datetime, timedelta
+
+    from sna_pyspark_graphframes_spark.operators import temporal
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, (days, converted) in enumerate(plan, start=1):
+        eid += 1
+        rows.append((eid, uid, "view", base))
+        eid += 1
+        rows.append(
+            (eid, uid, "purchase" if converted else "click",
+             base + timedelta(days=days))
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = sorted(
+        temporal.kaplan_meier(df).collect(), key=lambda r: r.duration_days
+    )
+    assert sum(r.n_events + r.n_censored for r in out) == len(plan)
+    surv = [r.survival for r in out]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    risks = [r.n_risk for r in out]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
+    assert risks[0] == len(plan)
