@@ -1555,7 +1555,14 @@ def token_kl_drift(
     per-term math is codegen expressions over exact integer counts, so
     the only fp is the final Σ over |V| terms (continuous values, ~1e-13
     relative jitter against the half-quantum at ``round_dp=4`` — the
-    safe class in the REPORT r13 fp audit)."""
+    safe class in the REPORT r13 fp audit).
+
+    Empty-vocabulary contract (ADVICE r13): if BOTH slices tokenize to
+    nothing (empty/whitespace-only corpora) the joined frame is empty
+    and the aggregate still returns one well-defined row —
+    ``(0, 0, 0, NULL, NULL, NULL)`` via COALESCE on the integer
+    columns; the divergences stay NULL because no distribution exists
+    to diverge (0 would falsely read as "identical slices")."""
 
     def counts(df, name):
         return (
@@ -1578,9 +1585,9 @@ def token_kl_drift(
     return (
         j.crossJoin(F.broadcast(tot))
         .agg(
-            F.min("na").alias("n_tokens_a"),
-            F.min("nb").alias("n_tokens_b"),
-            F.min("v").alias("vocab"),
+            F.coalesce(F.min("na"), F.lit(0)).cast("long").alias("n_tokens_a"),
+            F.coalesce(F.min("nb"), F.lit(0)).cast("long").alias("n_tokens_b"),
+            F.coalesce(F.min("v"), F.lit(0)).cast("long").alias("vocab"),
             F.round(F.sum(p * F.log(p / q)), round_dp).alias("kl_ab"),
             F.round(F.sum(q * F.log(q / p)), round_dp).alias("kl_ba"),
             F.round(

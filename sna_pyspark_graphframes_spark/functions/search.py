@@ -124,7 +124,14 @@ def rrf_fuse(
     set), rounded 6 dp before the final ranking with doc_id tie-break.
     Plan: union of the (already tiny, top-k-sized) ranking frames + one
     keyed sum + one ordered window over the fused candidates — the
-    window input is |candidates| ≤ Σ k_sys rows, never the corpus."""
+    window input is |candidates| ≤ Σ k_sys rows, never the corpus.
+
+    ``rankings`` must be non-empty (there is nothing to fuse — and no
+    schema to return — from zero systems: ValueError). ``top=0`` is a
+    real cap returning zero rows; only ``top=None`` means uncapped
+    (ADVICE r13)."""
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking frame")
     parts = [
         r.select(
             F.col(id_col).alias("doc_id"),
@@ -141,4 +148,4 @@ def rrf_fuse(
     )
     win = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
     out = fused.withColumn("rank", F.row_number().over(win).cast("int"))
-    return out.filter(F.col("rank") <= top) if top else out
+    return out.filter(F.col("rank") <= top) if top is not None else out

@@ -716,6 +716,10 @@ def pca_power_component(
     )
     w = [round(1.0 / math.sqrt(dim), round_dp)] * dim
     tv = None
+    # n_iter=0 contract (ADVICE r13): no power step ran, so there is no
+    # eigenvalue estimate — return the uniform start vector with
+    # ev = tv = 0.0 instead of NameError-ing on loop-local names.
+    ev = 0.0
     for it in range(n_iter):
         y = F.aggregate(
             F.zip_with("cv", F.lit(w), lambda a, b: a * b),
@@ -746,6 +750,6 @@ def pca_power_component(
         ev = round(norm, round_dp)
     spark = embeddings.sparkSession
     return spark.createDataFrame(
-        [(d + 1, float(w[d]), float(ev), float(tv)) for d in range(dim)],
+        [(d + 1, float(w[d]), float(ev), float(tv or 0.0)) for d in range(dim)],
         "pos int, loading double, eigenvalue double, total_var double",
     )

@@ -114,12 +114,16 @@ def clear_twin_memo() -> None:
     many sf_dirs, a notebook) need a teardown call. Deliberately a
     SEPARATE hook from ``clear_session_caches`` — bench reps clear the
     latter between reps while the twin memo must survive them (see
-    ``_twin_memo``); session teardown calls both."""
-    for df in _TWIN_MEMO.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    ``_twin_memo``); session teardown calls both.
+
+    Reclamation is GC-BASED, not immediate (ADVICE r13):
+    ``localCheckpoint`` persists the frame's internal RDD outside the
+    CacheManager, so ``DataFrame.unpersist()`` would be a silent no-op
+    on these frames — dropping the dict references here is what frees
+    them, via Python GC → JVM weak-reference cleanup → ContextCleaner
+    unpersisting the checkpoint blocks asynchronously. Callers that
+    need the storage gone NOW (none in this repo) would have to keep
+    the checkpointed RDD handle and unpersist it directly."""
     _TWIN_MEMO.clear()
 
 
@@ -1890,8 +1894,13 @@ def q_pagerank_dangling_pairs(spark, sf_dir):
     """,
 )
 def q_pagerank_weighted_stars(spark, sf_dir):
-    """Integer-weighted PageRank (``algorithms.pagerank_weighted`` — the
-    exact multigraph reduction through the attested unweighted loop) on
+    """Integer-weighted PageRank (``algorithms.pagerank_weighted`` — a
+    DIRECT weighted formulation: each round routes pr·w/out_strength
+    along the persisted weighted edge list, folds the dangling mass as
+    a 1-row scalar, then applies damping. The cheaper multigraph
+    reduction through the attested unweighted loop was tried and
+    REJECTED: the shared layout's dedup collapses parallel edges —
+    this star oracle caught it; see the engine docstring) on
     a closed-form fixture: per customer with ≥3 orders, a 2-edge star
     a→b (weight 1), a→c (weight 2). Every 'a' carries value a_k, every
     'b' b_k, every 'c' c_k, and b/c are DANGLING, so the whole graph

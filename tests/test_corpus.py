@@ -832,6 +832,18 @@ class TestTokenKlDrift:
         assert r.n_tokens_a == r.n_tokens_b == 7
         assert r.vocab == 4
 
+    def test_empty_vocab_returns_zero_counts_null_divergences(self, spark):
+        """ADVICE r13: two whitespace-only slices have no union
+        vocabulary — the row is (0, 0, 0, NULL, NULL, NULL), never
+        all-NULL counts (and never 0 divergences, which would falsely
+        read as 'identical slices')."""
+        from sna_pyspark_graphframes_spark.functions import corpus
+
+        a = spark.createDataFrame([(0, "   "), (1, "")], "doc_id long, text string")
+        r = corpus.token_kl_drift(a, a).collect()[0]
+        assert (r.n_tokens_a, r.n_tokens_b, r.vocab) == (0, 0, 0)
+        assert r.kl_ab is None and r.kl_ba is None and r.js is None
+
     def test_disjoint_slices_positive_and_js_bounded(self, spark):
         import math
 

@@ -708,6 +708,25 @@ class TestPcaPower:
         df = spark.createDataFrame([], "vec_id long, embedding array<float>")
         assert fsim.pca_power_component(df).count() == 0
 
+    def test_zero_iterations_returns_start_vector(self, spark):
+        """ADVICE r13: n_iter=0 ran no power step — the uniform start
+        vector comes back with ev = tv = 0.0 (previously NameError)."""
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [3.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = sorted(
+            fsim.pca_power_component(df, n_iter=0, dim=2).collect(),
+            key=lambda r: r.pos,
+        )
+        assert [r.eigenvalue for r in rows] == [0.0, 0.0]
+        assert [r.total_var for r in rows] == [0.0, 0.0]
+        import math
+
+        assert all(
+            math.isclose(r.loading, round(1 / math.sqrt(2), 6)) for r in rows
+        )
+
 
 class TestAudioFrameEnergy:
     def test_hand_computed_frames_with_short_tail(self, spark):

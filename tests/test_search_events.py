@@ -487,6 +487,21 @@ class TestRrfFuse:
         )
         assert fs.rrf_fuse([r1], top=2).count() == 2
 
+    def test_empty_rankings_raise_and_top_zero_is_a_real_cap(self, spark):
+        """ADVICE r13: zero systems is a ValueError (no schema to
+        return), and top=0 caps to zero rows instead of reading as
+        'uncapped'."""
+        import pytest
+
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        with pytest.raises(ValueError, match="at least one ranking"):
+            fs.rrf_fuse([])
+        r1 = spark.createDataFrame(
+            [(i, i + 1) for i in range(3)], "doc_id long, rank int"
+        )
+        assert fs.rrf_fuse([r1], top=0).count() == 0
+
 
 class TestZscoreNormalize:
     def test_hand_computed(self, spark):
