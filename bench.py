@@ -262,19 +262,54 @@ def main() -> None:
     # alongside so the untimed share stays visible (VERDICT r3).
     total = round(sum(medians.values()), 3)
 
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "sf": sf,
+        "reps": reps,
+        "methodology": "median of reps; caches cleared between reps",
+        "wall_clock_sec": wall_clock,
+    }
+    # Complete per-query table on disk (committed per round): the driver
+    # keeps only the last 2,000 bytes of stdout, which the 106-entry
+    # verbose line outgrew around r10 — BENCH_r13.json recorded
+    # "parsed": null with the line's head cut off (VERDICT r13 What's
+    # missing #4). The full artifact lives here; stdout gets BOTH the
+    # verbose line (for logs) and, LAST, a compact summary line that is
+    # guaranteed to fit the tail whole, so the driver's parse succeeds.
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(full))
+    # FINAL line ≤ ~1.9 KB: summary scalars + the complete timing dict as
+    # zlib+base64 of {"name": centiseconds_int} (decode:
+    # json.loads(zlib.decompress(base64.b64decode(s)))). Centisecond ints
+    # compress ~15% tighter than 3-dp floats; at today's 106 queries the
+    # line is ~1.8 KB with ~25 future headline entries of headroom.
+    import base64
+    import zlib
+
+    cs = {n: int(round(v * 100)) for n, v in medians.items()}
+    gz = base64.b64encode(
+        zlib.compress(json.dumps(cs, separators=(",", ":")).encode(), 9)
+    ).decode()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": medians,
                 "sf": sf,
                 "reps": reps,
-                "methodology": "median of reps; caches cleared between reps",
                 "wall_clock_sec": wall_clock,
-            }
-        )
+                "n_queries": len(medians),
+                "queries_cs_gz_b64": gz,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
     # session teardown: evict the certificate-trajectory pool too
     # (clear_session_caches between reps deliberately skips it — ADVICE
