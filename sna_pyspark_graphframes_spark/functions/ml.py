@@ -682,3 +682,148 @@ def nearest_centroid_confusion(
     return best.groupBy("label", "pred_label").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """1-row ``(n, n_cells, mi, h_x, h_y, nmi)`` — mutual information
+    between two categorical columns, from the exact integer contingency
+    table: ``MI = Σ_xy (c_xy/n)·ln(n·c_xy / (c_x·c_y))`` (nats), with
+    the marginal entropies and the geometric-mean-normalized
+    ``NMI = MI / √(H(X)·H(Y))`` (Strehl & Ghosh 2002) alongside — the
+    feature-redundancy / label-leakage probe that complements
+    :func:`chi2_top_tokens` (χ² ranks tokens per class; MI scores a
+    column PAIR symmetrically, e.g. "does `source` already encode
+    `lang`?" before a dedup or mixture decision).
+
+    Rows with a NULL in either column are dropped (the contingency is
+    over observed pairs — the :func:`logreg_gd` NULL contract).
+    Degenerate guards: one-column-constant inputs give H = 0 and
+    NMI = 0 (not NaN); empty input returns n = 0 with NULL scores.
+
+    Plan: ONE groupBy(x, y) count (map-side combine) + two re-aggregated
+    marginals joined back on their key + a 1-row total attached by
+    broadcast — every term is a codegen expression over exact BIGINT
+    counts, so cross-engine fp agreement reduces to summing the same
+    ≤|X|·|Y| doubles (≈1e-16 jitter against the 6-dp half-quantum).
+    At 100 TB the cells frame is |X|·|Y| rows — categorical cardinality,
+    not data size — and the input is read once."""
+    cells = (
+        df.na.drop(subset=[col_x, col_y])
+        .groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .agg(F.count("*").cast("long").alias("cxy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    tot = cells.agg(
+        F.coalesce(F.sum("cxy"), F.lit(0)).cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    joined = cells.join(mx, "x").join(my, "y").crossJoin(F.broadcast(tot))
+    mi = joined.agg(
+        F.round(
+            F.sum(
+                (F.col("cxy") / F.col("n"))
+                * F.log(
+                    F.col("n") * F.col("cxy") / (F.col("cx") * F.col("cy"))
+                )
+            ),
+            round_dp,
+        ).alias("mi")
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum((F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n"))),
+            round_dp,
+        ).alias("h_x")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum((F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n"))),
+            round_dp,
+        ).alias("h_y")
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n",
+            "n_cells",
+            "mi",
+            "h_x",
+            "h_y",
+            F.when(
+                (F.col("h_x") > 0) & (F.col("h_y") > 0),
+                F.round(
+                    F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), round_dp
+                ),
+            )
+            .otherwise(F.when(F.col("n") > 0, F.lit(0.0)))
+            .alias("nmi"),
+        )
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """1-row ``(n, n_agree, po, pe, kappa)`` — Cohen's κ (Cohen 1960)
+    between two label columns over the same rows: chance-corrected
+    inter-annotator agreement, ``κ = (p_o − p_e) / (1 − p_e)`` with
+    ``p_o`` the observed agreement rate and ``p_e = Σ_l (a_l/n)(b_l/n)``
+    the agreement expected from the marginals. THE standard QA number
+    for label pipelines — e.g. "does the heuristic language detector
+    agree with the gold labels beyond chance?" (its registry pairing).
+
+    Rows with a NULL in either column are dropped. Degenerate guard:
+    ``p_e = 1`` (both annotators constant and equal) yields κ = NULL —
+    agreement beyond chance is undefined there, and 0 would misread as
+    "chance-level".
+
+    Plan: one groupBy(a, b) contingency (map-side combine); agreement,
+    marginals, and totals all re-aggregate its |A|·|B| cells — the input
+    is scanned ONCE at any scale. Every quantity before the final two
+    divisions is an exact BIGINT, so the 6-dp rounded ``po/pe/kappa``
+    are identical decimals cross-engine (the exact-integer recipe of
+    ``knn_degree_correlation``)."""
+    cells = (
+        df.na.drop(subset=[col_a, col_b])
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("c").alias("ca"))
+    mb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    # pe numerator Σ_l ca_l·cb_l over the label union (exact integers)
+    pe_num = ma.join(
+        mb, ma["a"] == mb["b"], "inner"
+    ).agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("pe_num"))
+    base = cells.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    po = F.col("n_agree") / F.col("n")
+    pe = F.col("pe_num") / (F.col("n") * F.col("n"))
+    return (
+        base.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n",
+            "n_agree",
+            F.round(po, round_dp).alias("po"),
+            F.round(pe, round_dp).alias("pe"),
+            F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), round_dp)).alias(
+                "kappa"
+            ),
+        )
+    )

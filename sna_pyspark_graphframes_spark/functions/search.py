@@ -149,3 +149,89 @@ def rrf_fuse(
     win = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
     out = fused.withColumn("rank", F.row_number().over(win).cast("int"))
     return out.filter(F.col("rank") <= top) if top is not None else out
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    round_dp: int = 6,
+) -> DataFrame:
+    """1-row ``(k, n_ranked, n_relevant, dcg, idcg, ndcg)`` — normalized
+    discounted cumulative gain at depth ``k`` (Järvelin & Kekäläinen
+    2002), the standard graded-relevance quality score for a retrieval
+    ranking: ``DCG = Σ_{rank≤k} (2^rel − 1) / log2(rank + 1)`` over the
+    system's ranking, normalized by the IDCG of the ideal reordering of
+    the relevance table. The eval-side sibling of :func:`bm25_topk` /
+    :func:`rrf_fuse` — train-data search pipelines report NDCG@k when
+    tuning either.
+
+    ``ranking`` needs ``(id_col, rank)`` (1-based, e.g. ``bm25_topk``
+    output); ``relevance`` needs ``(id_col, rel_col)`` with integer
+    grades ≥ 0 (docs absent from ``relevance`` count as grade 0; docs
+    absent from ``ranking`` contribute only to IDCG). ``ndcg`` is NULL
+    when IDCG = 0 (no relevant documents — quality is undefined, and 0
+    would misread as "worst possible ranking").
+
+    Plan: the ranked side is ≤k rows joined LEFT to relevance on the id
+    (broadcast — a top-k frame is tiny by construction); the ideal side
+    is a global top-k of the relevance table by grade, which Spark
+    plans as TakeOrderedAndProject (no full sort at any scale). Both
+    sums are over ≤k doubles of magnitude ~1 — the ~1e-16 add-order
+    jitter class, safe under 6-dp rounding. Ideal-order ties break on
+    ``id_col`` so both engines rank the identical ideal list."""
+    r = (
+        ranking.filter(F.col("rank") <= k)
+        .join(
+            relevance.select(
+                F.col(id_col), F.col(rel_col).cast("double").alias("__rel")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col("rank"),
+            F.coalesce(F.col("__rel"), F.lit(0.0)).alias("__rel"),
+        )
+    )
+    dcg = r.agg(
+        F.coalesce(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("__rel")) - 1.0)
+                / F.log2(F.col("rank") + F.lit(1.0))
+            ),
+            F.lit(0.0),
+        ).alias("dcg"),
+        F.count("*").cast("long").alias("n_ranked"),
+    )
+    ideal = (
+        relevance.select(
+            F.col(rel_col).cast("double").alias("__rel"), F.col(id_col)
+        )
+        .filter(F.col("__rel") > 0)
+        .orderBy(F.col("__rel").desc(), F.col(id_col))
+        .limit(k)
+    )
+    iw = Window.orderBy(F.col("__rel").desc(), F.col(id_col))
+    idcg = ideal.withColumn("__irank", F.row_number().over(iw)).agg(
+        F.coalesce(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("__rel")) - 1.0)
+                / F.log2(F.col("__irank") + F.lit(1.0))
+            ),
+            F.lit(0.0),
+        ).alias("idcg"),
+        F.count("*").cast("long").alias("n_relevant"),
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(k).cast("int").alias("k"),
+        "n_ranked",
+        "n_relevant",
+        F.round("dcg", round_dp).alias("dcg"),
+        F.round("idcg", round_dp).alias("idcg"),
+        F.when(
+            F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), round_dp)
+        ).alias("ndcg"),
+    )

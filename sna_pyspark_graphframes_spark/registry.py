@@ -3525,6 +3525,123 @@ def q_random_walk_sample(spark, sf_dir):
     return _walk_sample_validity(_copurchase_sym(spark, sf_dir), labels, res)
 
 
+@register(
+    "sample_fidelity_report",
+    f"""{_LPA_STAGES},
+    deg AS (SELECT src AS id, COUNT(*) AS degree FROM e GROUP BY src),
+    tpv AS ({TRI_PER_VERTEX_SQL})
+    SELECT nc.n_communities, o.orig_n_vertices, o.orig_n_edges,
+           o.orig_avg_degree, c.orig_avg_clustering,
+           TRUE AS communities_covered, TRUE AS sample_shrinks,
+           TRUE AS degree_preserved, TRUE AS clustering_preserved
+    FROM (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_communities
+          FROM {_LPA_FINAL}) nc
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS orig_n_vertices,
+                       CAST(SUM(degree) / 2 AS BIGINT) AS orig_n_edges,
+                       ROUND(AVG(degree), 4) AS orig_avg_degree
+                FROM deg) o
+    CROSS JOIN (SELECT ROUND(AVG(CASE WHEN deg.degree < 2 THEN 0.0
+                            ELSE 2.0 * COALESCE(tpv.triangles, 0)
+                                 / (deg.degree * (deg.degree - 1)) END), 4)
+                       AS orig_avg_clustering
+                FROM deg LEFT JOIN tpv ON deg.id = tpv.id) c
+    """,
+)
+def q_sample_fidelity_report(spark, sf_dir):
+    """End-to-end sample-fidelity certificate (VERDICT r13 Next #6) —
+    the reference's ACTUAL deliverable, "the sampled graph preserves the
+    original's metrics" (paper §4 Tables 2-4), as ONE oracle-paired row:
+    ``pipeline.run_pipeline``'s original-vs-sample metric bundles
+    reduced to hard columns + fidelity booleans.
+
+    HARD columns (DuckDB recomputes exactly): the LPA@5 community count
+    (the unrolled integer CTE), |V|, |E|, 4-dp average degree and 4-dp
+    average clustering of the ORIGINAL co-purchase graph. One-sided
+    booleans (DuckDB pins literal TRUE, Spark must reproduce them from
+    the seeded run — the ``_walk_sample_validity`` recipe):
+    ``communities_covered`` (every LPA community kept ≥1 sampled
+    vertex), ``sample_shrinks`` (1 ≤ |V_s| ≤ |V|), ``degree_preserved``
+    (sampled avg degree within 3× of original; measured ratios
+    0.40/0.60/0.63 at sf0.001/0.01/0.1), ``clustering_preserved``
+    (|cc_s − cc_o| ≤ 0.05; measured gaps 0.0062/0.0026/0.0000 — the
+    paper's Table-2 claim, bounded). Seeded sample VALUES stay pinned
+    by tests/test_sampling_invariants.py; 100 TB path per SCALE.md:
+    the same certificate with sampled-landmark metrics replacing the
+    exact all-pairs ones."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+    e = _copurchase(spark, sf_dir)
+    labels = _lpa_labels(spark, sf_dir)
+    sym = _copurchase_sym(spark, sf_dir)
+    res = sampling.sample_graph(
+        e,
+        alpha=2.0,
+        max_iter=5,
+        seed=42,
+        vertex_cc=_vertex_cc(spark, sf_dir),
+        labels=labels,
+        sym=sym,
+    )
+    deg_o, tri_o = _deg(spark, sf_dir), _tri(spark, sf_dir)
+    orig = deg_o.agg(
+        F.count("*").cast("long").alias("orig_n_vertices"),
+        (F.sum("degree") / 2).cast("long").alias("orig_n_edges"),
+        F.round(F.avg("degree"), 4).alias("orig_avg_degree"),
+    )
+    cc_o = metrics.average_clustering(e, deg=deg_o, tri=tri_o).select(
+        F.col("avg_cc").alias("orig_avg_clustering")
+    )
+    # sample metrics: canonicalize the symmetric induced edge set once,
+    # checkpoint (degree + triangle passes both consume it)
+    can_s = checkpointed(res.sampled_edges.filter(F.col("src") < F.col("dst")))
+    deg_s = checkpointed(metrics.degrees(can_s))
+    samp = deg_s.agg(
+        F.count("*").cast("long").alias("s_nv"),
+        F.round(F.avg("degree"), 4).alias("s_ad"),
+    )
+    cc_s = metrics.average_clustering(can_s, deg=deg_s).select(
+        F.col("avg_cc").alias("s_cc")
+    )
+    covered = labels.join(res.sampled_vertices, "id", "left_semi").select(
+        "label"
+    ).distinct()
+    uncovered = (
+        labels.select("label")
+        .distinct()
+        .join(covered, "label", "left_anti")
+        .agg((F.count("*") == 0).alias("communities_covered"))
+    )
+    n_comm = labels.agg(
+        F.countDistinct("label").cast("long").alias("n_communities")
+    )
+    return (
+        n_comm.crossJoin(F.broadcast(orig))
+        .crossJoin(F.broadcast(cc_o))
+        .crossJoin(F.broadcast(uncovered))
+        .crossJoin(F.broadcast(samp))
+        .crossJoin(F.broadcast(cc_s))
+        .select(
+            "n_communities",
+            "orig_n_vertices",
+            "orig_n_edges",
+            "orig_avg_degree",
+            "orig_avg_clustering",
+            "communities_covered",
+            (
+                (F.col("s_nv") >= 1)
+                & (F.col("s_nv") <= F.col("orig_n_vertices"))
+            ).alias("sample_shrinks"),
+            (
+                (F.col("s_ad") * 3 >= F.col("orig_avg_degree"))
+                & (F.col("s_ad") <= F.col("orig_avg_degree") * 3)
+            ).alias("degree_preserved"),
+            (
+                F.abs(F.col("s_cc") - F.col("orig_avg_clustering")) <= 0.05
+            ).alias("clustering_preserved"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (functions/text.py) — all JVM-side expressions
 # ---------------------------------------------------------------------------
@@ -6171,6 +6288,53 @@ def q_hybrid_rrf_search(spark, sf_dir):
 
 
 @register(
+    "bm25_ndcg",
+    f"""
+    WITH words AS ({_WORDS_SQL}),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs,
+                      AVG(LEN(string_split_regex(TRIM(LOWER(text)), '\\s+'))) AS avgdl
+               FROM documents),
+    {_bm25_rank_cte(["spark", "hash", "window"], "a")},
+    rel AS (SELECT doc_id, LEAST(SUM(tf), 3) AS rel FROM tf
+            WHERE w IN ('spark', 'hash', 'window') GROUP BY doc_id),
+    r AS (SELECT ra.rank, COALESCE(rel.rel, 0) AS rel
+          FROM ra LEFT JOIN rel USING (doc_id) WHERE ra.rank <= 10),
+    dcg AS (SELECT COALESCE(SUM((POWER(2.0, rel) - 1.0) / LOG2(rank + 1.0)), 0.0) AS dcg,
+                   CAST(COUNT(*) AS BIGINT) AS n_ranked FROM r),
+    ideal AS (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS irank
+              FROM rel WHERE rel > 0 QUALIFY irank <= 10),
+    idcg AS (SELECT COALESCE(SUM((POWER(2.0, rel) - 1.0) / LOG2(irank + 1.0)), 0.0) AS idcg,
+                    CAST(COUNT(*) AS BIGINT) AS n_relevant FROM ideal)
+    SELECT CAST(10 AS INT) AS k, n_ranked, n_relevant,
+           ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+           CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) END AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def q_bm25_ndcg(spark, sf_dir):
+    """NDCG@10 of the BM25 ranking for {spark, hash, window}
+    (``search.ndcg_at_k`` — Järvelin & Kekäläinen 2002), graded
+    relevance = per-doc query-term occurrences capped at 3 (exact
+    integers from the same postings table the ranker reads). HARD
+    oracle: both engines build the identical ranking (the attested
+    ``bm25_search`` CTE), the identical graded list, and sum the same
+    ≤10 (2^rel−1)/log2(rank+1) doubles — add-order jitter ~1e-16
+    against the 6-dp half-quantum."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "hash", "window"]
+    ranking = fsearch.bm25_topk(docs, terms, k=10)
+    rel = (
+        fsearch.postings(docs)
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.least(F.sum("tf"), F.lit(3)).cast("long").alias("rel"))
+    )
+    return fsearch.ndcg_at_k(ranking, rel, k=10)
+
+
+@register(
     "event_hourly_gap_fill",
     """
     WITH bounds AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS lo,
@@ -7878,6 +8042,91 @@ def q_psi_price_drift(spark, sf_dir):
     ref = li.filter(F.col("l_shipdate") < "1996-01-01")
     new = li.filter(F.col("l_shipdate") >= "1996-01-01")
     return relational.population_stability(ref, new, "l_extendedprice")
+
+
+@register(
+    "mi_lang_source",
+    """
+    WITH cells AS (SELECT lang AS x, source AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+                   FROM documents
+                   WHERE lang IS NOT NULL AND source IS NOT NULL
+                   GROUP BY 1, 2),
+    mx AS (SELECT x, SUM(cxy) AS cx FROM cells GROUP BY x),
+    my AS (SELECT y, SUM(cxy) AS cy FROM cells GROUP BY y),
+    tot AS (SELECT CAST(COALESCE(SUM(cxy), 0) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+    mi AS (SELECT ROUND(SUM((cxy / n) * LN((n * cxy) / (cx * cy))), 6) AS mi
+           FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+    hx AS (SELECT ROUND(-SUM((cx / n) * LN(cx / n)), 6) AS h_x
+           FROM mx CROSS JOIN tot),
+    hy AS (SELECT ROUND(-SUM((cy / n) * LN(cy / n)), 6) AS h_y
+           FROM my CROSS JOIN tot)
+    SELECT n, n_cells, mi, h_x, h_y,
+           CASE WHEN h_x > 0 AND h_y > 0 THEN ROUND(mi / SQRT(h_x * h_y), 6)
+                WHEN n > 0 THEN 0.0 END AS nmi
+    FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def q_mi_lang_source(spark, sf_dir):
+    """Mutual information between the documents' language and source
+    columns (``ml.mutual_information``) — "does `source` already encode
+    `lang`?", the column-pair redundancy/leakage probe a mixture
+    designer runs before stratifying (χ²'s symmetric sibling —
+    ``chi2_lang_tokens`` ranks tokens per class, MI scores the pair).
+    HARD oracle: both engines reduce the SAME exact-BIGINT contingency
+    table; every per-cell term is one double division + one LN of a
+    ratio of exact integer products, summed over |langs|·|sources|
+    ≈ 25 cells (~1e-16 add-order jitter vs the 6-dp half-quantum)."""
+    return fml.mutual_information(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+def _kappa_sql() -> str:
+    """Twin of ``lang_id_kappa``: the heuristic annotator is the
+    attested ``lang_id`` CTE; all agreement quantities before the final
+    divisions are exact BIGINTs."""
+    return f"""
+    WITH pred AS ({_lang_sql()}),
+    pairs AS (SELECT p.lang_pred AS a, d.lang AS b
+              FROM pred p JOIN documents d USING (doc_id)
+              WHERE p.lang_pred IS NOT NULL AND d.lang IS NOT NULL),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM pairs GROUP BY a, b),
+    ma AS (SELECT a, SUM(c) AS ca FROM cells GROUP BY a),
+    mb AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY b),
+    pe_num AS (SELECT COALESCE(SUM(ca * cb), 0) AS pe_num
+               FROM ma JOIN mb ON ma.a = mb.b),
+    base AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+                    CAST(COALESCE(SUM(CASE WHEN a = b THEN c END), 0)
+                         AS BIGINT) AS n_agree
+             FROM cells)
+    SELECT n, n_agree,
+           ROUND(n_agree / n, 6) AS po,
+           ROUND(pe_num / (n * n), 6) AS pe,
+           CASE WHEN pe_num / (n * n) < 1.0
+                THEN ROUND((n_agree / n - pe_num / (n * n))
+                           / (1.0 - pe_num / (n * n)), 6) END AS kappa
+    FROM base CROSS JOIN pe_num
+    """
+
+
+@register("lang_id_kappa", _kappa_sql())
+def q_lang_id_kappa(spark, sf_dir):
+    """Cohen's κ between the heuristic stopword language detector
+    (``text.lang_id`` — the attested ``lang_id`` pair) and the
+    documents table's gold ``lang`` labels (``ml.cohens_kappa``) — the
+    chance-corrected agreement QA every labeling pipeline reports
+    before trusting an annotator (Cohen 1960). Label spaces differ
+    legitimately (the heuristic emits 'und' and never 'zh'); κ counts
+    those as disagreement, which is the honest reading. HARD oracle:
+    po/pe/κ divide exact BIGINTs in the identical expression shape —
+    identical doubles in, identical decimals out."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        ftext.lang_id(F.col("text")).alias("pred"), F.col("lang")
+    )
+    return fml.cohens_kappa(labeled, "pred", "lang")
 
 
 @register(

@@ -377,3 +377,109 @@ class TestNearestCentroid:
             [], "vec_id long, embedding array<float>, label int"
         )
         assert ml.nearest_centroid_confusion(df).count() == 0
+
+
+class TestMutualInformation:
+    def test_hand_computed_2x2(self, spark):
+        """cells: (a,p):2 (a,q):1 (b,q):1 → n=4; MI/H from the exact
+        closed forms."""
+        import math
+
+        from sna_pyspark_graphframes_spark.functions import ml
+
+        df = spark.createDataFrame(
+            [("a", "p"), ("a", "p"), ("a", "q"), ("b", "q")],
+            "x string, y string",
+        )
+        r = ml.mutual_information(df, "x", "y").collect()[0]
+        assert (r.n, r.n_cells) == (4, 3)
+        # marginals: a=3, b=1 / p=2, q=2
+        mi = (
+            (2 / 4) * math.log(4 * 2 / (3 * 2))
+            + (1 / 4) * math.log(4 * 1 / (3 * 2))
+            + (1 / 4) * math.log(4 * 1 / (1 * 2))
+        )
+        hx = -(3 / 4) * math.log(3 / 4) - (1 / 4) * math.log(1 / 4)
+        hy = -math.log(1 / 2)
+        assert r.mi == round(mi, 6)
+        assert r.h_x == round(hx, 6) and r.h_y == round(hy, 6)
+        assert r.nmi == round(round(mi, 6) / math.sqrt(round(hx, 6) * round(hy, 6)), 6)
+
+    def test_independent_columns_zero(self, spark):
+        from sna_pyspark_graphframes_spark.functions import ml
+
+        rows = [(x, y) for x in "ab" for y in "pq" for _ in range(5)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = ml.mutual_information(df, "x", "y").collect()[0]
+        assert r.mi == 0.0 and r.nmi == 0.0
+
+    def test_identical_columns_nmi_one(self, spark):
+        from sna_pyspark_graphframes_spark.functions import ml
+
+        df = spark.createDataFrame(
+            [("a", "a"), ("b", "b"), ("c", "c"), ("a", "a")],
+            "x string, y string",
+        )
+        r = ml.mutual_information(df, "x", "y").collect()[0]
+        assert r.nmi == 1.0 and r.mi == r.h_x == r.h_y
+
+    def test_constant_column_and_null_rows(self, spark):
+        from sna_pyspark_graphframes_spark.functions import ml
+
+        df = spark.createDataFrame(
+            [("k", "p"), ("k", "q"), ("k", None)], "x string, y string"
+        )
+        r = ml.mutual_information(df, "x", "y").collect()[0]
+        assert r.n == 2  # NULL row dropped
+        assert r.h_x == 0.0 and r.mi == 0.0 and r.nmi == 0.0
+
+    def test_empty_input(self, spark):
+        from sna_pyspark_graphframes_spark.functions import ml
+
+        df = spark.createDataFrame([], "x string, y string")
+        r = ml.mutual_information(df, "x", "y").collect()[0]
+        assert (r.n, r.n_cells) == (0, 0)
+        assert r.mi is None and r.nmi is None
+
+
+class TestCohensKappa:
+    def test_hand_computed(self, spark):
+        from sna_pyspark_graphframes_spark.functions import ml
+
+        # a: x,x,y,y  b: x,y,y,y → agree 3/4; ma: x=2,y=2; mb: x=1,y=3
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", "y"), ("y", "y"), ("y", "y")],
+            "a string, b string",
+        )
+        r = ml.cohens_kappa(df, "a", "b").collect()[0]
+        assert (r.n, r.n_agree) == (4, 3)
+        po, pe = 3 / 4, (2 * 1 + 2 * 3) / 16
+        assert r.po == round(po, 6) and r.pe == round(pe, 6)
+        assert r.kappa == round((po - pe) / (1 - pe), 6)
+
+    def test_perfect_agreement(self, spark):
+        from sna_pyspark_graphframes_spark.functions import ml
+
+        df = spark.createDataFrame(
+            [("x", "x"), ("y", "y"), ("z", "z")], "a string, b string"
+        )
+        r = ml.cohens_kappa(df, "a", "b").collect()[0]
+        assert r.po == 1.0 and r.kappa == 1.0
+
+    def test_degenerate_constant_annotators(self, spark):
+        """Both annotators constant and equal → pe = 1 → κ undefined
+        (NULL), never 0."""
+        from sna_pyspark_graphframes_spark.functions import ml
+
+        df = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+        r = ml.cohens_kappa(df, "a", "b").collect()[0]
+        assert r.po == 1.0 and r.pe == 1.0 and r.kappa is None
+
+    def test_disjoint_label_spaces(self, spark):
+        from sna_pyspark_graphframes_spark.functions import ml
+
+        df = spark.createDataFrame(
+            [("x", "p"), ("y", "q")], "a string, b string"
+        )
+        r = ml.cohens_kappa(df, "a", "b").collect()[0]
+        assert r.n_agree == 0 and r.pe == 0.0 and r.kappa == 0.0

@@ -518,3 +518,61 @@ class TestZscoreNormalize:
         # group b: single value -> zero variance -> NULL z; NULL passes through
         assert got[("b", 5.0)] is None
         assert got[("b", None)] is None
+
+
+class TestNdcgAtK:
+    def _frames(self, spark, ranking, rel):
+        r = spark.createDataFrame(ranking, "doc_id long, rank int")
+        g = spark.createDataFrame(rel, "doc_id long, rel int")
+        return r, g
+
+    def test_perfect_ranking_is_one(self, spark):
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        r, g = self._frames(
+            spark, [(1, 1), (2, 2), (3, 3)], [(1, 3), (2, 2), (3, 1)]
+        )
+        row = fs.ndcg_at_k(r, g, k=10).collect()[0]
+        assert row.ndcg == 1.0 and row.dcg == row.idcg
+        assert (row.n_ranked, row.n_relevant) == (3, 3)
+
+    def test_hand_computed_reversed(self, spark):
+        import math
+
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        r, g = self._frames(
+            spark, [(3, 1), (2, 2), (1, 3)], [(1, 3), (2, 2), (3, 1)]
+        )
+        row = fs.ndcg_at_k(r, g, k=10).collect()[0]
+        dcg = (2**1 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (
+            2**3 - 1
+        ) / math.log2(4)
+        idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (
+            2**1 - 1
+        ) / math.log2(4)
+        assert row.dcg == round(dcg, 6)
+        assert row.idcg == round(idcg, 6)
+        assert row.ndcg == round(dcg / idcg, 6)
+
+    def test_unjudged_docs_count_zero_and_k_truncates(self, spark):
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        # doc 9 unjudged (rel 0); doc 2 relevant but ranked past k
+        r, g = self._frames(
+            spark, [(9, 1), (1, 2), (2, 3)], [(1, 2), (2, 3)]
+        )
+        row = fs.ndcg_at_k(r, g, k=2).collect()[0]
+        import math
+
+        dcg = 0.0 + (2**2 - 1) / math.log2(3)
+        idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3)
+        assert row.n_ranked == 2
+        assert row.dcg == round(dcg, 6) and row.idcg == round(idcg, 6)
+
+    def test_no_relevant_docs_null(self, spark):
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        r, g = self._frames(spark, [(1, 1)], [(1, 0)])
+        row = fs.ndcg_at_k(r, g, k=10).collect()[0]
+        assert row.idcg == 0.0 and row.ndcg is None and row.n_relevant == 0
