@@ -8694,6 +8694,98 @@ def q_token_kl_drift(spark, sf_dir):
 
 _WINDOW = [
     # =====================================================================
+    # ROUND-14 WINDOW (VERDICT r13 Next #1/#5). Swept 50/50 green at
+    # sf0.01 under the final r14 tree before this pin (the standing
+    # pre-pin protocol). STANDING ROTATION RULE (VERDICT r13 Next #5,
+    # pinned here and in REPORT.md): every window allocates (a) ALL
+    # never-driver-attested pairs, (b) sentinels on every path the round
+    # changed, (c) judge-named re-attestations, and (d) every remaining
+    # slot — always >= 20 — to the oldest-attested cohort, oldest-first,
+    # mechanism-diverse among ties. With 239 registered pairs and a
+    # 50-slot window the steady-state staleness ceiling is
+    # ceil(239/50) = 5 rounds; the rule drives max staleness to that
+    # ceiling and holds it (a <= 3-round ceiling is arithmetically
+    # unreachable at this registry size unless the driver widens the
+    # window).
+    # =====================================================================
+    # --- (a) never-attested: the 5 declared r13 rotation debt ---
+    "quantity_ecdf",
+    "trimmed_price_stats",
+    "hybrid_rrf_search",
+    "zscore_price_sample",
+    "km_time_to_purchase",
+    # --- (a) never-attested: the 4 r14 registrations (each 3-SF +
+    # placement green pre-registration, the r10 protocol) ---
+    "sample_fidelity_report",
+    "bm25_ndcg",
+    "mi_lang_source",
+    "lang_id_kappa",
+    # --- (b) sentinels on r14-touched paths: token_kl_drift (empty-
+    # vocab COALESCE now in the aggregate), embedding_pca_power
+    # (n_iter=0 guard touched the loop header). hybrid_rrf_search
+    # (rrf_fuse edge-case guards) already sits in (a). ---
+    "token_kl_drift",
+    "embedding_pca_power",
+    # --- (c) judge-named re-attestations: doc_sentiment (VERDICT r13
+    # Next #7) and the temporal trio (Next #3 — asof/range/SCD2 were
+    # already oracle-paired, contrary to the verdict's gap claim; their
+    # re-attestation closes the task with driver evidence) ---
+    "doc_sentiment",
+    "asof_click_purchase",
+    "range_join_attribution",
+    "scd2_user_event_type",
+    # --- (d) 35 slots to the oldest-attested cohort (r9-last, 45 pairs;
+    # the 5 r13-ceded slots dsir_log_weights / ann_topk /
+    # hits_customer_orders / kmeans_centroids_small /
+    # stream_tumbling_window all included). The 10 r9 pairs left to r15
+    # debt are the mechanism-duplicates of kept family members:
+    # truss_hindex_cliques + core_hindex_cliques (truss_cliques kept),
+    # quality_buckets (quantile variant kept), salted_revenue_by_status
+    # (salted_segment_revenue kept), dsir_sample_top100
+    # (dsir_log_weights kept), multimodal_decode_wav +
+    # multimodal_thumbnails (decode_bmp + frame_sample kept),
+    # pagerank_cliques_undirected (directed + PPR kept),
+    # stream_foreach_batch (3 other streaming legs kept),
+    # pregel-adjacent connected_components_small KEPT (35th slot). ---
+    "ann_topk",
+    "avg_betweenness_small",
+    "bpe_pair_top100",
+    "connected_components_small",
+    "dsir_log_weights",
+    "event_sessionization",
+    "hits_customer_orders",
+    "kmeans_centroids_small",
+    "landmark_distance_histogram",
+    "minhash_signatures",
+    "motif_four_cliques_small",
+    "multimodal_decode_bmp",
+    "multimodal_frame_sample",
+    "neighborhood_function_small",
+    "pack_sequences",
+    "pagerank_directed_orders",
+    "part_metrics_unpivot",
+    "partition_pruned_scan",
+    "ppr_directed_orders",
+    "profile_documents",
+    "quality_buckets_quantile",
+    "reconcile_order_status_revenue",
+    "salted_segment_revenue",
+    "skipgram_pairs",
+    "sql_grouping_sets",
+    "stream_sliding_window",
+    "stream_stateful_totals",
+    "stream_tumbling_window",
+    "transitivity",
+    "triangles_per_vertex",
+    "truss_cliques",
+    "unigram_surprisal",
+    "user_daily_moving_avg",
+    "user_latest_event",
+    "word_pmi",
+]
+
+_WINDOW_R13 = [
+    # =====================================================================
     # ROUND-13 WINDOW (VERDICT r12 Next #2). Swept 50/50 green at sf0.01
     # under the final r13 tree before this pin (the r11/r12 pre-pin
     # protocol). Composition, by the standing rotation rules:
@@ -8780,105 +8872,6 @@ _WINDOW = [
     "ks_price_drift",
 ]
 
-_WINDOW_R12 = [
-    # =====================================================================
-    # ROUND-12 WINDOW (VERDICT r11 Next #1), kept for the rotation
-    # ledger. Swept 50/50 green at sf0.01 under the final r12 tree
-    # before its pin. Composition: (a) every never-driver-attested pair
-    # — the declared 16 r11 rotation debt plus the 5 r12-new
-    # registrations; (b) sentinels on every path r12 changed;
-    # (c) oldest-unchecked-first (the r8-last cohort),
-    # mechanism-diverse among the 44-way tie.
-    # =====================================================================
-    # --- (a1) the 16 r11 rotation-debt pairs (VERDICT r11 "What's
-    # missing" #1 — all were judge-verified green locally in r11, never in
-    # a driver window). Several additionally carry r12 changes: the
-    # logreg pair rides the NULL-drop contract, katz/MIS/matching/MST
-    # ride the chained-round/folded-action loops + shared rings layouts,
-    # pagerank_incremental rides the named init_ranks resolution + twin
-    # memo. ---
-    "logreg_returnflag_gd",
-    "logreg_calibration",
-    "kn_bigram_top",
-    "kn_doc_surprisal",
-    "mad_price_outliers",
-    "ivf_recall",
-    "katz_order_rings",
-    "mis_order_rings",
-    "matching_order_rings",
-    "mst_order_rings",
-    "pit_purchase_state",
-    "unigram_viterbi_top100",
-    "user_activity_decay",
-    "trending_event_types",
-    "brand_assortativity",
-    "pagerank_incremental_top20",
-    # --- (a2) the 5 r12-new pairs (each 3-SF green + placement-
-    # independence-checked before registration, the r10 protocol):
-    # clustered-fixture IVF recall (VERDICT r11 Next #2), one-pass OLS
-    # with the canonical Cramer twin, the Naive Bayes train/score pair,
-    # and the Markov transition trainer. ---
-    "ivf_recall_clustered",
-    "linreg_price_model",
-    "nb_lang_top_tokens",
-    "nb_doc_lang",
-    "markov_event_transitions",
-    # (late-r12 registrations, swapped in for three (c) slots — never-
-    # attested outranks oldest-unchecked, rule (a)): the per-window HLL
-    # tolerance twin, the integer-state label spreading, and the
-    # degree-correlation curve. The WINDOW is final as of these three;
-    # registrations landing after this pin (linreg_by_group,
-    # doc_token_entropy, zipf_slope) stay outside it and join the
-    # declared r13 rotation debt.
-    "window_distinct_users_approx",
-    "label_spreading_small",
-    "knn_degree_correlation",
-    # --- (b) sentinels on the paths r12 touched: betweenness_sampled's
-    # OUTPUT changed (md5-ordered unbiased source sample, VERDICT r11
-    # Next #5); pagerank_top20/ppr_top20 ride the session twin-memo +
-    # _resolve_init_ranks (Next #4 / ADVICE); eigenvector_order_rings
-    # rides the shared rings sym layout + sym_layout param (Next #3);
-    # ivf_topk rides the n_probe-resolution branch (Next #2);
-    # random_walk_sample_capped re-attests the skew guard the round
-    # closed with a forcing test (Next #6). ---
-    "betweenness_sampled",
-    "pagerank_top20",
-    "ppr_top20",
-    "eigenvector_order_rings",
-    "ivf_topk",
-    "random_walk_sample_capped",
-    # --- (c) oldest-unchecked-first: 23 of the 44 r8-last queries
-    # (nothing is older), mechanism-diverse across the tie — relational
-    # stats, degree metrics, LM surprisal, BM25, bucketed join, cohort
-    # retention, CC loop + count, peel, assortativity, double-sweep BFS,
-    # corpus chunking, HLL effective diameter, embedding dedup, gap-fill,
-    # the GraphFrames facade, hash split, inverted index, lang-id, exact
-    # LPA, multimodal featurize, the approx-count tolerance twin, and
-    # the jaccard floor pinned this round. The 24 r8-last queries not
-    # taken here (avg_degree, doc_chunks and acctbal_stats ceded their
-    # slots to the three late-r12 never-attested pairs above) are the
-    # declared r13 rotation debt (REPORT.md r12). ---
-    "bigram_surprisal",
-    "bm25_search",
-    "bucketed_colocated_join",
-    "cohort_retention",
-    "connected_components",
-    "connected_components_count",
-    "core_numbers_small",
-    "degree_assortativity",
-    "diameter_double_sweep_small",
-    "effective_diameter_small",
-    "embedding_near_dup",
-    "event_hourly_gap_fill",
-    "graphframe_filter_degrees",
-    "hash_split",
-    "inverted_index",
-    "lang_id",
-    "lpa_labels_exact",
-    "multimodal_featurize",
-    "n_parts_approx",
-    "ngram_jaccard",
-]
 
 
 def _apply_window() -> None:
