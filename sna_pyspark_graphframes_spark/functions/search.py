@@ -235,3 +235,52 @@ def ndcg_at_k(
             F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), round_dp)
         ).alias("ndcg"),
     )
+
+
+def precision_recall_at_k(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    min_rel: int = 1,
+    round_dp: int = 6,
+) -> DataFrame:
+    """1-row ``(k, n_hits, n_relevant, precision, recall, f1)`` — the
+    set-based retrieval quality pair at depth ``k`` (NDCG's binary
+    sibling — :func:`ndcg_at_k` grades, this counts): a document is
+    RELEVANT iff its grade ≥ ``min_rel``; ``precision = hits/k``,
+    ``recall = hits/|relevant|``, F1 their harmonic mean.
+
+    All three are divisions of exact BIGINTs (hits and |relevant| are
+    counts, k a literal) — identical decimals cross-engine at
+    ``round_dp``. ``recall``/``f1`` are NULL when no document is
+    relevant (undefined, never 0); ``precision`` divides by ``k``
+    even when fewer than k rows were ranked (the standard padded-list
+    convention).
+
+    Plan: the ≤k ranked rows semi-join the relevant set (broadcast of
+    a top-k-sized frame); |relevant| is one filtered count of the
+    relevance table — one scan each, no sorts."""
+    rel_docs = relevance.filter(
+        F.col(rel_col) >= F.lit(min_rel)
+    ).select(id_col)
+    hits = (
+        ranking.filter(F.col("rank") <= k)
+        .join(rel_docs, id_col, "left_semi")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    n_rel = rel_docs.agg(F.count("*").cast("long").alias("n_relevant"))
+    p = F.col("n_hits") / F.lit(float(k))
+    r = F.col("n_hits") / F.col("n_relevant")
+    return hits.crossJoin(F.broadcast(n_rel)).select(
+        F.lit(k).cast("int").alias("k"),
+        "n_hits",
+        "n_relevant",
+        F.round(p, round_dp).alias("precision"),
+        F.when(F.col("n_relevant") > 0, F.round(r, round_dp)).alias("recall"),
+        F.when(
+            (F.col("n_relevant") > 0) & (p + r > 0),
+            F.round(2.0 * p * r / (p + r), round_dp),
+        ).alias("f1"),
+    )

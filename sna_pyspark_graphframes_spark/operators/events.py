@@ -187,3 +187,71 @@ def rate_anomaly(
             "is_anomaly"
         ),
     )
+
+
+def interevent_stats(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """``(event_type, n_gaps, mean_gap_s, cv, burstiness)`` — the
+    inter-event-time distribution per event type: mean gap in seconds,
+    coefficient of variation ``σ/μ``, and the Goh–Barabási burstiness
+    ``B = (σ − μ)/(σ + μ)`` (Goh & Barabási 2008) — B→−1 periodic,
+    B≈0 Poisson, B→+1 bursty. The temporal-health probe an ingest
+    pipeline runs per source/type: a stream that claims to be steady
+    but measures bursty is batching upstream.
+
+    Gaps are EXACT INTEGER SECONDS (floor of the microsecond epoch —
+    the floor division is identical in any engine — differenced over a
+    (sec, id)-ordered lag; the id tie-break makes equal-timestamp gaps
+    deterministic), so n, Σg and Σg² are exact BIGINT sums and μ, σ,
+    CV, B are a handful of fp ops on identical inputs in any engine —
+    identical decimals at ``round_dp``. Seconds, not microseconds, so
+    Σg² stays inside int64: gap² ≤ (3e9 s)² ≈ 9e18 only at a
+    century-long single gap; realistic per-type sums need
+    Σ gap² < 2^63, i.e. ~1e9 gaps of ~1-day spacing — past that,
+    aggregate per (type, epoch-week) first. Sub-second cadence floors
+    to gap 0 in BOTH engines (documented coarsening, not drift).
+
+    Plan: one lag window per type partition (keyed sort, no global
+    window) + one hash aggregate; CV/B are NULL for types with <2 gaps
+    or zero mean (undefined, never 0)."""
+    g = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            # unix_seconds = exact integer truncation of the timestamp —
+            # matches DuckDB's epoch_us // 1_000_000 without the fp-floor
+            # boundary hazard of floor(micros / 1e6)
+            F.unix_seconds(F.col(ts_col).cast("timestamp")).alias("__s"),
+            F.col(id_col),
+        )
+        .select(
+            "event_type",
+            (F.col("__s") - F.lag("__s").over(
+                Window.partitionBy("event_type").orderBy("__s", id_col)
+            )).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sg2"),
+    )
+    mu = F.col("sg") / F.col("n_gaps")
+    var = F.col("sg2") / F.col("n_gaps") - mu * mu
+    sd = F.sqrt(var)
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mu, 4).alias("mean_gap_s"),
+        F.when((F.col("n_gaps") >= 2) & (mu > 0), F.round(sd / mu, round_dp))
+        .alias("cv"),
+        F.when(
+            (F.col("n_gaps") >= 2) & (sd + mu > 0),
+            F.round((sd - mu) / (sd + mu), round_dp),
+        ).alias("burstiness"),
+    )

@@ -658,3 +658,65 @@ def zscore_normalize(
         .withColumn("z", z)
         .drop("_k", "_s1", "_s2")
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    round_dp: int = 6,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """1-row ``(n, total, gini)`` — the Gini concentration coefficient
+    of a non-negative numeric column (Gini 1912, via the rank formula
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)``): the skew diagnostic a
+    pipeline runs on per-key mass before choosing a partitioning —
+    revenue per customer, tokens per document, dedup-cluster sizes —
+    G→0 uniform, G→1 one key holds everything (the "will this key
+    skew the shuffle" number, cf. the salting operators).
+
+    Tie-correct grouped formulation: for value v repeated c times
+    starting after cumulative count k, ``Σ i over the block =
+    c·k + c(c+1)/2``, so one distinct-value aggregate + the shared
+    distributed prefix-sum engine (:func:`range_prefix_sums` — range
+    repartition, per-partition windows, |partitions|-row offset
+    broadcast; NO global single-task window) computes the exact rank
+    sum at any scale. NULLs drop; negative values are the caller's
+    contract violation (G is defined on non-negative mass).
+
+    Exactness: n, c, k are exact BIGINTs; the three sums are the
+    safe fp class (per-term products of exact quantities, add-order
+    jitter ~1e-10 relative vs the 6-dp half-quantum); ``gini`` is NULL
+    when the total mass is 0 (undefined — 0 would misread as
+    "perfectly uniform")."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cum, totals = range_prefix_sums(g, "v", ["c"], n_range_partitions)
+    agg = cum.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("v") * F.col("c")), F.lit(0.0)).alias("sx"),
+        F.coalesce(
+            F.sum(
+                F.col("v")
+                * (
+                    F.col("c") * (F.col("cum_c") - F.col("c"))
+                    + F.col("c") * (F.col("c") + 1) / 2.0
+                )
+            ),
+            F.lit(0.0),
+        ).alias("six"),
+    )
+    return agg.select(
+        "n",
+        F.round("sx", 4).alias("total"),
+        F.when(
+            (F.col("n") > 0) & (F.col("sx") > 0),
+            F.round(
+                (2.0 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+                / (F.col("n") * F.col("sx")),
+                round_dp,
+            ),
+        ).alias("gini"),
+    )

@@ -6335,6 +6335,54 @@ def q_bm25_ndcg(spark, sf_dir):
 
 
 @register(
+    "bm25_precision_recall",
+    f"""
+    WITH words AS ({_WORDS_SQL}),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs,
+                      AVG(LEN(string_split_regex(TRIM(LOWER(text)), '\\s+'))) AS avgdl
+               FROM documents),
+    {_bm25_rank_cte(["spark", "hash", "window"], "a")},
+    rel AS (SELECT doc_id, LEAST(SUM(tf), 3) AS rel FROM tf
+            WHERE w IN ('spark', 'hash', 'window') GROUP BY doc_id),
+    rd AS (SELECT doc_id FROM rel WHERE rel >= 2),
+    h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM ra
+          WHERE rank <= 10 AND doc_id IN (SELECT doc_id FROM rd)),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rd)
+    SELECT CAST(10 AS INT) AS k, n_hits, n_relevant,
+           ROUND(n_hits / 10.0, 6) AS precision,
+           CASE WHEN n_relevant > 0
+                THEN ROUND(n_hits / n_relevant, 6) END AS recall,
+           CASE WHEN n_relevant > 0
+                 AND (n_hits / 10.0 + n_hits / n_relevant) > 0
+                THEN ROUND(2.0 * (n_hits / 10.0) * (n_hits / n_relevant)
+                           / (n_hits / 10.0 + n_hits / n_relevant), 6)
+           END AS f1
+    FROM h CROSS JOIN nr
+    """,
+)
+def q_bm25_precision_recall(spark, sf_dir):
+    """Precision/Recall/F1@10 of the BM25 ranking
+    (``search.precision_recall_at_k`` — NDCG's binary sibling), with a
+    document RELEVANT iff its graded term count ≥ 2 (the same exact
+    postings grid as ``bm25_ndcg``, binarized strictly so the set is a
+    proper subset of the matched docs and the numbers are non-trivial).
+    HARD oracle: hits and |relevant| are exact BIGINTs; P/R/F1 are the
+    identical division expressions in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "hash", "window"]
+    ranking = fsearch.bm25_topk(docs, terms, k=10)
+    rel = (
+        fsearch.postings(docs)
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.least(F.sum("tf"), F.lit(3)).cast("long").alias("rel"))
+    )
+    return fsearch.precision_recall_at_k(ranking, rel, k=10, min_rel=2)
+
+
+@register(
     "event_hourly_gap_fill",
     """
     WITH bounds AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS lo,
@@ -8127,6 +8175,90 @@ def q_lang_id_kappa(spark, sf_dir):
         ftext.lang_id(F.col("text")).alias("pred"), F.col("lang")
     )
     return fml.cohens_kappa(labeled, "pred", "lang")
+
+
+@register(
+    "orders_per_customer_gini",
+    """
+    WITH perc AS (SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS v
+                  FROM orders GROUP BY o_custkey),
+    g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM perc GROUP BY v),
+    cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum_c FROM g),
+    t AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+                 COALESCE(SUM(v * c), 0.0) AS sx,
+                 COALESCE(SUM(v * (c * (cum_c - c) + c * (c + 1) / 2.0)),
+                          0.0) AS six
+          FROM cum)
+    SELECT n, ROUND(sx, 4) AS total,
+           CASE WHEN n > 0 AND sx > 0
+                THEN ROUND((2.0 * six - (n + 1) * sx) / (n * sx), 6)
+           END AS gini
+    FROM t
+    """,
+)
+def q_orders_per_customer_gini(spark, sf_dir):
+    """Gini concentration of rows-per-key — orders per customer
+    (``relational.gini_coefficient`` on the shared distributed
+    prefix-sum engine): THE shuffle-skew diagnostic in one number (the
+    quantity the salting operators exist to mitigate — G→0 means keys
+    are uniform, G→1 means one hot key holds the table). The measured
+    value is a per-key COUNT, so every input to the rank formula is an
+    exact integer; the oracle's window cumsum and Spark's
+    range-partitioned prefix sums compute the identical tie-corrected
+    ``Σ i·x_(i)``. HARD oracle to the 6-dp ratio."""
+    perc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    return relational.gini_coefficient(perc, "v")
+
+
+@register(
+    "event_interevent_burstiness",
+    """
+    WITH s AS (
+        SELECT event_type, epoch_us(ts) // 1000000 AS es, event_id
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               es - LAG(es) OVER (
+                   PARTITION BY event_type ORDER BY es, event_id
+               ) AS gap
+        FROM s
+    ),
+    a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(gap) AS BIGINT) AS sg,
+                 CAST(SUM(gap * gap) AS BIGINT) AS sg2
+          FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n_gaps,
+           ROUND(sg / n_gaps, 4) AS mean_gap_s,
+           CASE WHEN n_gaps >= 2 AND sg / n_gaps > 0
+                THEN ROUND(SQRT(sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps))
+                           / (sg / n_gaps), 6)
+           END AS cv,
+           CASE WHEN n_gaps >= 2
+                 AND SQRT(sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps))
+                     + sg / n_gaps > 0
+                THEN ROUND((SQRT(sg2 / n_gaps - (sg / n_gaps) * (sg / n_gaps))
+                            - sg / n_gaps)
+                           / (SQRT(sg2 / n_gaps
+                                   - (sg / n_gaps) * (sg / n_gaps))
+                              + sg / n_gaps), 6)
+           END AS burstiness
+    FROM a
+    """,
+)
+def q_event_interevent_burstiness(spark, sf_dir):
+    """Per-type inter-event-time stats + Goh–Barabási burstiness over
+    the events table (``events.interevent_stats``) — the ingest-cadence
+    health probe beside ``event_rate_anomaly`` (that one flags WHEN a
+    window is anomalous; this one scores WHETHER the process is bursty
+    at all). HARD oracle: gaps are exact integer microseconds off a
+    (ts, event_id)-ordered lag, n/Σg/Σg² exact BIGINTs, and μ/σ/CV/B
+    the identical few-op fp expressions on identical inputs."""
+    return oevents.interevent_stats(_t(spark, sf_dir, "events"))
 
 
 @register(

@@ -91,3 +91,53 @@ class TestBucketed:
         assert j.count() == 400  # each left id matched twice
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestGiniCoefficient:
+    def test_hand_computed(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        # x = [0, 0, 0, 1]: G = (2*4 - 5*1) / (4*1) = 0.75
+        df = spark.createDataFrame(
+            [(0.0,), (0.0,), (0.0,), (1.0,)], "v double"
+        )
+        r = relational.gini_coefficient(df, "v").collect()[0]
+        assert (r.n, r.total, r.gini) == (4, 1.0, 0.75)
+
+    def test_uniform_is_zero_and_ties_exact(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        df = spark.createDataFrame([(5.0,)] * 8, "v double")
+        r = relational.gini_coefficient(df, "v").collect()[0]
+        assert r.gini == 0.0 and r.n == 8
+
+    def test_forced_multi_partition_matches_single(self, spark):
+        """The prefix-sum engine must give the identical rank sum under
+        a forced 7-way range partitioning."""
+        import random
+
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        rng = random.Random(7)
+        rows = [(float(rng.randint(0, 20)),) for _ in range(200)]
+        df = spark.createDataFrame(rows, "v double")
+        a = relational.gini_coefficient(df, "v").collect()[0]
+        b = relational.gini_coefficient(
+            df, "v", n_range_partitions=7
+        ).collect()[0]
+        assert (a.n, a.total, a.gini) == (b.n, b.total, b.gini)
+        # cross-check vs the textbook sorted-rank formula
+        xs = sorted(v for (v,) in rows)
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        assert a.gini == round((2 * six - (n + 1) * sx) / (n * sx), 6)
+
+    def test_empty_and_zero_mass_null(self, spark):
+        from sna_pyspark_graphframes_spark.operators import relational
+
+        empty = spark.createDataFrame([], "v double")
+        r = relational.gini_coefficient(empty, "v").collect()[0]
+        assert r.n == 0 and r.gini is None
+        zeros = spark.createDataFrame([(0.0,)] * 3, "v double")
+        r2 = relational.gini_coefficient(zeros, "v").collect()[0]
+        assert r2.n == 3 and r2.gini is None

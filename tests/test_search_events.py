@@ -576,3 +576,71 @@ class TestNdcgAtK:
         r, g = self._frames(spark, [(1, 1)], [(1, 0)])
         row = fs.ndcg_at_k(r, g, k=10).collect()[0]
         assert row.idcg == 0.0 and row.ndcg is None and row.n_relevant == 0
+
+
+class TestPrecisionRecallAtK:
+    def test_hand_computed(self, spark):
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        # top-4 ranked: docs 1,2,3,4; relevant (rel>=1): 2,4,9 -> hits 2
+        r = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3), (4, 4)], "doc_id long, rank int"
+        )
+        g = spark.createDataFrame(
+            [(2, 1), (4, 2), (9, 3), (3, 0)], "doc_id long, rel int"
+        )
+        row = fs.precision_recall_at_k(r, g, k=4).collect()[0]
+        assert (row.n_hits, row.n_relevant) == (2, 3)
+        p, rc = 2 / 4, 2 / 3
+        assert row.precision == round(p, 6) and row.recall == round(rc, 6)
+        assert row.f1 == round(2 * p * rc / (p + rc), 6)
+
+    def test_min_rel_threshold(self, spark):
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        r = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+        g = spark.createDataFrame(
+            [(1, 1), (2, 2)], "doc_id long, rel int"
+        )
+        row = fs.precision_recall_at_k(r, g, k=2, min_rel=2).collect()[0]
+        assert (row.n_hits, row.n_relevant) == (1, 1)
+        assert row.precision == 0.5 and row.recall == 1.0
+
+    def test_no_relevant_docs_null(self, spark):
+        from sna_pyspark_graphframes_spark.functions import search as fs
+
+        r = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+        g = spark.createDataFrame([(1, 0)], "doc_id long, rel int")
+        row = fs.precision_recall_at_k(r, g, k=5).collect()[0]
+        assert row.precision == 0.0
+        assert row.recall is None and row.f1 is None
+
+
+class TestIntereventStats:
+    def test_hand_computed_burstiness(self, spark):
+        from sna_pyspark_graphframes_spark.operators import events as oe
+
+        # type A at t = 0, 10, 30 s -> gaps 10, 20: mu=15, sigma=5
+        ev = events_df(
+            spark,
+            [(1, 1, "A", 0), (2, 1, "A", 10 / 60), (3, 2, "A", 30 / 60)],
+        )
+        row = {r.event_type: r for r in oe.interevent_stats(ev).collect()}["A"]
+        assert row.n_gaps == 2 and row.mean_gap_s == 15.0
+        assert row.cv == round(5 / 15, 6)
+        assert row.burstiness == round((5 - 15) / (5 + 15), 6)
+
+    def test_single_event_type_has_no_row(self, spark):
+        from sna_pyspark_graphframes_spark.operators import events as oe
+
+        ev = events_df(spark, [(1, 1, "solo", 0), (2, 1, "pair", 0), (3, 2, "pair", 5)])
+        types = {r.event_type for r in oe.interevent_stats(ev).collect()}
+        assert types == {"pair"}  # 'solo' has no gap
+
+    def test_periodic_burstiness_minus_one(self, spark):
+        from sna_pyspark_graphframes_spark.operators import events as oe
+
+        # perfectly periodic: sigma = 0 -> CV 0, B = -1
+        ev = events_df(spark, [(i, 1, "tick", i * 5) for i in range(6)])
+        row = oe.interevent_stats(ev).collect()[0]
+        assert row.cv == 0.0 and row.burstiness == -1.0
