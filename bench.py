@@ -180,6 +180,16 @@ HEADLINE = [
     "hybrid_rrf_search",
     "zscore_price_sample",
     "km_time_to_purchase",
+    # round-14 appends: the sample-fidelity certificate (the paper's
+    # end-to-end deliverable), the retrieval-eval pair, the contingency
+    # family, and the skew/cadence diagnostics.
+    "sample_fidelity_report",
+    "bm25_ndcg",
+    "bm25_precision_recall",
+    "mi_lang_source",
+    "lang_id_kappa",
+    "orders_per_customer_gini",
+    "event_interevent_burstiness",
 ]
 
 
