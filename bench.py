@@ -190,6 +190,23 @@ HEADLINE = [
     "lang_id_kappa",
     "orders_per_customer_gini",
     "event_interevent_burstiness",
+    # round-14 third wave: the classical-stats family (parametric +
+    # rank-based two-sample tests, rank correlation, the seasonality
+    # probe, and the exact depth-1 CART split).
+    "welch_price_returnflag",
+    "spearman_qty_price",
+    "mannwhitney_price_flag",
+    "event_daily_acf",
+    "stump_doc_length",
+    # round-14 fourth wave: effect-size, change-point, and forensic
+    # audits.
+    "lang_source_cramers_v",
+    "order_daily_cusum",
+    "benford_totalprice",
+    # round-14 fifth wave: readability, lead/lag, and survival-contrast.
+    "doc_flesch",
+    "event_click_purchase_ccf",
+    "logrank_purchase_parity",
 ]
 
 

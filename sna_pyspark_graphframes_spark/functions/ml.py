@@ -827,3 +827,180 @@ def cohens_kappa(
             ),
         )
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """1-row ``(threshold, n_left, pos_left, n_right, pos_right,
+    gini_gain)`` — the exact best binary split of one numeric feature
+    against a boolean label (a depth-1 CART tree, Breiman et al. 1984):
+    the strongest single-feature filter rule a data-curation pipeline
+    can extract ("keep documents with score ≤ t"), and the building
+    block a boosting loop would call per round. The split is
+    ``feature ≤ threshold → left``; among impurity ties the SMALLEST
+    threshold wins (deterministic cross-engine). ``label_col`` may be a
+    column name or a boolean Column expression. NULL features/labels
+    drop.
+
+    Exact search, no binning: candidates are the distinct feature
+    values (minus the maximum, whose right side is empty); for each,
+    the left/right class counts come from ONE prefix-sum pass over the
+    distinct-value grid (:func:`~...operators.relational.range_prefix_sums`
+    — range repartition, per-partition windows, |partitions|-row offset
+    broadcast; NO global single-task window). The argmin is a
+    TakeOrdered top-1 on (weighted impurity, threshold) — never a
+    driver-side scan of the grid. At 100 TB the grid of a continuous
+    feature is itself large; that stays fully distributed here, and a
+    production caller can pre-quantize the feature to bound it.
+
+    Exactness: all counts are exact BIGINTs (the hash anchors); the
+    weighted Gini ``W = Σ_side (n_s − (pos_s² + neg_s²)/n_s)`` and the
+    gain ``(G_parent − W)/n`` are identical few-op double expressions
+    over exact integers in both engines — bit-identical, so the argmin
+    ordering agrees. int64 bound: pos² ≤ n², exact to n ≈ 3e9."""
+    from sna_pyspark_graphframes_spark.operators.relational import (
+        range_prefix_sums,
+    )
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    d = df.filter(
+        F.col(feature_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.col(feature_col).alias("v"),
+        F.when(lab, 1).otherwise(0).cast("long").alias("y"),
+    )
+    g = d.groupBy("v").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    cum, totals = range_prefix_sums(g, "v", ["c", "p"], n_range_partitions)
+    n, pos = totals.get("c", 0), totals.get("p", 0)
+    spark = df.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "threshold double, n_left long, pos_left long, n_right long, "
+        "pos_right long, gini_gain double",
+    )
+    if n == 0:
+        return empty
+    nl = F.col("cum_c")
+    pl = F.col("cum_p")
+    nr = F.lit(n) - nl
+    pr = F.lit(pos) - pl
+
+    def _impurity(ns, ps):
+        nsd, psd = ns.cast("double"), ps.cast("double")
+        negd = (ns - ps).cast("double")
+        return nsd - (psd * psd + negd * negd) / nsd
+
+    w = _impurity(nl, pl) + _impurity(nr, pr)
+    parent = (
+        float(n)
+        - (float(pos) ** 2 + float(n - pos) ** 2) / float(n)
+    )
+    best = (
+        cum.filter(nl < n)
+        .select(
+            F.col("v").cast("double").alias("threshold"),
+            nl.alias("n_left"),
+            pl.alias("pos_left"),
+            nr.cast("long").alias("n_right"),
+            pr.cast("long").alias("pos_right"),
+            w.alias("_w"),
+        )
+        .orderBy("_w", "threshold")
+        .limit(1)
+    )
+    return best.select(
+        "threshold",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.round((F.lit(parent) - F.col("_w")) / F.lit(float(n)), 6).alias(
+            "gini_gain"
+        ),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """1-row ``(n, r, c, dof, chi2, cramers_v)`` — Pearson's χ² test of
+    independence between two categorical columns with Cramér's V
+    (Cramér 1946) as the [0,1]-normalized effect size: the
+    significance-scaled companion to :func:`mutual_information` on the
+    SAME exact contingency table (MI answers "how many nats do they
+    share", V answers "how far from independent on a fixed scale" —
+    run both before dropping a "redundant" metadata column).
+    ``chi2 = Σ_cells (o − e)²/e`` with ``e = c_x·c_y/n``;
+    ``V = √(χ²/(n·(min(r,c)−1)))``. NULL rows drop (the MI contract);
+    a single-level column gives χ² = 0 and NULL V (dof = 0).
+
+    Exactness: all counts (n, r, c, cell/marginal counts) are exact
+    BIGINTs; each cell's term is the identical few-op double
+    expression, and the only cross-engine divergence is the ≤|X|·|Y|
+    summation order (~1e-16 relative vs the rounding quantum). Plan:
+    ONE groupBy(x,y) count + re-aggregated marginals joined back +
+    broadcast scalar totals — categorical-cardinality frames only."""
+    cells = (
+        df.na.drop(subset=[col_x, col_y])
+        .groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .agg(F.count("*").cast("long").alias("cxy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("cxy").cast("long").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("cxy").cast("long").alias("cy"))
+    tot = cells.agg(
+        F.coalesce(F.sum("cxy"), F.lit(0)).cast("long").alias("n"),
+    ).crossJoin(
+        F.broadcast(mx.agg(F.count("*").cast("long").alias("r")))
+    ).crossJoin(
+        F.broadcast(my.agg(F.count("*").cast("long").alias("c")))
+    )
+    e = (
+        F.col("cx").cast("double")
+        * F.col("cy").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("cxy").cast("double") - e) * (
+        F.col("cxy").cast("double") - e
+    ) / e
+    # χ² needs the FULL r×c grid: a structurally-zero cell still
+    # contributes (0−e)²/e = e (unlike MI, where 0·log0 vanishes) —
+    # build the categorical-cardinality cross grid and left-join the
+    # observed counts onto it
+    grid = mx.crossJoin(F.broadcast(my))
+    full = grid.join(cells, ["x", "y"], "left").withColumn(
+        "cxy", F.coalesce("cxy", F.lit(0)).cast("long")
+    )
+    chi2 = (
+        full.crossJoin(F.broadcast(tot.select("n")))
+        .agg(F.sum(term).alias("_chi2_raw"))
+    )
+    out = tot.crossJoin(F.broadcast(chi2))
+    mind = F.least(F.col("r"), F.col("c")) - 1
+    return out.select(
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.when(F.col("n") > 0, F.round(F.coalesce("_chi2_raw", F.lit(0.0)), 4))
+        .alias("chi2"),
+        F.when(
+            (F.col("n") > 0) & (mind > 0),
+            F.round(
+                F.sqrt(
+                    F.coalesce("_chi2_raw", F.lit(0.0))
+                    / (F.col("n").cast("double") * mind.cast("double"))
+                ),
+                round_dp,
+            ),
+        ).alias("cramers_v"),
+    )

@@ -220,3 +220,50 @@ def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def flesch_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Input rows + ``(n_words, n_sentences, n_syllables, flesch)`` —
+    the Flesch Reading Ease score (Flesch 1948):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``,
+    the classic readability screen a curation pipeline runs beside the
+    Gopher quality signals (too-low scores flag legalese/boilerplate,
+    implausibly high ones flag word-salad). Heuristic counters, all
+    exact integers from anchored regex counts (the ``token_count``
+    recipe — engine-identical):
+
+    - words: ``[A-Za-z]+`` runs;
+    - sentences: ``[.!?]+`` runs, floored at 1 (a fragment is one
+      sentence — avoids division by zero without dropping the row);
+    - syllables: vowel GROUPS ``[aeiouy]+`` of the lowercased text —
+      the standard cheap proxy (hyphenation dictionaries don't
+      distribute; the proxy is deterministic and engine-identical).
+
+    ``flesch`` is NULL when there are no words. One scan, pure codegen
+    column expressions; the score is a few-op double over exact
+    integers, rounded 4 dp."""
+    c = F.col(text_col)
+    n_words = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+"), F.lit(0)))
+    n_sent_raw = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0)))
+    n_sent = F.greatest(n_sent_raw, F.lit(1))
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6)
+            * (n_syll.cast("double") / n_words.cast("double")),
+            4,
+        ),
+    )
+    return df.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

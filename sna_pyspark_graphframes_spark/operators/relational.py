@@ -720,3 +720,388 @@ def gini_coefficient(
             ),
         ).alias("gini"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """1-row ``(n_a, n_b, mean_a, mean_b, t_stat, df_welch)`` — Welch's
+    unequal-variance two-sample t-test (Welch 1947) between two slices
+    of a numeric column: the parametric member of the drift family
+    (``ks_statistic`` is the nonparametric sibling; this one answers
+    "did the MEAN move" with a significance scale attached).
+    ``df_welch`` is the Welch–Satterthwaite effective degrees of
+    freedom. NULL values drop (the PSI/KS contract); groups with
+    n < 2 or zero pooled standard error emit NULL t/df.
+
+    Determinism: counts are exact BIGINTs (the hash anchors); means and
+    variances come from explicit SUM / SUM-of-squares aggregates (never
+    the engine's Welford ``stddev`` — the ``zscore_normalize``
+    contract), and t/df are few-op fp expressions over those scalars,
+    rounded. Plan: ONE scan, conditional aggregation into a single
+    1-row reduce — no join, no shuffle beyond the map-side partials."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.filter(F.col(value_col).isNotNull() & g.isin([group_a, group_b]))
+    a = F.when(g == group_a, v)
+    b = F.when(g == group_b, v)
+    agg = d.agg(
+        F.count(a).cast("long").alias("n_a"),
+        F.count(b).cast("long").alias("n_b"),
+        F.sum(a).alias("_sa1"),
+        F.sum(a * a).alias("_sa2"),
+        F.sum(b).alias("_sb1"),
+        F.sum(b * b).alias("_sb2"),
+    )
+    ka, kb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("_sa1") / ka
+    mb = F.col("_sb1") / kb
+    va = F.try_divide(F.col("_sa2") - F.col("_sa1") * F.col("_sa1") / ka, ka - 1)
+    vb = F.try_divide(F.col("_sb2") - F.col("_sb1") * F.col("_sb1") / kb, kb - 1)
+    se2 = va / ka + vb / kb
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, round_dp).alias("mean_a"),
+        F.round(mb, round_dp).alias("mean_b"),
+        F.when(ok, F.round((ma - mb) / F.sqrt(se2), round_dp)).alias("t_stat"),
+        F.when(
+            ok,
+            F.round(
+                se2 * se2
+                / ((va / ka) * (va / ka) / (ka - 1)
+                   + (vb / kb) * (vb / kb) / (kb - 1)),
+                2,
+            ),
+        ).alias("df_welch"),
+    )
+
+
+def avg_rank2(
+    df: DataFrame,
+    value_col: str,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """``(v, c, r2)`` — per distinct value of a numeric column, its
+    tie-averaged rank DOUBLED so it is an EXACT BIGINT (average rank of
+    a block of c ties after k smaller rows is ``k + (c+1)/2``, a
+    half-integer; ``r2 = 2·cum − c + 1`` where cum = count ≤ v). The
+    shared integer-rank engine under :func:`spearman_corr` and
+    :func:`mann_whitney_u` — rank statistics without ever leaving
+    exact-integer arithmetic, so cross-engine hashes can anchor on the
+    rank sums themselves. Built on the distributed prefix-sum pattern
+    (:func:`range_prefix_sums` — no global single-task window). NULLs
+    drop."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cum, _ = range_prefix_sums(g, "v", ["c"], n_range_partitions)
+    return cum.select(
+        "v",
+        "c",
+        (2 * F.col("cum_c") - F.col("c") + 1).cast("long").alias("r2"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """1-row ``(n, srxy2, spearman)`` — Spearman rank correlation
+    (Spearman 1904) between two numeric columns: Pearson correlation
+    over tie-averaged ranks, the monotone-association probe that is
+    insensitive to the marginal distributions (the feature-screening
+    companion to ``corr`` — price vs quantity need not be LINEARLY
+    related for ρ_s to see the association). Rows where either side is
+    NULL drop (complete-case, the standard contract).
+
+    Exactness: doubled ranks ``r2 = 2·rank`` are exact BIGINTs
+    (:func:`avg_rank2`); all six sufficient statistics
+    (n, Σr2x, Σr2y, Σr2x·r2y, Σr2x², Σr2y²) are exact BIGINT sums —
+    ``srxy2 = Σ r2x·r2y`` is the hash anchor — and ρ_s is one
+    identical few-op double expression over them, rounded. The doubling
+    cancels in the correlation. int64 bound: Σr2x·r2y ≤ 4n³, exact to
+    n ≈ 1.3e6; beyond that scale the product sums should be computed
+    as doubles (ρ_s rounds at 6 dp; the fp jitter is ~1e-12 relative)
+    — this implementation keeps the exact path, matching the test
+    fixtures' scale.
+
+    Plan: two distinct-value grids (prefix-summed without a global
+    window), two shuffle equi-joins back onto the rows, one 1-row
+    reduce. Every stage keyed and parallel."""
+    d = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    rx = avg_rank2(d, "_x", n_range_partitions).select(
+        F.col("v").alias("_x"), F.col("r2").alias("rx")
+    )
+    ry = avg_rank2(d, "_y", n_range_partitions).select(
+        F.col("v").alias("_y"), F.col("r2").alias("ry")
+    )
+    j = d.join(rx, "_x").join(ry, "_y")
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("_sx"),
+        F.sum("ry").cast("long").alias("_sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("srxy2"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("_sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("srxy2").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    dx = nd * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    dy = nd * F.col("_syy").cast("double") - F.col("_sy").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    return agg.select(
+        "n",
+        "srxy2",
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num / F.sqrt(dx * dy), round_dp),
+        ).alias("spearman"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """1-row ``(n_a, n_b, u2_a, tie_sum, u_a, z)`` — the Mann–Whitney
+    U test (Mann & Whitney 1947) between two slices of a numeric
+    column: the nonparametric location-shift member of the drift family
+    (``welch_ttest`` assumes normal-ish tails; U only uses ranks, so a
+    heavy-tailed price column can't fake it out). ``u2_a = 2·U_a`` and
+    the tie-correction term ``tie_sum = Σ(t³−t)`` are EXACT BIGINTs
+    (the hash anchors); ``u_a = u2_a/2`` is exactly representable
+    (half-integer); ``z`` is the tie-corrected normal approximation
+    ``(U − n_a·n_b/2)/σ_U`` as one identical few-op double expression
+    over the exact integers, rounded. NULL values drop.
+
+    Ranks ride :func:`avg_rank2` over the POOLED sample (doubled →
+    exact integers; rank-sum ``R_a`` appears as Σr2/2, so
+    ``u2_a = Σ_{a} r2 − n_a(n_a+1)``). int64 bound: tie_sum ≤ N³,
+    exact to N ≈ 2e6; the docstringed double fallback applies beyond.
+    Plan: one grid + prefix sums (no global window), one equi-join
+    back, one 1-row conditional reduce."""
+    g = F.col(group_col)
+    d = df.filter(
+        F.col(value_col).isNotNull() & g.isin([group_a, group_b])
+    ).select(
+        F.col(value_col).alias("_v"), (g == group_a).alias("_a")
+    )
+    r = avg_rank2(d, "_v", n_range_partitions).select(
+        F.col("v").alias("_v"),
+        "r2",
+        (F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("_t3"),
+    )
+    # tie term lives on the grid (one row per distinct value); the
+    # per-row join only needs r2
+    ties = r.agg(F.coalesce(F.sum("_t3"), F.lit(0)).cast("long").alias("tie_sum"))
+    j = d.join(r.select("_v", "r2"), "_v")
+    agg = j.agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_a"), F.col("r2"))).cast("long").alias("_r2a"),
+    ).crossJoin(F.broadcast(ties))
+    u2 = F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    sigma2 = (
+        na * nb / 12.0
+        * ((nn + 1) - F.col("tie_sum").cast("double") / (nn * (nn - 1)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2_a"),
+        "tie_sum",
+        (u2.cast("double") / 2.0).alias("u_a"),
+        F.when(
+            (F.col("n_a") >= 1) & (F.col("n_b") >= 1) & (sigma2 > 0),
+            F.round(
+                (u2.cast("double") / 2.0 - na * nb / 2.0) / F.sqrt(sigma2),
+                round_dp,
+            ),
+        ).alias("z"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    round_dp: int = 6,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """1-row ``(n, sum_x, t_star, idx_star, cusum_num, cusum, z)`` —
+    the offline CUSUM change-point scan (Page 1954; the Buishand-range
+    normalization) over an integer-valued ordered series: with
+    ``S_t = Σ_{i≤t}(x_i − x̄)`` the cumulative deviation from the
+    global mean, the statistic is ``max_t |S_t|`` and the estimated
+    change point is its argmax — the "WHEN did the level shift" probe
+    that complements the two-sample drift tests (those need the split
+    point given; this finds it). Smallest-t tie-break (deterministic
+    cross-engine).
+
+    The caller supplies the series (one row per index, e.g. the daily
+    count aggregate); duplicate indices are a caller contract
+    violation. Exactness: ``n·S_t = n·cum_x − t·Σx`` is an EXACT
+    BIGINT, so ``cusum_num = max_t |n·cum_x − t·Σx|`` hashes exactly;
+    ``cusum = cusum_num/n`` (= max|S_t|) and the scale-free
+    ``z = cusum_num / (n·σ̂·√n)`` (σ̂ from explicit exact Σx/Σx²
+    moments — never engine ``stddev``) are identical few-op double
+    expressions, rounded. int64 bound: n·Σx — exact to
+    n·Σx < 9.2e18, far past any count series here; beyond, compute
+    the product in double (the spearman fallback note).
+
+    Plan: the shared distributed prefix-sum engine
+    (:func:`range_prefix_sums` — range repartition, per-partition
+    windows, |partitions|-row offset broadcast, NO global single-task
+    window), then a TakeOrdered top-1 on (−|T|, t). NULLs drop."""
+    g = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("idx"),
+        F.col(value_col).cast("long").alias("x"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    cum, totals = range_prefix_sums(g, "idx", ["x", "one"], n_range_partitions)
+    n = totals.get("one", 0)
+    sx = totals.get("x", 0)
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n long, sum_x long, t_star long, idx_star long, "
+            "cusum_num long, cusum double, z double",
+        )
+    sxx = g.agg(F.sum(F.col("x") * F.col("x")).cast("long").alias("s")).first()["s"]
+    t_col = F.col("cum_one")
+    big_t = F.lit(n) * F.col("cum_x") - t_col * F.lit(sx)
+    best = (
+        cum.select(
+            t_col.alias("t_star"),
+            F.col("idx").cast("long").alias("idx_star"),
+            F.abs(big_t).cast("long").alias("cusum_num"),
+        )
+        .orderBy(F.col("cusum_num").desc(), F.col("t_star").asc())
+        .limit(1)
+    )
+    nd = float(n)
+    var = (
+        (float(sxx) - float(sx) * float(sx) / nd) / (nd - 1)
+        if n >= 2
+        else None
+    )
+    sig = var ** 0.5 if var is not None and var > 0 else None
+    return best.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(sx).cast("long").alias("sum_x"),
+        "t_star",
+        "idx_star",
+        "cusum_num",
+        F.round(F.col("cusum_num").cast("double") / F.lit(nd), round_dp).alias(
+            "cusum"
+        ),
+        (
+            F.round(
+                F.col("cusum_num").cast("double")
+                / (F.lit(nd) * F.lit(sig) * F.sqrt(F.lit(nd))),
+                round_dp,
+            )
+            if sig is not None
+            else F.lit(None).cast("double")
+        ).alias("z"),
+    )
+
+
+def benford_digits(
+    df: DataFrame,
+    int_col,
+    round_dp: int = 6,
+) -> DataFrame:
+    """9 rows ``(digit, observed, n, expected_p, observed_p,
+    chi2_term)`` — the first-significant-digit distribution of a
+    positive integer column against Benford's law (Newcomb 1881,
+    Benford 1938): ``P(d) = log10(1 + 1/d)``. THE forensic screen on
+    a numeric column — naturally-grown magnitudes (file sizes,
+    populations, real ledgers) follow it; uniform or fabricated data
+    deviates loudly, so the per-digit χ² terms localize WHICH digits
+    are off. All 9 digit rows always appear (zero-observed digits
+    included). Non-positive and NULL values drop.
+
+    ``int_col`` may be a name or an integer Column expression (e.g.
+    exact cents ``round(price·100)`` — the caller owns the
+    exact-integer conversion). The leading digit comes from the
+    INTEGER's decimal string (``substring(cast(v as string), 1, 1)``)
+    — integer-to-string is exact and engine-identical, where a
+    log10/power extraction on doubles can misround at decade
+    boundaries. Exactness: ``observed``/``n`` are exact BIGINTs (the
+    hash anchors); ``expected_p``/``observed_p``/``chi2_term`` are
+    identical few-op double expressions over them, rounded.
+
+    Plan: one scan → 9-key hash aggregate (map-side combine) →
+    right-join onto the broadcast 9-row digit grid. Scale-free."""
+    c = F.col(int_col) if isinstance(int_col, str) else int_col
+    v = c.cast("long")
+    spark = df.sparkSession
+    counts = (
+        df.select(v.alias("v"))
+        .filter(F.col("v").isNotNull() & (F.col("v") > 0))
+        .select(
+            F.substring(F.col("v").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = counts.agg(
+        F.coalesce(F.sum("observed"), F.lit(0)).cast("long").alias("n")
+    )
+    j = (
+        grid.join(counts, "digit", "left")
+        .withColumn("observed", F.coalesce("observed", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    exp_p = F.log10(1 + 1 / F.col("digit").cast("double"))
+    exp_n = F.col("n").cast("double") * exp_p
+    dev = F.col("observed").cast("double") - exp_n
+    return j.select(
+        "digit",
+        "observed",
+        "n",
+        F.round(exp_p, round_dp).alias("expected_p"),
+        F.when(
+            F.col("n") > 0,
+            F.round(
+                F.col("observed").cast("double") / F.col("n").cast("double"),
+                round_dp,
+            ),
+        ).alias("observed_p"),
+        F.when(F.col("n") > 0, F.round(dev * dev / exp_n, 4)).alias(
+            "chi2_term"
+        ),
+    )

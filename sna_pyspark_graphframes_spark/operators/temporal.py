@@ -346,3 +346,236 @@ def kaplan_meier(
         .otherwise(F.round(F.exp(F.col("cum_lnterm")), round_dp))
         .alias("survival"),
     )
+
+
+def lag_autocorr(
+    df: DataFrame,
+    idx_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """``(lag, n_pairs, sxy, acf)`` for lag = 1..max_lag — the sample
+    autocorrelation function of an integer-indexed series (Box &
+    Jenkins 1970 §2.1): for each lag k, the Pearson correlation between
+    the series and itself shifted by k, over the pairs that exist at
+    both indices. THE seasonality probe on an ops/ingest series — a
+    weekly cadence shows up as a peak at lag 7 before any human looks
+    at a chart. Gaps in the index are handled identically in both
+    engines (a missing index simply forms no pair).
+
+    Per-lag Pearson (not the fixed-global-mean variant): each lag uses
+    the means of the overlapping windows — the formulation that is an
+    exact integer computation when the series values are counts.
+    Exactness: n/Σx/Σy/Σxy/Σx²/Σy² per lag are exact BIGINTs
+    (``sxy`` is the hash anchor); ``acf`` is one identical few-op
+    double expression over them, rounded 6 dp. int64 bound: Σxy ≤
+    n·max(v)² — a daily-count series overflows only past ~3e9 total
+    rows per day-pair, far beyond any fixture.
+
+    Plan: the lag grid (≤ max_lag rows) broadcasts; the shifted pairing
+    is ONE shuffle equi-join of the series with itself on
+    ``idx = idx + lag`` (the grid fan-out multiplies the probe side by
+    max_lag BEFORE the join, so the join stays a plain hash/sort-merge
+    equi-join); one |lags|-row reduce. No window, no cross product."""
+    spark = df.sparkSession
+    d = df.select(
+        F.col(idx_col).cast("long").alias("i"),
+        F.col(value_col).cast("long").alias("x"),
+    ).filter(F.col("i").isNotNull() & F.col("x").isNotNull())
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    probe = d.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("i") + F.col("lag")).alias("i"), F.col("x").alias("xl")
+    )
+    j = probe.join(d, "i").select(
+        "lag", F.col("xl").alias("x"), F.col("x").alias("y")
+    )
+    agg = j.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("_syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    dx = nd * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    dy = nd * F.col("_syy").cast("double") - F.col("_sy").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        "sxy",
+        F.when((dx > 0) & (dy > 0), F.round(num / F.sqrt(dx * dy), 6)).alias(
+            "acf"
+        ),
+    )
+
+
+def lag_crosscorr(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    idx_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """``(lag, n_pairs, sxy, ccf)`` for lag = −max_lag..+max_lag — the
+    sample cross-correlation function between two integer-indexed
+    series: at lag k, the Pearson correlation of ``a_t`` with
+    ``b_{t+k}`` over the indices present in both (the lead/lag probe —
+    a peak at k > 0 means a LEADS b by k steps; lag 0 is plain
+    same-day correlation). The directional companion to
+    :func:`lag_autocorr`; same exactness contract (per-lag
+    n/Σx/Σy/Σxy/Σx²/Σy² exact BIGINTs, ``sxy`` the hash anchor, the
+    Pearson one identical few-op double expression, 6 dp) and the same
+    plan shape: the (2·max_lag+1)-row lag grid broadcasts onto the
+    probe side BEFORE one keyed equi-join with the other series — no
+    window, no cross product."""
+    spark = df_a.sparkSession
+
+    def side(df):
+        return df.select(
+            F.col(idx_col).cast("long").alias("i"),
+            F.col(value_col).cast("long").alias("x"),
+        ).filter(F.col("i").isNotNull() & F.col("x").isNotNull())
+
+    a, b = side(df_a), side(df_b)
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").alias("lag")
+    )
+    probe = a.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("i") + F.col("lag")).alias("i"), F.col("x").alias("xl")
+    )
+    j = probe.join(b, "i").select(
+        "lag", F.col("xl").alias("x"), F.col("x").alias("y")
+    )
+    agg = j.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("_syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    dx = nd * F.col("_sxx").cast("double") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx").cast("double")
+    dy = nd * F.col("_syy").cast("double") - F.col("_sy").cast(
+        "double"
+    ) * F.col("_sy").cast("double")
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        "sxy",
+        F.when((dx > 0) & (dy > 0), F.round(num / F.sqrt(dx * dy), 6)).alias(
+            "ccf"
+        ),
+    )
+
+
+def logrank_test(
+    events: DataFrame,
+    group_flag,
+    event_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    round_dp: int = 6,
+) -> DataFrame:
+    """1-row ``(n_1, n_2, events_1, events_2, expected_1, var_sum,
+    chi2)`` — the two-sample log-rank test (Mantel 1966; Peto & Peto
+    1972): does cohort 1 experience the event at a different RATE than
+    cohort 2, with right-censoring handled exactly as
+    :func:`kaplan_meier` does (two KM curves say WHAT the difference
+    looks like; the log-rank says whether it is signal). ``group_flag``
+    is a boolean Column over the per-user frame's ``uid`` column
+    (cohort 1 = true). Same enrollment contract as ``kaplan_meier``:
+    first event of any type enrolls, first ``event_type`` is the
+    event, last activity censors.
+
+    At each duration t with ``d_t`` pooled events: expected cohort-1
+    events ``e1_t = d_t·n1_t/n_t`` and the hypergeometric variance
+    ``v_t = d_t·(n1_t/n_t)·(n2_t/n_t)·(n_t−d_t)/(n_t−1)`` (skipped
+    when ``n_t = 1``); ``chi2 = (O1 − E1)² / Σv_t``, ~χ²(1) under the
+    null. Exactness: all at-risk/event counts per duration are exact
+    BIGINTs off ONE shared prefix pass (the KM engine —
+    :func:`relational.range_prefix_sums`, no global window); O1 is an
+    exact BIGINT; E1/var/chi2 are sums of identical few-op double
+    terms over those integers (summation-order jitter ~1e-16 vs the
+    rounding quantum), rounded. NULL chi2 when Σv = 0 (no pooled
+    event ever at risk in both cohorts)."""
+    from sna_pyspark_graphframes_spark.operators.relational import (
+        range_prefix_sums,
+    )
+
+    per_user = events.groupBy(F.col(user_col).alias("uid")).agg(
+        F.min(ts_col).alias("enroll"),
+        F.min(
+            F.when(F.col(type_col) == event_type, F.col(ts_col))
+        ).alias("ev_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    dur = per_user.select(
+        F.datediff(
+            F.coalesce("ev_ts", "last_ts"), F.col("enroll")
+        ).alias("t"),
+        F.col("ev_ts").isNotNull().cast("long").alias("e"),
+        group_flag.cast("long").alias("g1"),
+    ).filter(F.col("g1").isNotNull())
+    g = dur.groupBy("t").agg(
+        F.sum(F.col("e") * F.col("g1")).cast("long").alias("d1"),
+        F.sum(F.col("e") * (1 - F.col("g1"))).cast("long").alias("d2"),
+        F.sum(F.col("g1")).cast("long").alias("dc1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("dc2"),
+    )
+    cum, totals = range_prefix_sums(g, "t", ["dc1", "dc2"])
+    n1_tot, n2_tot = totals.get("dc1", 0), totals.get("dc2", 0)
+    spark = events.sparkSession
+    if n1_tot + n2_tot == 0:
+        return spark.createDataFrame(
+            [],
+            "n_1 long, n_2 long, events_1 long, events_2 long,"
+            " expected_1 double, var_sum double, chi2 double",
+        )
+    n1r = (F.lit(n1_tot) - F.col("cum_dc1") + F.col("dc1")).cast("double")
+    n2r = (F.lit(n2_tot) - F.col("cum_dc2") + F.col("dc2")).cast("double")
+    nr = n1r + n2r
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    e1 = d * n1r / nr
+    v = (
+        d
+        * (n1r / nr)
+        * (n2r / nr)
+        * (nr - d)
+        / (nr - 1)
+    )
+    agg = cum.agg(
+        F.sum("d1").cast("long").alias("events_1"),
+        F.sum("d2").cast("long").alias("events_2"),
+        F.sum(F.when(d > 0, e1).otherwise(F.lit(0.0))).alias("_e1"),
+        F.sum(
+            F.when((d > 0) & (nr > 1), v).otherwise(F.lit(0.0))
+        ).alias("_v"),
+    )
+    o_minus_e = F.col("events_1").cast("double") - F.col("_e1")
+    return agg.select(
+        F.lit(n1_tot).cast("long").alias("n_1"),
+        F.lit(n2_tot).cast("long").alias("n_2"),
+        "events_1",
+        "events_2",
+        F.round(F.col("_e1"), 4).alias("expected_1"),
+        F.round(F.col("_v"), 4).alias("var_sum"),
+        F.when(
+            F.col("_v") > 0,
+            F.round(o_minus_e * o_minus_e / F.col("_v"), round_dp),
+        ).alias("chi2"),
+    )

@@ -8747,6 +8747,693 @@ def q_token_kl_drift(spark, sf_dir):
     )
 
 
+@register(
+    "welch_price_returnflag",
+    """
+    WITH d AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem
+               WHERE l_extendedprice IS NOT NULL
+                 AND l_returnflag IN ('A', 'N')),
+    s AS (SELECT CAST(COUNT(CASE WHEN g = 'A' THEN v END) AS BIGINT) AS n_a,
+                 CAST(COUNT(CASE WHEN g = 'N' THEN v END) AS BIGINT) AS n_b,
+                 SUM(CASE WHEN g = 'A' THEN v END) AS sa1,
+                 SUM(CASE WHEN g = 'A' THEN v * v END) AS sa2,
+                 SUM(CASE WHEN g = 'N' THEN v END) AS sb1,
+                 SUM(CASE WHEN g = 'N' THEN v * v END) AS sb2
+          FROM d)
+    SELECT n_a, n_b,
+           ROUND(sa1 / CAST(n_a AS DOUBLE), 4) AS mean_a,
+           ROUND(sb1 / CAST(n_b AS DOUBLE), 4) AS mean_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2
+                 AND ((sa2 - sa1 * sa1 / CAST(n_a AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) - 1)) / CAST(n_a AS DOUBLE)
+                   + ((sb2 - sb1 * sb1 / CAST(n_b AS DOUBLE))
+                      / (CAST(n_b AS DOUBLE) - 1)) / CAST(n_b AS DOUBLE) > 0
+                THEN ROUND((sa1 / CAST(n_a AS DOUBLE)
+                            - sb1 / CAST(n_b AS DOUBLE))
+                           / SQRT(((sa2 - sa1 * sa1 / CAST(n_a AS DOUBLE))
+                                   / (CAST(n_a AS DOUBLE) - 1))
+                                  / CAST(n_a AS DOUBLE)
+                                  + ((sb2 - sb1 * sb1 / CAST(n_b AS DOUBLE))
+                                     / (CAST(n_b AS DOUBLE) - 1))
+                                  / CAST(n_b AS DOUBLE)), 4)
+           END AS t_stat,
+           CASE WHEN n_a >= 2 AND n_b >= 2
+                 AND ((sa2 - sa1 * sa1 / CAST(n_a AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) - 1)) / CAST(n_a AS DOUBLE)
+                   + ((sb2 - sb1 * sb1 / CAST(n_b AS DOUBLE))
+                      / (CAST(n_b AS DOUBLE) - 1)) / CAST(n_b AS DOUBLE) > 0
+                THEN ROUND((((sa2 - sa1 * sa1 / CAST(n_a AS DOUBLE))
+                             / (CAST(n_a AS DOUBLE) - 1))
+                            / CAST(n_a AS DOUBLE)
+                            + ((sb2 - sb1 * sb1 / CAST(n_b AS DOUBLE))
+                               / (CAST(n_b AS DOUBLE) - 1))
+                            / CAST(n_b AS DOUBLE))
+                           * (((sa2 - sa1 * sa1 / CAST(n_a AS DOUBLE))
+                               / (CAST(n_a AS DOUBLE) - 1))
+                              / CAST(n_a AS DOUBLE)
+                              + ((sb2 - sb1 * sb1 / CAST(n_b AS DOUBLE))
+                                 / (CAST(n_b AS DOUBLE) - 1))
+                              / CAST(n_b AS DOUBLE))
+                           / ((((sa2 - sa1 * sa1 / CAST(n_a AS DOUBLE))
+                                / (CAST(n_a AS DOUBLE) - 1))
+                               / CAST(n_a AS DOUBLE))
+                              * (((sa2 - sa1 * sa1 / CAST(n_a AS DOUBLE))
+                                  / (CAST(n_a AS DOUBLE) - 1))
+                                 / CAST(n_a AS DOUBLE))
+                              / (CAST(n_a AS DOUBLE) - 1)
+                              + (((sb2 - sb1 * sb1 / CAST(n_b AS DOUBLE))
+                                  / (CAST(n_b AS DOUBLE) - 1))
+                                 / CAST(n_b AS DOUBLE))
+                              * (((sb2 - sb1 * sb1 / CAST(n_b AS DOUBLE))
+                                  / (CAST(n_b AS DOUBLE) - 1))
+                                 / CAST(n_b AS DOUBLE))
+                              / (CAST(n_b AS DOUBLE) - 1)), 2)
+           END AS df_welch
+    FROM s
+    """,
+)
+def q_welch_price_returnflag(spark, sf_dir):
+    """Welch's unequal-variance t-test of extendedprice between the
+    returned ('A') and non-returned ('N') lineitem slices
+    (``relational.welch_ttest``) — the parametric member of the drift
+    family beside ``ks_price_drift`` (nonparametric) and
+    ``psi_price_drift`` (bucketed): "did the MEAN move, on a
+    significance scale". Exact BIGINT counts are the hash anchors;
+    means/t/df are the identical few-op double expressions over
+    explicit SUM / SUM-of-squares aggregates in both engines (never
+    engine ``stddev`` — the ``zscore_normalize`` contract), rounded
+    4/4/2 dp. ONE scan, conditional aggregation, a 1-row reduce."""
+    return relational.welch_ttest(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_returnflag",
+        "A",
+        "N",
+    )
+
+
+@register(
+    "spearman_qty_price",
+    """
+    WITH d AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+               WHERE l_quantity IS NOT NULL
+                 AND l_extendedprice IS NOT NULL),
+    gx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+    rx AS (SELECT v, CAST(2 * SUM(c) OVER (ORDER BY v) - c + 1 AS BIGINT)
+                     AS r2 FROM gx),
+    gy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+    ry AS (SELECT v, CAST(2 * SUM(c) OVER (ORDER BY v) - c + 1 AS BIGINT)
+                     AS r2 FROM gy),
+    j AS (SELECT rx.r2 AS a, ry.r2 AS b
+          FROM d JOIN rx ON d.x = rx.v JOIN ry ON d.y = ry.v),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a) AS BIGINT) AS sx,
+                 CAST(SUM(b) AS BIGINT) AS sy,
+                 CAST(SUM(a * b) AS BIGINT) AS srxy2,
+                 CAST(SUM(a * a) AS BIGINT) AS sxx,
+                 CAST(SUM(b * b) AS BIGINT) AS syy
+          FROM j)
+    SELECT n, srxy2,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(srxy2 AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6)
+           END AS spearman
+    FROM s
+    """,
+)
+def q_spearman_qty_price(spark, sf_dir):
+    """Spearman rank correlation between lineitem quantity and
+    extendedprice (``relational.spearman_corr``) — the monotone-
+    association feature screen. On THIS synthetic fixture the columns
+    are independent by construction, so the correct answer is ρ_s ≈ 0
+    (measured 0.0036 at sf0.01) — the negative control of the stats
+    family, the same way the A-vs-N drift pairs correctly measure "no
+    drift"; ``stump_doc_length`` is the planted-signal counterpart.
+    The statistic still exercises the full machinery: 60k–600k rows,
+    ~50 massive tie groups on the quantity side.
+    HARD oracle on exact integers: tie-averaged ranks are DOUBLED into
+    exact BIGINTs (``avg_rank2`` — the distributed prefix-sum engine,
+    no global window), all six sufficient statistics are exact BIGINT
+    sums (``srxy2`` is the hash anchor), and ρ_s is one identical
+    few-op double expression both engines round at 6 dp."""
+    return relational.spearman_corr(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "mannwhitney_price_flag",
+    """
+    WITH d AS (SELECT l_extendedprice AS v, (l_returnflag = 'A') AS a
+               FROM lineitem
+               WHERE l_extendedprice IS NOT NULL
+                 AND l_returnflag IN ('A', 'N')),
+    g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+    r AS (SELECT v, CAST(2 * SUM(c) OVER (ORDER BY v) - c + 1 AS BIGINT)
+                    AS r2,
+                 c * c * c - c AS t3
+          FROM g),
+    t AS (SELECT CAST(COALESCE(SUM(t3), 0) AS BIGINT) AS tie_sum FROM r),
+    j AS (SELECT d.a, r.r2 FROM d JOIN r ON d.v = r.v),
+    s AS (SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN a THEN r2 END) AS BIGINT) AS r2a
+          FROM j)
+    SELECT n_a, n_b,
+           CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           tie_sum,
+           CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+           CASE WHEN n_a >= 1 AND n_b >= 1
+                 AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                     * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                        - CAST(tie_sum AS DOUBLE)
+                          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                             * (CAST(n_a AS DOUBLE)
+                                + CAST(n_b AS DOUBLE) - 1))) > 0
+                THEN ROUND((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+                            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                              / 2.0)
+                           / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                                  / 12.0
+                                  * ((CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE) + 1)
+                                     - CAST(tie_sum AS DOUBLE)
+                                       / ((CAST(n_a AS DOUBLE)
+                                           + CAST(n_b AS DOUBLE))
+                                          * (CAST(n_a AS DOUBLE)
+                                             + CAST(n_b AS DOUBLE) - 1)))),
+                           6)
+           END AS z
+    FROM s, t
+    """,
+)
+def q_mannwhitney_price_flag(spark, sf_dir):
+    """Mann–Whitney U test of extendedprice between the 'A' and 'N'
+    returnflag slices (``relational.mann_whitney_u``) — the
+    nonparametric location test beside ``welch_price_returnflag``
+    (same two slices, rank-based instead of mean-based: a heavy-tailed
+    price column can't fake this one out). ``u2_a = 2·U_A`` and the
+    tie term ``Σ(t³−t)`` are exact BIGINT hash anchors off the shared
+    doubled-rank engine (``avg_rank2``, distributed prefix sums — no
+    global window); z is the tie-corrected normal approximation as one
+    identical few-op double expression, 6 dp."""
+    return relational.mann_whitney_u(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_returnflag",
+        "A",
+        "N",
+    )
+
+
+@register(
+    "event_daily_acf",
+    """
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+    p AS (SELECT l.lag, a.c AS x, b.c AS y
+          FROM daily a JOIN l ON TRUE
+          JOIN daily b ON b.day = a.day + l.lag),
+    s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM p GROUP BY 1)
+    SELECT CAST(lag AS INT) AS lag, n_pairs, sxy,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / SQRT((CAST(n_pairs AS DOUBLE)
+                                   * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                  * (CAST(n_pairs AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6)
+           END AS acf
+    FROM s
+    """,
+)
+def q_event_daily_acf(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily event-count series
+    (``temporal.lag_autocorr``) — the seasonality probe of the ingest-
+    cadence family (``event_rate_anomaly`` flags a single bad window;
+    ``event_interevent_burstiness`` scores process burstiness; this one
+    finds the weekly cycle as a lag-7 peak). Daily counts are exact
+    BIGINTs; per-lag n/Σx/Σy/Σxy/Σx²/Σy² are exact BIGINT sums
+    (``sxy`` hashes); the per-lag Pearson is one identical few-op
+    double expression, 6 dp. Plan: the ≤7-row lag grid broadcasts,
+    the shift is ONE hash equi-join of the series with itself."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    return temporal.lag_autocorr(daily, "day", "cnt", max_lag=7)
+
+
+@register(
+    "stump_doc_length",
+    r"""
+    WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+                      CASE WHEN LEN(regexp_extract_all(text,
+                               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) >= 56
+                           THEN 1 ELSE 0 END AS y
+               FROM documents
+               WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+    g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(y) AS BIGINT) AS p
+          FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS pos
+          FROM g),
+    cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS nl,
+                   CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS pl
+            FROM g),
+    sc AS (
+        SELECT cum.v, nl, pl,
+               CAST(t.n - nl AS BIGINT) AS nr,
+               CAST(t.pos - pl AS BIGINT) AS pr,
+               (CAST(nl AS DOUBLE)
+                - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+                   + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE))
+                  / CAST(nl AS DOUBLE))
+               + (CAST(t.n - nl AS DOUBLE)
+                  - (CAST(t.pos - pl AS DOUBLE) * CAST(t.pos - pl AS DOUBLE)
+                     + CAST((t.n - nl) - (t.pos - pl) AS DOUBLE)
+                       * CAST((t.n - nl) - (t.pos - pl) AS DOUBLE))
+                    / CAST(t.n - nl AS DOUBLE)) AS w
+        FROM cum, t WHERE nl < t.n
+    )
+    SELECT CAST(sc.v AS DOUBLE) AS threshold,
+           nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+           ROUND(((CAST(t.n AS DOUBLE)
+                   - (CAST(t.pos AS DOUBLE) * CAST(t.pos AS DOUBLE)
+                      + CAST(t.n - t.pos AS DOUBLE)
+                        * CAST(t.n - t.pos AS DOUBLE))
+                     / CAST(t.n AS DOUBLE)) - w)
+                 / CAST(t.n AS DOUBLE), 6) AS gini_gain
+    FROM sc, t ORDER BY w, threshold LIMIT 1
+    """,
+)
+def q_stump_doc_length(spark, sf_dir):
+    """Exact best decision stump predicting "long document" (token
+    count ≥ 56, the sf0.01 median) from the n_chars metadata column
+    (``ml.decision_stump``) — the depth-1 CART split a curation
+    pipeline extracts as its strongest single-feature filter rule
+    ("keep documents with n_chars ≤ t"), and the per-round primitive
+    of a boosting loop. chars and tokens are ~0.998-correlated on this
+    corpus, so the learned split carries REAL signal (measured gini
+    gain ≈ 0.46 at sf0.01 — a near-perfect rule; contrast the
+    independence-control stats pairs on the synthetic price columns).
+    HARD oracle: exact BIGINT left/right class counts off the
+    distinct-value grid (shared prefix-sum engine, no global window);
+    the weighted Gini and the (impurity, threshold) argmin are
+    identical few-op double expressions — the same candidate wins in
+    both engines, with the smallest-threshold tie-break; TakeOrdered
+    top-1, never a driver scan."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    return fml.decision_stump(
+        docs.select(
+            F.col("n_chars").cast("double").alias("len_chars"),
+            ftext.token_count(F.col("text")).cast("long").alias("toks"),
+        ),
+        "len_chars",
+        F.col("toks") >= 56,
+    )
+
+
+@register(
+    "lang_source_cramers_v",
+    """
+    WITH cells AS (SELECT lang AS x, source AS y,
+                          CAST(COUNT(*) AS BIGINT) AS cxy
+                   FROM documents
+                   WHERE lang IS NOT NULL AND source IS NOT NULL
+                   GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells GROUP BY y),
+    tot AS (SELECT CAST(COALESCE(SUM(cxy), 0) AS BIGINT) AS n,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM mx) AS r,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM my) AS c
+            FROM cells),
+    fgrid AS (SELECT mx.x, my.y, mx.cx, my.cy,
+                     CAST(COALESCE(cells.cxy, 0) AS BIGINT) AS cxy
+              FROM mx CROSS JOIN my
+              LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y),
+    x2 AS (SELECT SUM((CAST(cxy AS DOUBLE)
+                       - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      * (CAST(cxy AS DOUBLE)
+                         - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                      / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)
+                         / CAST(n AS DOUBLE))) AS chi2_raw
+           FROM fgrid CROSS JOIN (SELECT n FROM tot) t)
+    SELECT n, r, c,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           CASE WHEN n > 0
+                THEN ROUND(COALESCE(chi2_raw, 0.0), 4) END AS chi2,
+           CASE WHEN n > 0 AND LEAST(r, c) - 1 > 0
+                THEN ROUND(SQRT(COALESCE(chi2_raw, 0.0)
+                                / (CAST(n AS DOUBLE)
+                                   * CAST(LEAST(r, c) - 1 AS DOUBLE))), 6)
+           END AS cramers_v
+    FROM tot CROSS JOIN x2
+    """,
+)
+def q_lang_source_cramers_v(spark, sf_dir):
+    """Pearson χ² independence test + Cramér's V between the documents'
+    language and source columns (``ml.chi2_independence``) — the
+    significance-scaled companion to ``mi_lang_source`` on the SAME
+    exact contingency table (MI gives shared nats; V gives a fixed
+    [0,1] effect size — a mixture designer reads both before calling a
+    metadata column redundant). HARD oracle: exact BIGINT n/r/c/dof
+    anchors; χ² is the identical per-cell ``(o−e)²/e`` double
+    expression summed over |langs|·|sources| cells (~1e-16 jitter vs
+    the 4-dp quantum), V one further division+sqrt at 6 dp."""
+    return fml.chi2_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@register(
+    "order_daily_cusum",
+    """
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS idx,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM daily),
+    cum AS (
+        SELECT idx,
+               CAST(SUM(x) OVER (ORDER BY idx) AS BIGINT) AS cum_x,
+               CAST(COUNT(*) OVER (ORDER BY idx) AS BIGINT) AS tt
+        FROM daily
+    ),
+    scored AS (
+        SELECT tt AS t_star, CAST(idx AS BIGINT) AS idx_star,
+               CAST(ABS(t.n * cum_x - tt * t.sx) AS BIGINT) AS cusum_num
+        FROM cum, t
+    ),
+    best AS (SELECT * FROM scored ORDER BY cusum_num DESC, t_star ASC
+             LIMIT 1)
+    SELECT t.n, t.sx AS sum_x, b.t_star, b.idx_star, b.cusum_num,
+           ROUND(CAST(b.cusum_num AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+               AS cusum,
+           ROUND(CAST(b.cusum_num AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE)
+                    * SQRT((CAST(t.sxx AS DOUBLE)
+                            - CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE)
+                              / CAST(t.n AS DOUBLE))
+                           / (CAST(t.n AS DOUBLE) - 1))
+                    * SQRT(CAST(t.n AS DOUBLE))), 6) AS z
+    FROM best b, t
+    """,
+)
+def q_order_daily_cusum(spark, sf_dir):
+    """Offline CUSUM change-point scan of the daily order-count series
+    (``relational.cusum_changepoint``) — "WHEN did the level shift":
+    the sequential member of the drift family (KS/PSI/Welch need the
+    split point given; CUSUM finds it as argmax|S_t|). The TPC-H order
+    stream is stationary by construction, so a small normalized z is
+    the correct read — the probe's value is the exact argmax machinery.
+    HARD oracle: ``cusum_num = max_t |n·cum_x − t·Σx|`` is an exact
+    BIGINT off the shared prefix-sum engine (no global window in
+    Spark; the twin uses a plain ordered window), argmax tie-breaks to
+    smallest t in both engines, and cusum/z are identical few-op
+    double expressions over exact integer moments."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    return relational.cusum_changepoint(daily, "day", "cnt")
+
+
+@register(
+    "benford_totalprice",
+    """
+    WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    d AS (SELECT CAST(LEFT(CAST(cents AS VARCHAR), 1) AS INT) AS digit,
+                 CAST(COUNT(*) AS BIGINT) AS observed
+          FROM v WHERE cents > 0 GROUP BY 1),
+    t AS (SELECT CAST(COALESCE(SUM(observed), 0) AS BIGINT) AS n FROM d),
+    g AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10))
+    SELECT g.digit,
+           CAST(COALESCE(d.observed, 0) AS BIGINT) AS observed,
+           t.n,
+           ROUND(LOG10(1 + 1 / CAST(g.digit AS DOUBLE)), 6) AS expected_p,
+           CASE WHEN t.n > 0
+                THEN ROUND(CAST(COALESCE(d.observed, 0) AS DOUBLE)
+                           / CAST(t.n AS DOUBLE), 6) END AS observed_p,
+           CASE WHEN t.n > 0
+                THEN ROUND((CAST(COALESCE(d.observed, 0) AS DOUBLE)
+                            - CAST(t.n AS DOUBLE)
+                              * LOG10(1 + 1 / CAST(g.digit AS DOUBLE)))
+                           * (CAST(COALESCE(d.observed, 0) AS DOUBLE)
+                              - CAST(t.n AS DOUBLE)
+                                * LOG10(1 + 1 / CAST(g.digit AS DOUBLE)))
+                           / (CAST(t.n AS DOUBLE)
+                              * LOG10(1 + 1 / CAST(g.digit AS DOUBLE))), 4)
+           END AS chi2_term
+    FROM g LEFT JOIN d USING (digit) CROSS JOIN t
+    """,
+)
+def q_benford_totalprice(spark, sf_dir):
+    """First-significant-digit audit of o_totalprice against Benford's
+    law (``relational.benford_digits``) — the forensic screen on a
+    ledger column: TPC-H totalprice is uniform on a bounded range, NOT
+    Benford, so large per-digit χ² terms are the correct read (the
+    audit fires, localizing which digits are off — the
+    negative-control mirror of ``stump_doc_length``'s planted signal).
+    HARD oracle: the leading digit comes from the exact integer cents'
+    decimal STRING in both engines (round(price·100) — never a
+    log10/power extraction on doubles, which can misround at decade
+    boundaries); observed/n are exact BIGINT anchors and the three
+    derived columns identical few-op double expressions. All 9 digit
+    rows always emit via the broadcast grid."""
+    return relational.benford_digits(
+        _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull()),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+    )
+
+
+@register(
+    "doc_flesch",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS n_words,
+           CAST(GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(LEN(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+           CASE WHEN LEN(regexp_extract_all(text, '[A-Za-z]+')) > 0
+                THEN ROUND(206.835
+                           - 1.015
+                             * (CAST(LEN(regexp_extract_all(text,
+                                         '[A-Za-z]+')) AS DOUBLE)
+                                / CAST(GREATEST(LEN(regexp_extract_all(
+                                          text, '[.!?]+')), 1) AS DOUBLE))
+                           - 84.6
+                             * (CAST(LEN(regexp_extract_all(lower(text),
+                                         '[aeiouy]+')) AS DOUBLE)
+                                / CAST(LEN(regexp_extract_all(text,
+                                           '[A-Za-z]+')) AS DOUBLE)), 4)
+           END AS flesch
+    FROM documents
+    """,
+)
+def q_doc_flesch(spark, sf_dir):
+    """Flesch Reading Ease per document (``text.flesch_features``) —
+    the classic readability screen beside the Gopher quality signals
+    (Flesch 1948): word/sentence/vowel-group counts as exact anchored
+    regex integers (the ``token_count`` recipe), the score one few-op
+    double expression at 4 dp. Sentences floor at 1 so fragments score
+    instead of dividing by zero; NULL flesch only when a document has
+    no words at all. One scan, pure codegen."""
+    return ftext.flesch_features(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch")
+
+
+@register(
+    "event_click_purchase_ccf",
+    """
+    WITH da AS (
+        SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    db AS (
+        SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
+    p AS (SELECT l.lag, a.c AS x, b.c AS y
+          FROM da a JOIN l ON TRUE
+          JOIN db b ON b.day = a.day + l.lag),
+    s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM p GROUP BY 1)
+    SELECT CAST(lag AS INT) AS lag, n_pairs, sxy,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / SQRT((CAST(n_pairs AS DOUBLE)
+                                   * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                  * (CAST(n_pairs AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6)
+           END AS ccf
+    FROM s
+    """,
+)
+def q_event_click_purchase_ccf(spark, sf_dir):
+    """Cross-correlation of the daily click and purchase count series
+    at lags −7..+7 (``temporal.lag_crosscorr``) — the lead/lag probe
+    ("do clicks LEAD purchases?"). On this synthetic fixture the two
+    streams are independent, so ccf ≈ 0 everywhere is the correct read
+    (negative control; ``event_daily_acf`` is the same machinery
+    pointed at one series). HARD oracle: per-lag moments are exact
+    BIGINT sums (``sxy`` hashes), the Pearson identical few-op
+    doubles; the 15-row lag grid broadcasts and the shift is ONE keyed
+    equi-join."""
+    ev = _t(spark, sf_dir, "events")
+
+    def daily(tp):
+        return (
+            ev.filter(F.col("event_type") == tp)
+            .groupBy(
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                ).alias("day")
+            )
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    return temporal.lag_crosscorr(
+        daily("click"), daily("purchase"), "day", "cnt", max_lag=7
+    )
+
+
+@register(
+    "logrank_purchase_parity",
+    """
+    WITH pu AS (
+        SELECT user_id, MIN(ts) AS enroll,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS ev_ts,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ),
+    dd AS (
+        SELECT DATE_DIFF('day', CAST(enroll AS DATE),
+                         CAST(COALESCE(ev_ts, last_ts) AS DATE)) AS t,
+               CASE WHEN ev_ts IS NOT NULL THEN 1 ELSE 0 END AS e,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1
+        FROM pu
+    ),
+    g AS (SELECT t,
+                 CAST(SUM(e * g1) AS BIGINT) AS d1,
+                 CAST(SUM(e * (1 - g1)) AS BIGINT) AS d2,
+                 CAST(SUM(g1) AS BIGINT) AS dc1,
+                 CAST(SUM(1 - g1) AS BIGINT) AS dc2
+          FROM dd GROUP BY 1),
+    tot AS (SELECT CAST(SUM(dc1) AS BIGINT) AS n1,
+                   CAST(SUM(dc2) AS BIGINT) AS n2 FROM g),
+    r AS (
+        SELECT d1, d2,
+               CAST((SELECT n1 FROM tot)
+                    - SUM(dc1) OVER (ORDER BY t) + dc1 AS DOUBLE) AS n1r,
+               CAST((SELECT n2 FROM tot)
+                    - SUM(dc2) OVER (ORDER BY t) + dc2 AS DOUBLE) AS n2r
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS events_1,
+               CAST(SUM(d2) AS BIGINT) AS events_2,
+               SUM(CASE WHEN CAST(d1 + d2 AS DOUBLE) > 0
+                        THEN CAST(d1 + d2 AS DOUBLE) * n1r / (n1r + n2r)
+                        ELSE 0.0 END) AS e1,
+               SUM(CASE WHEN CAST(d1 + d2 AS DOUBLE) > 0
+                             AND n1r + n2r > 1
+                        THEN CAST(d1 + d2 AS DOUBLE)
+                             * (n1r / (n1r + n2r))
+                             * (n2r / (n1r + n2r))
+                             * ((n1r + n2r) - CAST(d1 + d2 AS DOUBLE))
+                             / ((n1r + n2r) - 1)
+                        ELSE 0.0 END) AS v
+        FROM r
+    )
+    SELECT tot.n1 AS n_1, tot.n2 AS n_2, s.events_1, s.events_2,
+           ROUND(s.e1, 4) AS expected_1,
+           ROUND(s.v, 4) AS var_sum,
+           CASE WHEN s.v > 0
+                THEN ROUND((CAST(s.events_1 AS DOUBLE) - s.e1)
+                           * (CAST(s.events_1 AS DOUBLE) - s.e1) / s.v, 6)
+           END AS chi2
+    FROM s, tot
+    """,
+)
+def q_logrank_purchase_parity(spark, sf_dir):
+    """Two-sample log-rank test of time-to-first-purchase between
+    even- and odd-user_id cohorts (``temporal.logrank_test``; Mantel
+    1966) — the hypothesis-test companion to ``km_time_to_purchase``
+    (KM draws the curves; log-rank says whether they differ, with
+    censoring handled identically). The parity split is random by
+    construction, so a small χ² is the correct read (negative
+    control). HARD oracle: per-duration event/at-risk counts are exact
+    BIGINTs off ONE shared prefix pass (the KM engine — no global
+    window in Spark, plain ordered window in the twin); O₁ is an
+    exact BIGINT anchor; E₁/Σv/χ² identical few-op double sums."""
+    return temporal.logrank_test(
+        _t(spark, sf_dir, "events"), F.col("uid") % 2 == 0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #
