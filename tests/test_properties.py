@@ -506,3 +506,174 @@ def test_kaplan_meier_invariants(spark, plan):
     risks = [r.n_risk for r in out]
     assert all(a > b for a, b in zip(risks, risks[1:]))
     assert risks[0] == len(plan)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 40)),
+        min_size=4,
+        max_size=30,
+    ).filter(lambda r: len({g for g, _ in r}) == 2)
+)
+@settings(**SETTINGS)
+def test_mann_whitney_u_sum_identity(spark, rows):
+    """U_a + U_b = n_a * n_b exactly (the textbook identity), for any
+    data with any tie structure — and the tie term matches the brute
+    count."""
+    from collections import Counter
+
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [("a" if g else "b", float(v)) for g, v in rows],
+        "g string, v double",
+    )
+    ra = relational.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    rb = relational.mann_whitney_u(df, "v", "g", "b", "a").collect()[0]
+    assert ra.u2_a + rb.u2_a == 2 * ra.n_a * ra.n_b
+    ties = Counter(v for _, v in rows)
+    assert ra.tie_sum == sum(t**3 - t for t in ties.values())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=3,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_spearman_bounds_and_monotone_map_invariance(spark, rows):
+    """ρ_s ∈ [−1, 1]; applying a strictly increasing map to either
+    column leaves it EXACTLY unchanged (ranks are invariant), and
+    swapping the columns leaves it unchanged (symmetry)."""
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in rows], "x double, y double"
+    )
+    r = relational.spearman_corr(df, "x", "y").collect()[0]
+    if r.spearman is not None:
+        assert -1.0 <= r.spearman <= 1.0
+    mapped = df.select(
+        (F.col("x") * 3 + 7).alias("x"), F.exp(F.col("y")).alias("y")
+    )
+    rm = relational.spearman_corr(mapped, "x", "y").collect()[0]
+    assert rm.spearman == r.spearman and rm.srxy2 == r.srxy2
+    rs = relational.spearman_corr(df, "y", "x").collect()[0]
+    assert rs.spearman == r.spearman
+
+
+@given(
+    xs=st.lists(st.integers(0, 25), min_size=2, max_size=30),
+    shift=st.integers(-5, 5),
+)
+@settings(**SETTINGS)
+def test_cusum_shift_invariance_exact(spark, xs, shift):
+    """Adding a constant c to every series value leaves the CUSUM
+    statistic and its argmax EXACTLY unchanged: n·cum_x grows by
+    n·t·c and t·Σx by t·n·c — the integer reshape cancels them
+    bit-for-bit, not approximately."""
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    base = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i long, x long"
+    )
+    shifted = base.select("i", (F.col("x") + shift).alias("x"))
+    a = relational.cusum_changepoint(base, "i", "x").collect()[0]
+    b = relational.cusum_changepoint(shifted, "i", "x").collect()[0]
+    assert (a.cusum_num, a.t_star, a.idx_star) == (
+        b.cusum_num,
+        b.t_star,
+        b.idx_star,
+    )
+
+
+@given(vals=st.lists(st.integers(1, 10**9), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_benford_partition_of_unity(spark, vals):
+    """The 9 digit rows always partition the input: Σ observed = n,
+    every positive value lands in exactly one digit class, and the
+    expected probabilities sum to 1 (log10 telescoping)."""
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = relational.benford_digits(df, "v").collect()
+    assert len(out) == 9
+    assert sum(r.observed for r in out) == len(vals)
+    assert sum(r.observed for r in out if str(abs(vals[0]))[0] == str(r.digit)) >= 0
+    assert abs(sum(r.expected_p for r in out) - 1.0) < 1e-4
+    brute = {d: 0 for d in range(1, 10)}
+    for v in vals:
+        brute[int(str(v)[0])] += 1
+    assert {r.digit: r.observed for r in out} == brute
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 15)),
+        min_size=4,
+        max_size=30,
+    ).filter(
+        lambda r: len({g for g, _ in r}) == 2
+        and min(sum(1 for g, _ in r if g == k) for k in (0, 1)) >= 2
+    )
+)
+@settings(**SETTINGS)
+def test_welch_antisymmetry_and_scale(spark, rows):
+    """Swapping the groups flips t's sign exactly (same |t|, same df);
+    t is invariant under adding a constant to every value."""
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [("a" if g else "b", float(v)) for g, v in rows],
+        "g string, v double",
+    )
+    r1 = relational.welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    r2 = relational.welch_ttest(df, "v", "g", "b", "a").collect()[0]
+    if r1.t_stat is not None:
+        assert abs(r1.t_stat + r2.t_stat) <= 1e-4
+        assert r1.df_welch == r2.df_welch
+    shifted = df.select("g", (F.col("v") + 100).alias("v"))
+    r3 = relational.welch_ttest(shifted, "v", "g", "a", "b").collect()[0]
+    if r1.t_stat is not None:
+        assert abs(r1.t_stat - r3.t_stat) <= 1e-3
+
+
+@given(
+    plan=st.lists(
+        st.tuples(
+            st.integers(0, 1),   # cohort
+            st.integers(0, 6),   # duration days
+            st.booleans(),       # converted?
+        ),
+        min_size=2,
+        max_size=16,
+    ).filter(lambda r: len({c for c, _, _ in r}) == 2)
+)
+@settings(**SETTINGS)
+def test_logrank_cohort_swap_symmetry(spark, plan):
+    """Swapping the cohort labels leaves χ² (and Σv) unchanged:
+    O₂ − E₂ = −(O₁ − E₁) at every event time, so the squared statistic
+    is cohort-symmetric."""
+    import datetime as dt
+
+    from sna_pyspark_graphframes_spark.operators import temporal
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid, (cohort, days, conv) in enumerate(plan):
+        u = uid * 2 + cohort  # parity encodes the cohort
+        rows.append((u, "view", base))
+        rows.append(
+            (u, "purchase" if conv else "view", base + dt.timedelta(days=days))
+        )
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    a = temporal.logrank_test(ev, F.col("uid") % 2 == 0).collect()[0]
+    b = temporal.logrank_test(ev, F.col("uid") % 2 == 1).collect()[0]
+    assert (a.n_1, a.n_2) == (b.n_2, b.n_1)
+    assert a.var_sum == b.var_sum
+    if a.chi2 is not None:
+        assert b.chi2 is not None and abs(a.chi2 - b.chi2) <= 1e-4
