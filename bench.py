@@ -207,6 +207,10 @@ HEADLINE = [
     "doc_flesch",
     "event_click_purchase_ccf",
     "logrank_purchase_parity",
+    # round-14 sixth wave: pre-join data-quality audits and the A/B
+    # rate test.
+    "orders_active_user_audit",
+    "purchase_rate_ztest",
 ]
 
 

@@ -1105,3 +1105,129 @@ def benford_digits(
             "chi2_term"
         ),
     )
+
+
+def fk_integrity_audit(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """1-row ``(n_child, n_child_keys, n_parent_keys, n_orphan_rows,
+    n_orphan_keys, orphan_ratio, max_fanout, avg_fanout)`` — the
+    referential-integrity audit a pipeline runs before trusting a join:
+    how many child rows point at a key absent from the parent
+    (orphans — each one silently drops in an inner join), and how the
+    matched keys fan out (``max_fanout`` is the join-explosion /
+    skew-hot-key bound, ``avg_fanout`` the expected blowup). NULL child
+    keys count as orphan rows (they match nothing in an inner join —
+    the failure mode being audited).
+
+    Exactness: every count is an exact BIGINT (the hash anchors);
+    ``orphan_ratio = n_orphan_rows/n_child`` and ``avg_fanout`` are
+    single divisions off exact integers, rounded. Plan: one child
+    groupBy(key) count (map-side combine), one keyed left join against
+    the DISTINCT parent keys (|keys|-sized, not |parent|-sized), two
+    1-row reduces — never a row-level child×parent join."""
+    ck = F.col(child_key)
+    kids = child.groupBy(ck.alias("k")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    pk = parent.select(F.col(parent_key).alias("k")).filter(
+        F.col("k").isNotNull()
+    ).distinct()
+    n_parent = pk.count()
+    j = kids.join(pk.withColumn("hit", F.lit(1)), "k", "left")
+    agg = j.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_child"),
+        F.count("*").cast("long").alias("n_child_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("hit").isNull() | F.col("k").isNull(), F.col("c"))),
+            F.lit(0),
+        ).cast("long").alias("n_orphan_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("hit").isNull() | F.col("k").isNull(), 1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_orphan_keys"),
+        F.max(F.when(F.col("hit").isNotNull(), F.col("c"))).cast("long").alias(
+            "max_fanout"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("hit").isNotNull(), F.col("c"))), F.lit(0)
+        ).cast("long").alias("_matched_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("hit").isNotNull(), 1)), F.lit(0)
+        ).cast("long").alias("_matched_keys"),
+    )
+    return agg.select(
+        "n_child",
+        "n_child_keys",
+        F.lit(n_parent).cast("long").alias("n_parent_keys"),
+        "n_orphan_rows",
+        "n_orphan_keys",
+        F.when(
+            F.col("n_child") > 0,
+            F.round(
+                F.col("n_orphan_rows").cast("double")
+                / F.col("n_child").cast("double"),
+                round_dp,
+            ),
+        ).alias("orphan_ratio"),
+        "max_fanout",
+        F.when(
+            F.col("_matched_keys") > 0,
+            F.round(
+                F.col("_matched_rows").cast("double")
+                / F.col("_matched_keys").cast("double"),
+                4,
+            ),
+        ).alias("avg_fanout"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    success_flag,
+    group_flag,
+    round_dp: int = 6,
+) -> DataFrame:
+    """1-row ``(n_1, n_2, s_1, s_2, p_1, p_2, z)`` — the two-proportion
+    z-test (pooled standard error): did cohort 1 convert at a different
+    RATE than cohort 2 — the binary-outcome member of the two-sample
+    family (``welch_ttest`` for means, ``mann_whitney_u`` for ranks,
+    this for rates; the A/B-test workhorse).
+    ``z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂))`` with p̂ the pooled
+    rate. ``success_flag``/``group_flag`` are boolean Columns; rows
+    where either is NULL drop. NULL z when a cohort is empty or the
+    pooled rate is degenerate (p̂ ∈ {0, 1}).
+
+    Exactness: n/s counts are exact BIGINTs (the hash anchors);
+    p₁/p₂/z are identical few-op double expressions over them,
+    rounded. ONE conditional-aggregation scan — no join."""
+    s = success_flag.cast("long")
+    g = group_flag.cast("long")
+    d = df.filter(success_flag.isNotNull() & group_flag.isNotNull())
+    agg = d.agg(
+        F.sum(g).cast("long").alias("n_1"),
+        F.sum(1 - g).cast("long").alias("n_2"),
+        F.sum(s * g).cast("long").alias("s_1"),
+        F.sum(s * (1 - g)).cast("long").alias("s_2"),
+    )
+    n1, n2 = F.col("n_1").cast("double"), F.col("n_2").cast("double")
+    s1, s2 = F.col("s_1").cast("double"), F.col("s_2").cast("double")
+    p1, p2 = s1 / n1, s2 / n2
+    pp = (s1 + s2) / (n1 + n2)
+    se2 = pp * (1 - pp) * (1 / n1 + 1 / n2)
+    ok = (F.col("n_1") > 0) & (F.col("n_2") > 0) & (se2 > 0)
+    return agg.select(
+        "n_1",
+        "n_2",
+        "s_1",
+        "s_2",
+        F.when(F.col("n_1") > 0, F.round(p1, round_dp)).alias("p_1"),
+        F.when(F.col("n_2") > 0, F.round(p2, round_dp)).alias("p_2"),
+        F.when(ok, F.round((p1 - p2) / F.sqrt(se2), round_dp)).alias("z"),
+    )

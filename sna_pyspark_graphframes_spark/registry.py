@@ -9434,6 +9434,124 @@ def q_logrank_purchase_parity(spark, sf_dir):
     )
 
 
+@register(
+    "orders_active_user_audit",
+    """
+    WITH kids AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM orders GROUP BY 1),
+    pk AS (SELECT DISTINCT user_id AS k FROM events
+           WHERE user_id IS NOT NULL),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parent FROM pk),
+    j AS (SELECT kids.k, kids.c,
+                 CASE WHEN pk.k IS NOT NULL THEN 1 END AS hit
+          FROM kids LEFT JOIN pk USING (k)),
+    a AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_child,
+                 CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+                 CAST(COALESCE(SUM(CASE WHEN hit IS NULL THEN c END), 0)
+                      AS BIGINT) AS n_orphan_rows,
+                 CAST(COALESCE(SUM(CASE WHEN hit IS NULL THEN 1 END), 0)
+                      AS BIGINT) AS n_orphan_keys,
+                 CAST(MAX(CASE WHEN hit IS NOT NULL THEN c END) AS BIGINT)
+                     AS max_fanout,
+                 CAST(COALESCE(SUM(CASE WHEN hit IS NOT NULL THEN c END), 0)
+                      AS BIGINT) AS mr,
+                 CAST(COALESCE(SUM(CASE WHEN hit IS NOT NULL THEN 1 END), 0)
+                      AS BIGINT) AS mk
+          FROM j)
+    SELECT n_child, n_child_keys,
+           (SELECT n_parent FROM np) AS n_parent_keys,
+           n_orphan_rows, n_orphan_keys,
+           CASE WHEN n_child > 0
+                THEN ROUND(CAST(n_orphan_rows AS DOUBLE)
+                           / CAST(n_child AS DOUBLE), 6) END AS orphan_ratio,
+           max_fanout,
+           CASE WHEN mk > 0
+                THEN ROUND(CAST(mr AS DOUBLE) / CAST(mk AS DOUBLE), 4)
+           END AS avg_fanout
+    FROM a
+    """,
+)
+def q_orders_active_user_audit(spark, sf_dir):
+    """Referential-integrity audit of orders.o_custkey against the
+    EVENT-ACTIVE user set (``relational.fk_integrity_audit``) — "which
+    orders belong to customers the event stream has never seen":
+    joining orders to event-derived features would silently drop ~90%
+    of rows here, and this audit quantifies that BEFORE the join, plus
+    the fan-out bounds (``max_fanout`` = the join-explosion / skew
+    hot-key ceiling). HARD oracle: every count an exact BIGINT off one
+    child groupBy + one keyed left join against DISTINCT parent keys
+    (never |parent| rows); the two ratios single divisions."""
+    return relational.fk_integrity_audit(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        _t(spark, sf_dir, "events"),
+        "user_id",
+    )
+
+
+@register(
+    "purchase_rate_ztest",
+    """
+    WITH d AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                          AS s,
+                      CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+               FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    a AS (SELECT CAST(SUM(g) AS BIGINT) AS n_1,
+                 CAST(SUM(1 - g) AS BIGINT) AS n_2,
+                 CAST(SUM(s * g) AS BIGINT) AS s_1,
+                 CAST(SUM(s * (1 - g)) AS BIGINT) AS s_2
+          FROM d)
+    SELECT n_1, n_2, s_1, s_2,
+           CASE WHEN n_1 > 0
+                THEN ROUND(CAST(s_1 AS DOUBLE) / CAST(n_1 AS DOUBLE), 6)
+           END AS p_1,
+           CASE WHEN n_2 > 0
+                THEN ROUND(CAST(s_2 AS DOUBLE) / CAST(n_2 AS DOUBLE), 6)
+           END AS p_2,
+           CASE WHEN n_1 > 0 AND n_2 > 0
+                 AND (CAST(s_1 AS DOUBLE) + CAST(s_2 AS DOUBLE))
+                     / (CAST(n_1 AS DOUBLE) + CAST(n_2 AS DOUBLE))
+                     * (1 - (CAST(s_1 AS DOUBLE) + CAST(s_2 AS DOUBLE))
+                            / (CAST(n_1 AS DOUBLE) + CAST(n_2 AS DOUBLE)))
+                     * (1 / CAST(n_1 AS DOUBLE) + 1 / CAST(n_2 AS DOUBLE))
+                     > 0
+                THEN ROUND((CAST(s_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+                            - CAST(s_2 AS DOUBLE) / CAST(n_2 AS DOUBLE))
+                           / SQRT((CAST(s_1 AS DOUBLE)
+                                   + CAST(s_2 AS DOUBLE))
+                                  / (CAST(n_1 AS DOUBLE)
+                                     + CAST(n_2 AS DOUBLE))
+                                  * (1 - (CAST(s_1 AS DOUBLE)
+                                          + CAST(s_2 AS DOUBLE))
+                                         / (CAST(n_1 AS DOUBLE)
+                                            + CAST(n_2 AS DOUBLE)))
+                                  * (1 / CAST(n_1 AS DOUBLE)
+                                     + 1 / CAST(n_2 AS DOUBLE))), 6)
+           END AS z
+    FROM a
+    """,
+)
+def q_purchase_rate_ztest(spark, sf_dir):
+    """Two-proportion z-test of the purchase rate between even- and
+    odd-user_id cohorts (``relational.two_proportion_ztest``) — the
+    binary-outcome member of the two-sample family (Welch for means,
+    Mann–Whitney for ranks, log-rank for time-to-event, this for
+    rates: the A/B-test workhorse). The parity split is random — and
+    the measured z = −2.22 at sf0.01 is the textbook cautionary tale:
+    a 1-in-20 random split clears |z| > 1.96, which is exactly why the
+    family ships the test statistic, not a binary verdict. HARD
+    oracle: exact
+    BIGINT n/s counts from ONE conditional-aggregation scan; p₁/p₂/z
+    identical few-op double expressions at 6 dp."""
+    ev = _t(spark, sf_dir, "events")
+    return relational.two_proportion_ztest(
+        ev,
+        F.col("event_type") == "purchase",
+        F.col("user_id") % 2 == 0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #

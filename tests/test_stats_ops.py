@@ -579,3 +579,72 @@ class TestLogrankTest:
         r = temporal.logrank_test(ev, F.col("uid") % 2 == 0).collect()[0]
         # single cohort: every at-risk set is cohort-1-only -> v = 0
         assert r.n_2 == 0 and r.chi2 is None
+
+
+class TestFkIntegrityAudit:
+    def test_hand_computed(self, spark):
+        child = spark.createDataFrame(
+            [(1,), (1,), (1,), (2,), (3,), (3,), (None,)], "k long"
+        )
+        parent = spark.createDataFrame([(1,), (2,), (9,)], "p long")
+        r = relational.fk_integrity_audit(child, "k", parent, "p").collect()[0]
+        assert (r.n_child, r.n_child_keys, r.n_parent_keys) == (7, 4, 3)
+        # orphans: key 3 (2 rows) + NULL key (1 row)
+        assert (r.n_orphan_rows, r.n_orphan_keys) == (3, 2)
+        assert r.orphan_ratio == round(3 / 7, 6)
+        assert r.max_fanout == 3 and r.avg_fanout == 2.0  # keys 1,2 -> 4/2
+
+    def test_clean_fk_zero_orphans(self, spark):
+        child = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+        r = relational.fk_integrity_audit(child, "k", parent, "p").collect()[0]
+        assert r.n_orphan_rows == 0 and r.orphan_ratio == 0.0
+
+    def test_empty_parent_all_orphans(self, spark):
+        child = spark.createDataFrame([(1,), (2,)], "k long")
+        parent = spark.createDataFrame([], "p long")
+        r = relational.fk_integrity_audit(child, "k", parent, "p").collect()[0]
+        assert r.n_parent_keys == 0 and r.orphan_ratio == 1.0
+        assert r.max_fanout is None and r.avg_fanout is None
+
+
+class TestTwoProportionZtest:
+    def test_hand_computed(self, spark):
+        # cohort 1: 3/10 success; cohort 2: 6/20
+        rows = ([(1, 1)] * 3 + [(0, 1)] * 7 + [(1, 0)] * 6 + [(0, 0)] * 14)
+        df = spark.createDataFrame(rows, "s int, g int")
+        r = relational.two_proportion_ztest(
+            df, F.col("s") == 1, F.col("g") == 1
+        ).collect()[0]
+        assert (r.n_1, r.n_2, r.s_1, r.s_2) == (10, 20, 3, 6)
+        p1, p2, pp = 0.3, 0.3, 9 / 30
+        se2 = pp * (1 - pp) * (1 / 10 + 1 / 20)
+        assert r.z == round((p1 - p2) / math.sqrt(se2), 6)
+        assert r.z == 0.0  # equal rates
+
+    def test_degenerate_pooled_rate_null_z(self, spark):
+        rows = [(1, 1)] * 4 + [(1, 0)] * 4  # everyone succeeds
+        df = spark.createDataFrame(rows, "s int, g int")
+        r = relational.two_proportion_ztest(
+            df, F.col("s") == 1, F.col("g") == 1
+        ).collect()[0]
+        assert r.p_1 == 1.0 and r.p_2 == 1.0 and r.z is None
+
+    def test_empty_cohort_null_z(self, spark):
+        rows = [(1, 1), (0, 1)]
+        df = spark.createDataFrame(rows, "s int, g int")
+        r = relational.two_proportion_ztest(
+            df, F.col("s") == 1, F.col("g") == 1
+        ).collect()[0]
+        assert r.n_2 == 0 and r.z is None and r.p_2 is None
+
+    def test_antisymmetry_under_group_swap(self, spark):
+        rows = [(1, 1)] * 5 + [(0, 1)] * 5 + [(1, 0)] * 2 + [(0, 0)] * 8
+        df = spark.createDataFrame(rows, "s int, g int")
+        a = relational.two_proportion_ztest(
+            df, F.col("s") == 1, F.col("g") == 1
+        ).collect()[0]
+        b = relational.two_proportion_ztest(
+            df, F.col("s") == 1, F.col("g") == 0
+        ).collect()[0]
+        assert a.z is not None and abs(a.z + b.z) <= 1e-5
