@@ -211,6 +211,10 @@ HEADLINE = [
     # rate test.
     "orders_active_user_audit",
     "purchase_rate_ztest",
+    # round-14 seventh wave: weighted order statistics and quantile
+    # normalization.
+    "weighted_price_quantiles",
+    "price_quantile_normalize",
 ]
 
 
@@ -314,34 +318,40 @@ def main() -> None:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps(full))
-    # FINAL line ≤ ~1.9 KB: summary scalars + the complete timing dict as
-    # zlib+base64 of {"name": centiseconds_int} (decode:
-    # json.loads(zlib.decompress(base64.b64decode(s)))). Centisecond ints
-    # compress ~15% tighter than 3-dp floats; at today's 106 queries the
-    # line is ~1.8 KB with ~25 future headline entries of headroom.
+    # FINAL line, guaranteed tail-safe: summary scalars + the complete
+    # per-query timings as a VALUES-ONLY centisecond array in the order
+    # of the benched names (= [n for n in HEADLINE if n in queries()],
+    # i.e. HEADLINE order at this commit — the names live in this file,
+    # under version control, so the pairing is reconstructible from the
+    # same commit the driver benched). Decode:
+    #   vals = json.loads(zlib.decompress(base64.b64decode(s)))
+    #   dict(zip(names, vals))  # names = the benched-names list above
+    # The previous {"name": cs} blob crossed the driver's 2,000-byte
+    # stdout tail at 124 entries (2,034 bytes measured) — name strings
+    # dominated it; the values-only array is ~0.4 KB at 124 entries and
+    # grows ~3 bytes per future query, headroom for hundreds.
     import base64
     import zlib
 
-    cs = {n: int(round(v * 100)) for n, v in medians.items()}
+    cs = [int(round(medians[n] * 100)) for n in names]
     gz = base64.b64encode(
         zlib.compress(json.dumps(cs, separators=(",", ":")).encode(), 9)
     ).decode()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "reps": reps,
-                "wall_clock_sec": wall_clock,
-                "n_queries": len(medians),
-                "queries_cs_gz_b64": gz,
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "reps": reps,
+            "wall_clock_sec": wall_clock,
+            "n_queries": len(medians),
+            "cs_by_headline_order_gz_b64": gz,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) <= 1900, f"compact line {len(line)}B outgrew the tail"
+    print(line, flush=True)
     # session teardown: evict the certificate-trajectory pool too
     # (clear_session_caches between reps deliberately skips it — ADVICE
     # r12; the blocks would otherwise live until JVM exit)

@@ -1231,3 +1231,156 @@ def two_proportion_ztest(
         F.when(F.col("n_2") > 0, F.round(p2, round_dp)).alias("p_2"),
         F.when(ok, F.round((p1 - p2) / F.sqrt(se2), round_dp)).alias("z"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[float] = (0.25, 0.5, 0.75),
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """``(q, total_weight, value)`` — exact weighted quantiles by the
+    nearest-rank (type-1) definition: the smallest value v whose
+    cumulative weight reaches ``q·W`` — e.g. the quantity-weighted
+    median price ("half the UNITS shipped cost less than this"), which
+    an unweighted median gets wrong whenever line sizes vary. Weights
+    must be non-negative; NULL values/weights drop; with unit weights
+    this is the exact k-th order statistic.
+
+    Exactness: weights aggregate per distinct value (exact BIGINTs for
+    integer weights — the fixture class), the cumulative ride the
+    shared prefix-sum engine (:func:`range_prefix_sums`, no global
+    single-task window), and the threshold test ``cum_w ≥ q·W`` uses
+    one multiplication per q — the selected ``value`` is a raw data
+    value, hash-exact. Each quantile resolves as a 1-row min-aggregate
+    over the filtered grid (TakeOrdered-free: plain min), so the
+    output is |qs| rows regardless of scale."""
+    g = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+    )
+    cum, totals = range_prefix_sums(g, "v", ["w"], n_range_partitions)
+    w_total = totals.get("w", 0)
+    spark = df.sparkSession
+    if w_total == 0:
+        return spark.createDataFrame(
+            [], "q double, total_weight long, value double"
+        )
+    picks = None
+    for q in qs:
+        hit = (
+            cum.filter(
+                F.col("cum_w").cast("double") >= F.lit(float(q) * w_total)
+            )
+            .agg(F.min("v").alias("value"))
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.lit(w_total).cast("long").alias("total_weight"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        picks = hit if picks is None else picks.unionByName(hit)
+    return picks
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 256,
+    n_range_partitions: int | None = None,
+) -> DataFrame:
+    """Input rows + ``(qbin, v_norm)`` — bucketed quantile
+    normalization (the batch-effect corrector of Bolstad et al. 2003,
+    in its scale-honest bucketed form): each value maps to its
+    within-group quantile bin ``qbin = ⌈F_g(v)·B⌉`` (exact integer
+    arithmetic — ``ceil(n_le·B / n_g)`` off exact BIGINT ranks), then
+    to the POOLED distribution's nearest-rank quantile of that bin —
+    after which every group shares the pooled marginal distribution up
+    to bin resolution, while each group's internal ORDER is preserved.
+    The feature-alignment step in front of cross-source model training
+    ("source A's prices live on source B's scale"). NULL values pass
+    through with NULL v_norm.
+
+    Exactness: per-group ranks and the pooled bin table are all exact
+    integers (two prefix-sum passes on the shared engine — no global
+    window); ``v_norm`` is a raw pooled data value (nearest-rank, no
+    interpolation) — hash-exact. Plan: group grids keyed by (group,
+    value) with per-group windows (keyed, parallel — the interevent
+    contract), ONE broadcast of the B-row pooled bin table, one
+    equi-join back onto the rows. B bounds the broadcast at any data
+    scale."""
+    v = F.col(value_col)
+    gcol = F.col(group_col)
+    d = df
+    # per-(group, value) counts, per-group cumulative + totals via a
+    # per-group window (keyed by group — parallel across groups)
+    gg = (
+        df.filter(v.isNotNull())
+        .groupBy(gcol.alias("_g"), v.alias("_v"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    wspec = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = gg.select(
+        "_g",
+        "_v",
+        F.sum("_c").over(wspec).alias("_n_le"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_n_g"),
+    )
+    # ceil(n_le*B / n_g) in pure integer arithmetic: (a + b - 1) div b
+    qbin = F.expr(
+        f"cast((_n_le * {n_bins} + _n_g - 1) div _n_g as int)"
+    )
+    ranked = ranked.select("_g", "_v", qbin.alias("qbin"))
+    # pooled nearest-rank quantile per bin: bin k's value is the pooled
+    # grid row where the cumulative count first reaches ceil(k*N/B).
+    # Instead of a B x |grid| theta-join, each grid row computes the
+    # bin range it serves in EXACT integer arithmetic —
+    # k in (floor((cum-c)*B/N), floor(cum*B/N)] — and explodes to it;
+    # total exploded rows = exactly B across the whole grid.
+    pooled = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("_pv"))
+        .agg(F.count("*").cast("long").alias("_pc"))
+    )
+    cum, totals = range_prefix_sums(pooled, "_pv", ["_pc"], n_range_partitions)
+    n_total = totals.get("_pc", 0)
+    spark = df.sparkSession
+    if n_total == 0:
+        return df.select(
+            "*",
+            F.lit(None).cast("int").alias("qbin"),
+            F.lit(None).cast("double").alias("v_norm"),
+        )
+    k_min = F.expr(
+        f"((cum__pc - _pc) * {n_bins}) div {n_total} + 1"
+    ).cast("int")
+    k_max = F.expr(f"(cum__pc * {n_bins}) div {n_total}").cast("int")
+    bin_vals = (
+        cum.select(
+            F.col("_pv"),
+            F.when(k_min <= k_max, F.sequence(k_min, k_max))
+            .otherwise(F.array().cast("array<int>"))
+            .alias("_ks"),
+        )
+        .select(F.explode("_ks").alias("qbin"), F.col("_pv"))
+        .select("qbin", F.col("_pv").cast("double").alias("v_norm"))
+    )
+    out = (
+        d.join(
+            ranked,
+            (gcol == F.col("_g")) & (v == F.col("_v")),
+            "left",
+        )
+        .drop("_g", "_v")
+        .join(F.broadcast(bin_vals), "qbin", "left")
+    )
+    return out

@@ -9552,6 +9552,102 @@ def q_purchase_rate_ztest(spark, sf_dir):
     )
 
 
+@register(
+    "weighted_price_quantiles",
+    """
+    WITH g AS (SELECT l_extendedprice AS v,
+                      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+               FROM lineitem
+               WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+               GROUP BY 1),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM g),
+    c AS (SELECT v, CAST(SUM(w) OVER (ORDER BY v) AS BIGINT) AS cum FROM g),
+    qs AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75]) AS DOUBLE) AS q)
+    SELECT qs.q, t.tw AS total_weight,
+           CAST(MIN(CASE WHEN CAST(c.cum AS DOUBLE)
+                              >= qs.q * CAST(t.tw AS DOUBLE)
+                         THEN c.v END) AS DOUBLE) AS value
+    FROM qs CROSS JOIN t CROSS JOIN c
+    GROUP BY qs.q, t.tw
+    """,
+)
+def q_weighted_price_quantiles(spark, sf_dir):
+    """Quantity-weighted price quartiles (``relational.
+    weighted_quantiles``, nearest-rank): "a quarter of all UNITS
+    shipped cost less than this" — the per-unit view an unweighted
+    price quantile gets wrong whenever line sizes vary. HARD oracle:
+    integer weights aggregate per distinct price (exact BIGINTs), the
+    cumulative rides the shared prefix-sum engine (no global window in
+    Spark, plain ordered window in the twin), the threshold ``cum ≥
+    q·W`` is one identical double multiply, and the selected value is
+    a raw parquet double — hash-exact, no interpolation."""
+    return relational.weighted_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        qs=[0.25, 0.5, 0.75],
+    )
+
+
+@register(
+    "price_quantile_normalize",
+    """
+    WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+                      l_extendedprice AS val
+               FROM lineitem WHERE l_orderkey % 37 = 0),
+    gg AS (SELECT g, val AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM d WHERE val IS NOT NULL GROUP BY 1, 2),
+    rk AS (SELECT g, v,
+                  CAST((CAST(SUM(c) OVER (PARTITION BY g ORDER BY v)
+                             AS BIGINT) * 64
+                        + CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) - 1)
+                       // CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT)
+                       AS INT) AS qbin
+           FROM gg),
+    pooled AS (SELECT val AS pv, CAST(COUNT(*) AS BIGINT) AS pc
+               FROM d WHERE val IS NOT NULL GROUP BY 1),
+    pcum AS (SELECT pv, pc,
+                    CAST(SUM(pc) OVER (ORDER BY pv) AS BIGINT) AS cum
+             FROM pooled),
+    t AS (SELECT CAST(SUM(pc) AS BIGINT) AS n FROM pooled),
+    bins AS (
+        SELECT CAST(UNNEST(range(((cum - pc) * 64) // t.n + 1,
+                                 (cum * 64) // t.n + 1)) AS INT) AS qbin,
+               CAST(pv AS DOUBLE) AS v_norm
+        FROM pcum, t
+    )
+    SELECT d.l_orderkey, d.l_linenumber, d.g AS l_returnflag,
+           rk.qbin, bins.v_norm
+    FROM d
+    LEFT JOIN rk ON d.g = rk.g AND d.val = rk.v
+    LEFT JOIN bins USING (qbin)
+    """,
+)
+def q_price_quantile_normalize(spark, sf_dir):
+    """Bucketed quantile normalization of extendedprice across
+    returnflag groups on the hash-sampled order slice
+    (``relational.quantile_normalize``, B = 64) — the batch-effect
+    corrector (Bolstad et al. 2003): each group's prices map onto the
+    POOLED price distribution, preserving within-group order, so
+    cross-source features share a marginal before model training. HARD
+    oracle: within-group ranks and the pooled 64-bin table are pure
+    integer arithmetic (ceil via ``(a+b−1) div b``; bin coverage via
+    exact floor-division ranges exploded to exactly B rows — never a
+    B×grid theta join); ``v_norm`` is a raw pooled parquet double.
+    Spark's pooled cumulative rides the shared prefix engine; the
+    per-group ranks use per-group windows (keyed, parallel — the
+    interevent contract)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 37 == 0)
+    return relational.quantile_normalize(
+        li.select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        ),
+        "l_extendedprice",
+        "l_returnflag",
+        n_bins=64,
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "qbin", "v_norm")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #

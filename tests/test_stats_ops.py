@@ -648,3 +648,80 @@ class TestTwoProportionZtest:
             df, F.col("s") == 1, F.col("g") == 0
         ).collect()[0]
         assert a.z is not None and abs(a.z + b.z) <= 1e-5
+
+
+class TestWeightedQuantiles:
+    def test_hand_computed_nearest_rank(self, spark):
+        # values 10 (w=1), 20 (w=2), 30 (w=7): W=10
+        # q=0.5 -> rank 5 -> first cum >= 5 is 30; q=0.25 -> 2.5 -> 20
+        df = spark.createDataFrame(
+            [(10.0, 1), (20.0, 2), (30.0, 7)], "v double, w int"
+        )
+        out = {r.q: r for r in relational.weighted_quantiles(
+            df, "v", "w", qs=[0.25, 0.5, 0.9]).collect()}
+        assert out[0.25].value == 20.0
+        assert out[0.5].value == 30.0
+        assert out[0.9].value == 30.0
+        assert out[0.5].total_weight == 10
+
+    def test_unit_weights_are_order_statistics(self, spark):
+        vals = [5.0, 1.0, 9.0, 3.0, 7.0]
+        df = spark.createDataFrame([(v, 1) for v in vals], "v double, w int")
+        out = {r.q: r.value for r in relational.weighted_quantiles(
+            df, "v", "w", qs=[0.2, 0.4, 0.6, 0.8, 1.0]).collect()}
+        assert [out[q] for q in (0.2, 0.4, 0.6, 0.8, 1.0)] == [
+            1.0, 3.0, 5.0, 7.0, 9.0]
+
+    def test_weight_mass_moves_the_median(self, spark):
+        df = spark.createDataFrame(
+            [(10.0, 100), (99.0, 1)], "v double, w int"
+        )
+        r = {r.q: r.value for r in relational.weighted_quantiles(
+            df, "v", "w", qs=[0.5]).collect()}
+        assert r[0.5] == 10.0
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame([], "v double, w int")
+        assert relational.weighted_quantiles(df, "v", "w").count() == 0
+
+
+class TestQuantileNormalize:
+    def test_groups_share_pooled_marginal(self, spark):
+        # group a: 1..4, group b: 101..104 -> after normalization both
+        # map onto the pooled distribution; order preserved per group
+        rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+            ("b", float(v)) for v in (101, 102, 103, 104)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = relational.quantile_normalize(df, "v", "g", n_bins=4).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r.g, []).append((r.v, r.qbin, r.v_norm))
+        for g in ("a", "b"):
+            srt = sorted(by_g[g])
+            # order preserved, bins 1..4 in order
+            assert [b for _, b, _ in srt] == [1, 2, 3, 4]
+        # same bin -> same pooled value across groups
+        a_map = {b: n for _, b, n in by_g["a"]}
+        b_map = {b: n for _, b, n in by_g["b"]}
+        assert a_map == b_map
+        # pooled nearest-rank values: bin k covers rank ceil(k*8/4)
+        # = 2,4,6,8 -> pooled sorted values at those ranks
+        pooled = sorted(v for _, v in rows)
+        assert [a_map[k] for k in (1, 2, 3, 4)] == [
+            pooled[1], pooled[3], pooled[5], pooled[7]]
+
+    def test_identical_groups_are_fixed_point(self, spark):
+        rows = [(g, float(v)) for g in ("a", "b") for v in (2, 4, 6)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = relational.quantile_normalize(df, "v", "g", n_bins=3).collect()
+        # both groups equal the pooled distribution -> v_norm == v
+        assert all(r.v_norm == r.v for r in out)
+
+    def test_null_values_pass_through(self, spark):
+        rows = [("a", 1.0), ("a", None), ("a", 3.0), ("b", 2.0), ("b", 4.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = relational.quantile_normalize(df, "v", "g", n_bins=2).collect()
+        nulls = [r for r in out if r.v is None]
+        assert len(nulls) == 1 and nulls[0].v_norm is None
+        assert all(r.v_norm is not None for r in out if r.v is not None)
