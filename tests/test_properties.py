@@ -677,3 +677,70 @@ def test_logrank_cohort_swap_symmetry(spark, plan):
     assert a.var_sum == b.var_sum
     if a.chi2 is not None:
         assert b.chi2 is not None and abs(a.chi2 - b.chi2) <= 1e-4
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(1, 9)),
+        min_size=1,
+        max_size=25,
+    ),
+    qx=st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(**SETTINGS)
+def test_weighted_quantiles_match_brute_force(spark, rows, qx):
+    """Nearest-rank weighted quantile == the brute-force scan of the
+    weight-expanded sorted list, for any weights and any q."""
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(float(v), w) for v, w in rows], "v double, w int"
+    )
+    out = {r.q: r for r in relational.weighted_quantiles(
+        df, "v", "w", qs=list(qx)).collect()}
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    W = len(expanded)
+    for q in qx:
+        # smallest value whose cumulative weight >= q*W
+        target = q * W
+        cum = 0
+        want = None
+        for v in expanded:
+            cum += 1
+            if cum >= target:
+                want = v
+                break
+        assert out[q].value == want and out[q].total_weight == W
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30)),
+        min_size=2,
+        max_size=30,
+    ).filter(lambda r: len({g for g, _ in r}) == 2)
+)
+@settings(**SETTINGS)
+def test_quantile_normalize_order_preserving_and_pooled(spark, rows):
+    """Within each group the mapping is monotone (order preserved) and
+    every v_norm is an actual pooled data value."""
+    from sna_pyspark_graphframes_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [("g" + str(g), float(v)) for g, v in rows], "g string, v double"
+    )
+    out = relational.quantile_normalize(df, "v", "g", n_bins=4).collect()
+    pooled = {float(v) for _, v in rows}
+    by_g = {}
+    for r in out:
+        assert r.v_norm in pooled
+        by_g.setdefault(r.g, []).append((r.v, r.v_norm))
+    for pairs in by_g.values():
+        pairs.sort()
+        norms = [n for _, n in pairs]
+        assert norms == sorted(norms)
