@@ -215,6 +215,8 @@ HEADLINE = [
     # normalization.
     "weighted_price_quantiles",
     "price_quantile_normalize",
+    # round-14 eighth wave: the Matryoshka truncation-retrieval curve.
+    "mrl_truncation_recall",
 ]
 
 

@@ -753,3 +753,81 @@ def pca_power_component(
         [(d + 1, float(w[d]), float(ev), float(tv or 0.0)) for d in range(dim)],
         "pos int, loading double, eigenvalue double, total_var double",
     )
+
+
+def mrl_truncation_recall(
+    emb: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(dim, n_queries, sum_overlap, mean_recall, n_perfect)`` — the
+    Matryoshka truncation-retrieval curve (Kusupati et al. 2022): for
+    each prefix dimension d, the recall@k of exact cosine retrieval on
+    the FIRST d coordinates against the full-dimension ground truth —
+    the measurement behind "can we serve the 8-dim prefix and rerank
+    with the full vector", i.e. how much retrieval quality each stored
+    byte buys. Embeddings NOT trained with the MRL objective (this
+    fixture) degrade fast at small d — that honest curve is exactly
+    what the probe exists to surface before anyone ships truncation.
+
+    Determinism: both rankings round cosine to 4 dp and tie-break by
+    neighbor id (the :func:`cosine_topk` contract), so the overlap
+    counts are exact integers cross-engine; ``mean_recall`` is one
+    division off exact integers. Queries are the ``id < n_queries``
+    sample (the ``ivf_recall`` recipe: ground truth is inherently
+    O(|sample|·N) — sample the queries, keep the corpus distributed).
+    Plan: one full-dim exact top-k + one per truncation dim (each a
+    broadcast-queries × corpus scan, |Q|·k rows out), joined on
+    (query, neighbor) — |dims|·|Q|·k join rows total."""
+    queries = emb.filter(F.col(id_col) < n_queries)
+    full = cosine_topk(queries, emb, k=k, id_col=id_col).select(
+        "query_id", "neighbor_id"
+    )
+    out = None
+    nq_frame = queries.select(
+        F.count("*").cast("long").alias("n_queries")
+    )
+    for d in dims:
+        trunc_q = queries.select(
+            id_col, F.slice("embedding", 1, d).alias("embedding")
+        )
+        trunc_c = emb.select(
+            id_col, F.slice("embedding", 1, d).alias("embedding")
+        )
+        td = cosine_topk(trunc_q, trunc_c, k=k, id_col=id_col).select(
+            "query_id", F.col("neighbor_id").alias("t_neighbor")
+        )
+        per_q = (
+            full.join(
+                td,
+                (full["query_id"] == td["query_id"])
+                & (full["neighbor_id"] == td["t_neighbor"]),
+            )
+            .groupBy(full["query_id"])
+            .agg(F.count("*").cast("long").alias("hits"))
+        )
+        row = per_q.agg(
+            F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias(
+                "sum_overlap"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("hits") >= k, 1)), F.lit(0)
+            ).cast("long").alias("n_perfect"),
+        ).crossJoin(F.broadcast(nq_frame)).select(
+            F.lit(d).cast("int").alias("dim"),
+            "n_queries",
+            "sum_overlap",
+            F.when(
+                F.col("n_queries") > 0,
+                F.round(
+                    F.col("sum_overlap").cast("double")
+                    / (F.col("n_queries").cast("double") * F.lit(float(k))),
+                    6,
+                ),
+            ).alias("mean_recall"),
+            "n_perfect",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -9648,6 +9648,82 @@ def q_price_quantile_normalize(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber", "l_returnflag", "qbin", "v_norm")
 
 
+def _mrl_recall_sql(
+    dims=(8, 16, 32, 64), k: int = 10, n_queries: int = 20
+) -> str:
+    """UNION-ALL twin of the Matryoshka truncation-recall probe: per
+    prefix dim, exact cosine top-k on the sliced vectors vs the
+    full-dim ground truth, identical 4-dp-rounded scores and
+    neighbor-id tie-breaks to :func:`similarity.cosine_topk`."""
+    gt = f"""
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
+    full_tk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 4)
+                                DESC, c.neighbor_id ASC) AS rnk
+            FROM q JOIN c ON q.query_id != c.neighbor_id)
+        WHERE rnk <= {k})"""
+    blocks = []
+    for d in dims:
+        blocks.append(f"""
+    t{d} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    list_slice(q.v, 1, {d}),
+                                    list_slice(c.v, 1, {d})), 4)
+                                DESC, c.neighbor_id ASC) AS rnk
+            FROM q JOIN c ON q.query_id != c.neighbor_id)
+        WHERE rnk <= {k}),
+    h{d} AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+             FROM full_tk f JOIN t{d} t
+               ON f.query_id = t.query_id
+              AND f.neighbor_id = t.neighbor_id
+             GROUP BY 1),
+    r{d} AS (SELECT CAST({d} AS INT) AS dim,
+                    (SELECT n_queries FROM nq) AS n_queries,
+                    CAST(COALESCE(SUM(hits), 0) AS BIGINT) AS sum_overlap,
+                    CASE WHEN (SELECT n_queries FROM nq) > 0
+                         THEN ROUND(CAST(COALESCE(SUM(hits), 0) AS DOUBLE)
+                                    / (CAST((SELECT n_queries FROM nq)
+                                            AS DOUBLE) * {float(k)}), 6)
+                    END AS mean_recall,
+                    CAST(COALESCE(SUM(CASE WHEN hits >= {k} THEN 1 END), 0)
+                         AS BIGINT) AS n_perfect
+             FROM h{d})""")
+    selects = " UNION ALL ".join(f"SELECT * FROM r{d}" for d in dims)
+    return "WITH " + gt + "," + ",".join(blocks) + "\n    " + selects
+
+
+@register("mrl_truncation_recall", _mrl_recall_sql())
+def q_mrl_truncation_recall(spark, sf_dir):
+    """Matryoshka truncation-retrieval curve
+    (``similarity.mrl_truncation_recall``; Kusupati et al. 2022):
+    recall@10 of exact cosine retrieval on the first 8/16/32/64
+    embedding coordinates against full-dim ground truth — "how much
+    retrieval quality does each stored byte buy", the measurement
+    behind serving a truncated prefix + full-vector rerank. These
+    synthetic embeddings were not MRL-trained, so the curve degrades
+    fast at small d — the honest pre-ship answer. HARD oracle: both
+    engines round cosine to 4 dp and tie-break by neighbor id (the
+    ``cosine_topk`` contract), so overlap counts are exact BIGINTs;
+    mean_recall is one division. The ``ivf_recall`` scale recipe:
+    sampled queries × distributed corpus, |dims|·|Q|·k rows joined."""
+    return fsim.mrl_truncation_recall(
+        _t(spark, sf_dir, "embeddings"), dims=(8, 16, 32, 64), k=10,
+        n_queries=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window.
 #

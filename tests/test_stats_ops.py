@@ -725,3 +725,53 @@ class TestQuantileNormalize:
         nulls = [r for r in out if r.v is None]
         assert len(nulls) == 1 and nulls[0].v_norm is None
         assert all(r.v_norm is not None for r in out if r.v is not None)
+
+
+class TestMrlTruncationRecall:
+    def test_full_dim_is_identity(self, spark):
+        from sna_pyspark_graphframes_spark.functions import similarity as fsim
+
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.dim: r for r in fsim.mrl_truncation_recall(
+            df, dims=(8,), k=3, n_queries=5).collect()}
+        assert out[8].mean_recall == 1.0
+        assert out[8].n_perfect == out[8].n_queries == 5
+
+    def test_signal_in_prefix_makes_truncation_lossless(self, spark):
+        from sna_pyspark_graphframes_spark.functions import similarity as fsim
+
+        import random
+
+        rng = random.Random(3)
+        # all signal in the first 2 coordinates; the rest are zero
+        rows = [
+            (i, [rng.uniform(-1, 1), rng.uniform(-1, 1)] + [0.0] * 6)
+            for i in range(15)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.dim: r for r in fsim.mrl_truncation_recall(
+            df, dims=(2, 4, 8), k=3, n_queries=6).collect()}
+        for d in (2, 4, 8):
+            assert out[d].mean_recall == 1.0, d
+
+    def test_overlap_bounds(self, spark):
+        from sna_pyspark_graphframes_spark.functions import similarity as fsim
+
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = fsim.mrl_truncation_recall(
+            df, dims=(4, 16), k=5, n_queries=8).collect()
+        for r in out:
+            assert 0 <= r.sum_overlap <= r.n_queries * 5
+            assert 0 <= r.n_perfect <= r.n_queries
