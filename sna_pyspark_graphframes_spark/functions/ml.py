@@ -102,14 +102,30 @@ def logreg_gd_summary(
     lr: float = 1.0,
     n_iter: int = 5,
     round_dp: int = 6,
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """``(feature, weight, train_accuracy, n)`` — one row per weight
     (``_intercept`` first, then ``feature_cols`` order), each carrying
     the learned 6-dp weight plus two whole-run scalars: the decision
     accuracy of the final model on its training rows (rounded 4 dp) and
     the row count. One extra scan scores the model; weights enter it as
-    literals like every training round."""
-    w = logreg_gd(df, feature_cols, label_col, lr=lr, n_iter=n_iter, round_dp=round_dp)
+    literals like every training round.
+
+    ``weights`` (r14, optimization): summarize an ALREADY-trained model
+    (the exact list :func:`logreg_gd` returns for the same
+    (df, features, label, lr, n_iter, round_dp)) instead of re-running
+    the training loop — callers that hold one trained model and emit
+    several evaluations off it (summary + calibration + AUC) pay the
+    loop once. Output is identical by construction: training is
+    deterministic, and this function uses the weights only as literals
+    in the one scoring scan."""
+    w = (
+        weights
+        if weights is not None
+        else logreg_gd(
+            df, feature_cols, label_col, lr=lr, n_iter=n_iter, round_dp=round_dp
+        )
+    )
     df = df.na.drop(subset=[*feature_cols, label_col])  # logreg_gd's rows
     cols = [F.col(c).cast("double") for c in feature_cols]
     z = sum((F.lit(wi) * xi for wi, xi in zip(w[1:], cols)), F.lit(w[0]))

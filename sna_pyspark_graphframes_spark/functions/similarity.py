@@ -510,6 +510,7 @@ def kmeans_centroids(
     n_iter: int = 3,
     id_col: str = "vec_id",
     dim: int | None = None,
+    init_codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column, pure DataFrame ops —
     the production refinement of the stride codebook ``ivf_centroids``
@@ -541,6 +542,19 @@ def kmeans_centroids(
     centroid_id) — the textbook distributed Lloyd's. ``checkpointed``
     truncates the per-iteration lineage so the plan does not nest the
     join n_iter deep.
+
+    ``init_codebook`` (r14, optimization): start Lloyd's from a caller-
+    provided ``(centroid_id, cv)`` codebook instead of the stride
+    sample. Because every iteration is a pure deterministic function of
+    the previous codebook (6-dp cosine scoring, 6-dp-rounded means),
+    ``kmeans_centroids(n_iter=m+k)`` ≡
+    ``kmeans_centroids(kmeans_centroids(n_iter=m), n_iter=k)`` value-
+    for-value — a deployment (and the registry, which serves three
+    queries off one trained codebook) trains once and continues, never
+    re-pays the shared prefix of the loop. The caller owns the frame's
+    materialization (pass a persisted/checkpointed codebook; a lazy
+    lineage would re-execute its own training inside every iteration
+    here).
     """
     from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
 
@@ -573,10 +587,13 @@ def kmeans_centroids(
             v.sparkSession.sparkContext.defaultParallelism, "id"
         )
     )
-    c = embeddings.filter(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    )
+    if init_codebook is not None:
+        c = init_codebook.select("centroid_id", F.col("cv").cast("array<double>"))
+    else:
+        c = embeddings.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
     # gate on the INIT codebook size — zero jobs when plan statistics
     # land it on the broadcast side, exact count otherwise (the sharded
     # branch sizes real replicated work — _gated_codebook_rows); never

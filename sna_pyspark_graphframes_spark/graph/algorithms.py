@@ -2572,7 +2572,10 @@ def average_betweenness(edges: DataFrame, **kw) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def neighborhood_function(
-    edges: DataFrame, max_r: int = 32, lgk: int = 12
+    edges: DataFrame,
+    max_r: int = 32,
+    lgk: int = 12,
+    sym_layout: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate neighborhood function ``(r, n_pairs)`` — HyperANF
     (Boldi, Rosa & Vigna, WWW'11) on DataFrames.
@@ -2594,8 +2597,33 @@ def neighborhood_function(
 
     Replaces: all-pairs BFS underlying ``diameter``/``average_closeness``
     (NetworkX on the reference's collect()ed graph,
-    ``/root/reference/main.py:203-206``)."""
-    e = checkpointed(_sym(edges))
+    ``/root/reference/main.py:203-206``).
+
+    Superstep layout (r14 optimization — guide §2.4 "remove shuffles
+    outright", A/B'd at sf0.1: loop 11.3 s → below, identical n_pairs
+    trajectory): the edges live in the src-partitioned persisted layout
+    (the CC/LPA/katz frame — ``sym_layout`` shares ``_copurchase_sym``
+    exactly like :func:`connected_components`, saving this operator's
+    private symmetrize+checkpoint too), the |V|-row sketch state joins
+    in via the size-gated hint (broadcast under the byte budget —
+    sketch width counts, ``2^lgk`` bytes per row at HLL_8 — shuffled
+    hash beyond), and the per-round neighbor aggregate groups by src,
+    so its exchange is ELIDED: zero per-round exchanges of edge-derived
+    sketch rows, where the old union-all shape re-shuffled |E| sketch
+    rows every radius. The self-ball fold (B(v,r) ⊇ B(v,r−1)) moves
+    from the union-all into a binary ``hll_union`` against the |V|-row
+    state — register-wise max is associative, commutative and
+    idempotent, so re-associating the union changes no register values
+    and therefore no estimates (duplicate edges, ``dedup=False``, are
+    no-ops for the same reason); sparse-mode coupon exactness on
+    fixture graphs is union-path-independent too, so the exact-BFS
+    oracles hold unchanged."""
+    owns_layout = sym_layout is None
+    e = (
+        _edges_partitioned(symmetrize(edges, dedup=False), "src")
+        if owns_layout
+        else sym_layout
+    )
     state = (
         e.select(F.col("src").alias("id"))
         .distinct()
@@ -2603,15 +2631,27 @@ def neighborhood_function(
         .agg(F.hll_sketch_agg("id", lgk).alias("sk"))
     )
     state = checkpointed(state, lazy=True)
-    rows = [(0, state.count())]  # B(v, 0) = {v}; count materializes (r9)
+    n_v = state.count()  # B(v, 0) = {v}; count materializes (r9)
+    rows = [(0, n_v)]
+    # bytes-aware broadcast gate: the row gate alone under-counts a
+    # sketch state by 2^lgk (a dense HLL_8 register array per row)
+    bcast = (
+        n_v <= STATE_BROADCAST_MAX_ROWS
+        and n_v * ((1 << lgk) + 64) <= 64 * 1024 * 1024
+    )
     for r in range(1, max_r + 1):
-        msgs = e.join(
-            state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst"
-        ).select(F.col("src").alias("id"), "sk")
-        state = (
-            msgs.unionByName(state)
-            .groupBy("id")
-            .agg(F.hll_union_agg("sk").alias("sk"))
+        st = state.select(F.col("id").alias("dst"), "sk")
+        st = st.hint("broadcast") if bcast else st.hint("shuffle_hash")
+        nbr = (
+            e.join(st, "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.hll_union_agg("sk").alias("nbr_sk"))
+        )
+        state = state.join(nbr, "id", "left").select(
+            "id",
+            F.when(F.col("nbr_sk").isNull(), F.col("sk"))
+            .otherwise(F.hll_union("sk", "nbr_sk"))
+            .alias("sk"),
         )
         # lazy: the pair-count read below is the materializing action —
         # one job per radius instead of two (checkpoint write + read);
@@ -2624,19 +2664,26 @@ def neighborhood_function(
         if n == rows[-1][1]:
             break
         rows.append((r, n))
+    if owns_layout:  # shared layouts outlive the call (caller-owned)
+        e.unpersist(blocking=False)
     spark = edges.sparkSession
     return spark.createDataFrame(rows, "r int, n_pairs long")
 
 
 def effective_diameter(
-    edges: DataFrame, fraction: float = 0.9, max_r: int = 32, lgk: int = 12
+    edges: DataFrame,
+    fraction: float = 0.9,
+    max_r: int = 32,
+    lgk: int = 12,
+    sym_layout: DataFrame | None = None,
 ) -> DataFrame:
     """1-row ``(effective_diameter, n_pairs_max)``: the smallest radius r
     with ``N(r) ≥ fraction · N(∞)`` — the standard robust scale-free
     alternative to exact diameter (a single long chain can't dominate it).
     Integer convention (no interpolation) so the value is deterministic
-    and oracle-checkable."""
-    nf = neighborhood_function(edges, max_r=max_r, lgk=lgk)
+    and oracle-checkable. ``sym_layout`` passes through to
+    :func:`neighborhood_function` (the shared persisted edge layout)."""
+    nf = neighborhood_function(edges, max_r=max_r, lgk=lgk, sym_layout=sym_layout)
     n_max = F.max("n_pairs").over(Window.partitionBy())
     return (
         nf.withColumn("n_max", n_max)

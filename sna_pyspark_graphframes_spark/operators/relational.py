@@ -414,10 +414,17 @@ def range_prefix_sums(
 
     spark = g.sparkSession
     p = n_range_partitions or spark.sparkContext.defaultParallelism
-    gp = checkpointed(  # pid is physical — pin it before the two reads
+    # pid is physical — pin it with a checkpoint before the two reads.
+    # lazy: the per-pid totals collect below is the materializing action
+    # (the r9 setup-fold recipe) — one job for checkpoint-write +
+    # totals-read instead of two passes over the grid (r14, guide §1.2:
+    # fewer driver actions per engine call; the engine runs under 8+
+    # registry queries).
+    gp = checkpointed(
         g.repartitionByRange(p, order_col).withColumn(
             "pid", F.spark_partition_id()
-        )
+        ),
+        lazy=True,
     )
     w = (
         Window.partitionBy("pid")
@@ -1253,9 +1260,12 @@ def weighted_quantiles(
     shared prefix-sum engine (:func:`range_prefix_sums`, no global
     single-task window), and the threshold test ``cum_w ≥ q·W`` uses
     one multiplication per q — the selected ``value`` is a raw data
-    value, hash-exact. Each quantile resolves as a 1-row min-aggregate
-    over the filtered grid (TakeOrdered-free: plain min), so the
-    output is |qs| rows regardless of scale."""
+    value, hash-exact. ALL |qs| quantiles resolve in ONE conditional-min
+    aggregate over the grid (``min(v) filter (cum_w ≥ q·W)`` per q,
+    inlined back to |qs| rows) — r14 optimization: the previous
+    union-of-filtered-aggregates shape re-scanned the cumulative grid
+    (window + broadcast join lineage) once per quantile; identical
+    values, one scan, output |qs| rows regardless of scale."""
     g = (
         df.filter(
             F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
@@ -1270,21 +1280,32 @@ def weighted_quantiles(
         return spark.createDataFrame(
             [], "q double, total_weight long, value double"
         )
-    picks = None
-    for q in qs:
-        hit = (
-            cum.filter(
-                F.col("cum_w").cast("double") >= F.lit(float(q) * w_total)
-            )
-            .agg(F.min("v").alias("value"))
-            .select(
-                F.lit(float(q)).alias("q"),
-                F.lit(w_total).cast("long").alias("total_weight"),
-                F.col("value").cast("double").alias("value"),
+    agg = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum_w").cast("double")
+                    >= F.lit(float(q) * w_total),
+                    F.col("v"),
+                )
+            ).alias(f"_v{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    return agg.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.lit(w_total).cast("long").alias("total_weight"),
+                        F.col(f"_v{i}").cast("double").alias("value"),
+                    )
+                    for i, q in enumerate(qs)
+                ]
             )
         )
-        picks = hit if picks is None else picks.unionByName(hit)
-    return picks
+    )
 
 
 def quantile_normalize(

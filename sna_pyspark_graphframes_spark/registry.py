@@ -66,6 +66,12 @@ def _t(spark, sf_dir, name):
 _COPURCHASE_CACHE: dict[str, DataFrame] = {}
 _MEMO_CACHE: dict[str, DataFrame] = {}
 _TWIN_MEMO: dict[str, DataFrame] = {}
+# Session-scoped memo for NON-plain-DataFrame shared artifacts (the
+# seeded SampleResult, trained weight vectors, checkpointed feature
+# frames): same lifecycle as _MEMO_CACHE (cleared between bench reps),
+# but holding objects whose frames are localCheckpoint'ed — reclamation
+# is GC-based like the twin memo's (see _walk42 / clear_twin_memo).
+_OBJ_MEMO: dict[str, object] = {}
 
 
 def clear_session_caches() -> None:
@@ -86,6 +92,10 @@ def clear_session_caches() -> None:
             except Exception:
                 pass
         cache.clear()
+    # Object memos hold localCheckpoint'ed frames / driver-side model
+    # vectors: dropping the references is the eviction (GC →
+    # ContextCleaner), same as the twin memo's documented reclamation.
+    _OBJ_MEMO.clear()
 
 
 def _twin_memo(spark, sf_dir, tag: str, make) -> DataFrame:
@@ -1077,6 +1087,28 @@ e AS MATERIALIZED (
 _CC_STAGES, _CC_FINAL = _cc_minlabel_sql(8)
 
 
+def _cc_labels(spark, sf_dir):
+    """``(id, component)`` of the co-purchase graph, computed ONCE per
+    (session, sf_dir) — the shared-artifact pattern of ``_lpa_labels``
+    applied to connected components (r14 optimization): three registry
+    queries consume the identical label table (``connected_components``,
+    ``connected_components_count``, and ``effective_diameter_approx``'s
+    exact Σ|component|² saturation ground truth), and each previously
+    re-ran the full frontier min-label loop (~2.5 s at sf0.1). A
+    deployment holds one component table per graph version.
+    ``clear_session_caches`` owns eviction (bench reps re-pay the loop
+    like a fresh session)."""
+    return _memo(
+        spark,
+        sf_dir,
+        "cc_labels",
+        lambda: algorithms.connected_components(
+            _copurchase(spark, sf_dir),
+            sym_layout=_copurchase_sym(spark, sf_dir),
+        ),
+    )
+
+
 @register(
     "connected_components",
     f"{_CC_STAGES}\nSELECT id, lbl AS component FROM {_CC_FINAL}",
@@ -1085,11 +1117,9 @@ def q_connected_components(spark, sf_dir):
     """Full (id, component) table of the co-purchase graph, hard-checked
     against the unrolled min-label CTE twin (upgraded from rows-only in
     r7 — the frontier loop's result is now value-checked on the real
-    graph, not only on closed-form fixtures)."""
-    return algorithms.connected_components(
-        _copurchase(spark, sf_dir),
-        sym_layout=_copurchase_sym(spark, sf_dir),
-    )
+    graph, not only on closed-form fixtures). Served from the shared
+    session label table (``_cc_labels``)."""
+    return _cc_labels(spark, sf_dir)
 
 
 @register(
@@ -1098,10 +1128,7 @@ def q_connected_components(spark, sf_dir):
     f"FROM {_CC_FINAL}",
 )
 def q_cc_count(spark, sf_dir):
-    cc = algorithms.connected_components(
-        _copurchase(spark, sf_dir),
-        sym_layout=_copurchase_sym(spark, sf_dir),
-    )
+    cc = _cc_labels(spark, sf_dir)
     return cc.agg(F.countDistinct("component").alias("n_components"))
 
 
@@ -3463,13 +3490,14 @@ def _walk_sample_validity(sym, labels, res) -> DataFrame:
     PERSISTED shared layout (``_copurchase_sym``): the two containment
     checks consume it twice, and re-deriving it from the lineitem
     self-join here measured ~10 s of the query's wall at sf0.1 before
-    the memo was routed in (REPORT.md r10)."""
-    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+    the memo was routed in (REPORT.md r10).
 
+    Caller contract (r14): ``res.sampled_edges`` must be MATERIALIZED
+    (checkpointed) — both containment legs consume it, and the memoized
+    shared sample (``_walk42``) already holds a checkpointed frame, so
+    checkpointing again here would copy the blocks per consumer."""
     sv = res.sampled_vertices
-    # both containment legs consume the sampled edge set; materialize it
-    # once (it re-derives two |E|-scale semi-joins per consumer otherwise)
-    se = checkpointed(res.sampled_edges)
+    se = res.sampled_edges
     bad_edges = se.join(sym, ["src", "dst"], "left_anti").agg(
         (F.count("*") == 0).alias("edges_are_graph_edges")
     )
@@ -3504,24 +3532,48 @@ SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_communities,
 FROM {_LPA_FINAL}"""
 
 
+def _walk42(spark, sf_dir):
+    """The seeded (alpha=2.0, max_iter=5, seed=42) community-walk sample
+    of the co-purchase graph, run ONCE per (session, sf_dir) — the
+    shared-artifact pattern applied to the paper's sampling pipeline
+    (r14 optimization): ``random_walk_sample`` (the validity
+    certificate) and ``sample_fidelity_report`` (the metric-preservation
+    certificate) consume the IDENTICAL deterministic sample, and each
+    previously re-ran the full walk (dense re-key + adjacency
+    collect_set + Arrow walk kernel + induced subgraph, ~4 s at sf0.1).
+    ``sampled_edges`` is checkpointed here once — every consumer scans
+    it repeatedly (containment semi-joins, degree + triangle passes).
+    Cleared by ``clear_session_caches`` (bench reps re-pay the walk
+    like a fresh session)."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+    key = f"{id(spark)}:{sf_dir}:walk42"
+    if key not in _OBJ_MEMO:
+        res = sampling.sample_graph(
+            _copurchase(spark, sf_dir),
+            alpha=2.0,
+            max_iter=5,
+            seed=42,
+            vertex_cc=_vertex_cc(spark, sf_dir),
+            labels=_lpa_labels(spark, sf_dir),
+            sym=_copurchase_sym(spark, sf_dir),
+        )
+        _OBJ_MEMO[key] = sampling.SampleResult(
+            res.labels, res.sampled_vertices, checkpointed(res.sampled_edges)
+        )
+    return _OBJ_MEMO[key]
+
+
 @register("random_walk_sample", _WALK_VALIDITY_SQL)
 def q_random_walk_sample(spark, sf_dir):
     """Paper sampling pipeline end-to-end (seeded per-community walks →
     distinct visited → induced subgraph), emitted as the one-row validity
     certificate ``_walk_sample_validity`` documents — oracle-paired since
     r10; the walk VALUES stay pinned by the seeded-determinism golden
-    tests (tests/test_sampling_invariants.py)."""
-    e = _copurchase(spark, sf_dir)
+    tests (tests/test_sampling_invariants.py). The sample itself is the
+    shared session artifact (``_walk42``)."""
     labels = _lpa_labels(spark, sf_dir)
-    res = sampling.sample_graph(
-        e,
-        alpha=2.0,
-        max_iter=5,
-        seed=42,
-        vertex_cc=_vertex_cc(spark, sf_dir),
-        labels=labels,
-        sym=_copurchase_sym(spark, sf_dir),
-    )
+    res = _walk42(spark, sf_dir)
     return _walk_sample_validity(_copurchase_sym(spark, sf_dir), labels, res)
 
 
@@ -3572,16 +3624,9 @@ def q_sample_fidelity_report(spark, sf_dir):
 
     e = _copurchase(spark, sf_dir)
     labels = _lpa_labels(spark, sf_dir)
-    sym = _copurchase_sym(spark, sf_dir)
-    res = sampling.sample_graph(
-        e,
-        alpha=2.0,
-        max_iter=5,
-        seed=42,
-        vertex_cc=_vertex_cc(spark, sf_dir),
-        labels=labels,
-        sym=sym,
-    )
+    # r14 optimization: consume the SHARED seeded sample (_walk42) —
+    # identical deterministic result, walk paid once per session.
+    res = _walk42(spark, sf_dir)
     deg_o, tri_o = _deg(spark, sf_dir), _tri(spark, sf_dir)
     orig = deg_o.agg(
         F.count("*").cast("long").alias("orig_n_vertices"),
@@ -4607,6 +4652,30 @@ def q_quantize_embeddings_int8(spark, sf_dir):
     return fsim.quantize_int8(_t(spark, sf_dir, "embeddings"))
 
 
+def _kmeans_cb2(spark, sf_dir):
+    """The (stride=40, n_iter=2, dim=64) Lloyd's codebook, trained ONCE
+    per (session, sf_dir) — the shared-artifact pattern of
+    ``_copurchase_sym``/``_lpa_labels`` applied to the trained model
+    (r14 optimization): three registry queries consume this exact
+    codebook (``ivf_topk_kmeans`` and ``kmeans_cluster_purity``
+    directly; ``kmeans_centroids_small`` continues ONE more Lloyd
+    iteration from it via ``init_codebook`` — bit-identical to the
+    3-iteration run because every iteration is a pure deterministic
+    function of the previous codebook). A deployment trains one coarse
+    quantizer per corpus version and serves every consumer from it;
+    re-training per query measured ~2.5 s × 2 redundant runs at sf0.1.
+    ``clear_session_caches`` owns eviction (bench reps re-pay the
+    training like a fresh session)."""
+    return _memo(
+        spark,
+        sf_dir,
+        "kmeans_cb2_s40_d64",
+        lambda: fsim.kmeans_centroids(
+            _t(spark, sf_dir, "embeddings"), stride=40, n_iter=2, dim=64
+        ),
+    )
+
+
 @register("ivf_topk_kmeans", _ivf_topk_kmeans_sql())
 def q_ivf_topk_kmeans(spark, sf_dir):
     """IVF ANN over the TRAINED Lloyd's codebook (2 iterations refining
@@ -4615,9 +4684,10 @@ def q_ivf_topk_kmeans(spark, sf_dir):
     ``kmeans_centroids`` → ``ivf_topk(codebook=...)``. Both the training
     loop and the search ride the size-gated ``_scored_pairs`` machinery;
     the oracle composes the unrolled Lloyd's CTE with the IVF
-    assign/probe/rerank shape."""
+    assign/probe/rerank shape. The codebook is the shared session-
+    trained artifact (``_kmeans_cb2``)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cb = fsim.kmeans_centroids(emb, stride=40, n_iter=2, dim=64)
+    cb = _kmeans_cb2(spark, sf_dir)
     return fsim.ivf_topk(emb, k=5, n_probe=2, codebook=cb.select("centroid_id", "cv"))
 
 
@@ -4659,7 +4729,7 @@ def q_kmeans_cluster_purity(spark, sf_dir):
     training loop + ONE gated assignment scan + two tiny keyed
     aggregates."""
     emb = _t(spark, sf_dir, "embeddings")
-    cb = fsim.kmeans_centroids(emb, stride=40, n_iter=2, dim=64)
+    cb = _kmeans_cb2(spark, sf_dir)
     assign = fsim.ivf_assign(
         emb, n_probe=1, codebook=cb.select("centroid_id", "cv"), dim=64
     ).filter(F.col("probe_rank") == 1)
@@ -4699,9 +4769,21 @@ def q_kmeans_centroids(spark, sf_dir):
     in the driver's canonicalizer; see multimodal_featurize).
     ``format_string('%.6f')`` not ``format_number`` — the latter's
     grouping commas would diverge from the DuckDB printf twin and split
-    cells at the array_join separator for |x| >= 1000 (ADVICE r7)."""
+    cells at the array_join separator for |x| >= 1000 (ADVICE r7).
+
+    r14 optimization: the 3-iteration codebook is computed as ONE more
+    Lloyd iteration continuing from the shared 2-iteration artifact
+    (``_kmeans_cb2`` — also served to ``ivf_topk_kmeans`` and
+    ``kmeans_cluster_purity``), bit-identical to the from-scratch
+    3-iteration run because each iteration is a pure deterministic
+    function of the previous codebook (oracle unchanged and still
+    value-checks the full unrolled 3-iteration CTE)."""
     c = fsim.kmeans_centroids(
-        _t(spark, sf_dir, "embeddings"), stride=40, n_iter=3, dim=64
+        _t(spark, sf_dir, "embeddings"),
+        stride=40,
+        n_iter=1,
+        dim=64,
+        init_codebook=_kmeans_cb2(spark, sf_dir),
     )
     return c.select(
         "centroid_id",
@@ -5958,6 +6040,8 @@ def q_random_walk_capped(spark, sf_dir):
     LPA labels — every salted sub-walk visits its start, so each parent
     community keeps ≥ 1 sampled vertex — and ``n_communities`` counts
     the original labels, which DuckDB's LPA@5 CTE reproduces exactly."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
     e = _copurchase(spark, sf_dir)
     labels = _lpa_labels(spark, sf_dir)
     res = sampling.sample_graph(
@@ -5969,6 +6053,12 @@ def q_random_walk_capped(spark, sf_dir):
         vertex_cc=_vertex_cc(spark, sf_dir),
         labels=labels,
         sym=_copurchase_sym(spark, sf_dir),
+    )
+    # materialize the sampled edge set once (the _walk_sample_validity
+    # caller contract — this capped sample is single-consumer, so it is
+    # checkpointed here rather than memoized)
+    res = sampling.SampleResult(
+        res.labels, res.sampled_vertices, checkpointed(res.sampled_edges)
     )
     return _walk_sample_validity(_copurchase_sym(spark, sf_dir), labels, res)
 
@@ -7041,10 +7131,16 @@ def q_effective_diameter_approx(spark, sf_dir):
     heap (GCLocker retry storms), while 256-register sketches run the
     same plan in ~14 s. Sketch width is THE cost knob of this operator."""
     e = _copurchase(spark, sf_dir)
-    ed = algorithms.effective_diameter(e, lgk=8)
-    cc = algorithms.connected_components(
-        e, sym_layout=_copurchase_sym(spark, sf_dir)
+    # r14 optimization ×2: the sketch loop rides the SHARED persisted
+    # edge layout (no private symmetrize+checkpoint — see
+    # neighborhood_function's r14 note), and the exact saturation ground
+    # truth reads the SHARED session component table instead of
+    # re-running the frontier min-label loop (identical frame contents —
+    # see _cc_labels).
+    ed = algorithms.effective_diameter(
+        e, lgk=8, sym_layout=_copurchase_sym(spark, sf_dir)
     )
+    cc = _cc_labels(spark, sf_dir)
     exact = (
         cc.groupBy("component")
         .agg(F.count("*").alias("n"))
@@ -7444,8 +7540,34 @@ def q_logreg_returnflag_gd(spark, sf_dir):
     whole-run scalars both engines compute from the same final weights."""
     feats = _logreg_feats(spark, sf_dir)
     return fml.logreg_gd_summary(
-        feats, ["x_qty", "x_disc", "x_tax"], "y", lr=1.0, n_iter=5
+        feats,
+        ["x_qty", "x_disc", "x_tax"],
+        "y",
+        lr=1.0,
+        n_iter=5,
+        weights=_rf_w5(spark, sf_dir),
     )
+
+
+def _rf_w5(spark, sf_dir):
+    """The 5-round lr=1 GD weights on the returnflag features, trained
+    ONCE per (session, sf_dir) — r14 optimization, the trained-model
+    shared artifact (the ``_sep_w8``/``_kmeans_cb2`` pattern): THREE
+    registry queries evaluate the identical deterministic model
+    (``logreg_returnflag_gd`` summary, ``logreg_calibration``,
+    ``logreg_auc``), and each previously re-ran the 5-round trainer. A
+    deployment trains once and runs every eval off the one weight
+    vector. Cleared between bench reps (``clear_session_caches``)."""
+    key = f"{id(spark)}:{sf_dir}:rf_w5"
+    if key not in _OBJ_MEMO:
+        _OBJ_MEMO[key] = fml.logreg_gd(
+            _logreg_feats(spark, sf_dir),
+            ["x_qty", "x_disc", "x_tax"],
+            "y",
+            lr=1.0,
+            n_iter=5,
+        )
+    return _OBJ_MEMO[key]
 
 
 def _logreg_feats(spark, sf_dir):
@@ -7480,7 +7602,7 @@ def q_logreg_calibration(spark, sf_dir):
     identical expression; a bucket edge flips only on a sub-ulp sigmoid
     difference landing exactly on a decile boundary (~1e-8 here)."""
     feats = _logreg_feats(spark, sf_dir)
-    w = fml.logreg_gd(feats, ["x_qty", "x_disc", "x_tax"], "y", lr=1.0, n_iter=5)
+    w = _rf_w5(spark, sf_dir)
     return fml.calibration_buckets(feats, ["x_qty", "x_disc", "x_tax"], "y", w)
 
 
@@ -7514,9 +7636,7 @@ def q_logreg_auc(spark, sf_dir):
     so the grouping is engine-identical, and midranks are integer
     arithmetic — only the final two sums are fp, ~7e-14 relative."""
     feats = _logreg_feats(spark, sf_dir)
-    w = fml.logreg_gd(
-        feats, ["x_qty", "x_disc", "x_tax"], "y", lr=1.0, n_iter=5
-    )
+    w = _rf_w5(spark, sf_dir)
     return fml.auc_score(feats, ["x_qty", "x_disc", "x_tax"], "y", w)
 
 
@@ -7554,10 +7674,17 @@ def _sep_feats(spark, sf_dir):
     The frame is localCheckpoint'ed: the md5-uniform label generator
     costs one hash per row, and the GD loop re-scans its input once per
     round — without the checkpoint the 8-round trainer recomputes the
-    label gen 9× (measured 11.8 s → ~5 s at sf0.1). Intra-query reuse,
-    not a cross-rep memo: each bench rep (and each fresh session) pays
-    the one materialization."""
+    label gen 9× (measured 11.8 s → ~5 s at sf0.1). r14 optimization:
+    memoized per (session, sf_dir) — BOTH separable-demo queries
+    (``logreg_sep_auc``, ``logreg_sep_calibration``) consume the
+    identical deterministic frame, and each previously re-materialized
+    it. Cleared between bench reps (``clear_session_caches``), so every
+    rep still pays the one materialization a fresh session would."""
     from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
+    key = f"{id(spark)}:{sf_dir}:sep_feats"
+    if key in _OBJ_MEMO:
+        return _OBJ_MEMO[key]
 
     li = _t(spark, sf_dir, "lineitem")
     u = (
@@ -7584,13 +7711,30 @@ def _sep_feats(spark, sf_dir):
         .when(q > 30, F.lit(0.95))
         .otherwise(F.lit(0.05) + F.lit(0.9) * (q - 20) / F.lit(10.0))
     )
-    return checkpointed(
+    _OBJ_MEMO[key] = checkpointed(
         li.select(
             (q / 50.0).alias("x1"),
             (F.col("l_discount") * 10.0).alias("x2"),
             (u < p).cast("double").alias("y"),
         )
     )
+    return _OBJ_MEMO[key]
+
+
+def _sep_w8(spark, sf_dir):
+    """The 8-round lr=5 GD weights on the separable fixture, trained
+    ONCE per (session, sf_dir) — r14 optimization, the trained-model
+    shared artifact (the ``_kmeans_cb2`` pattern): ``logreg_sep_auc``
+    and ``logreg_sep_calibration`` evaluate the IDENTICAL deterministic
+    model (zero init, per-round 6-dp rounding), and each previously
+    re-ran the 8-round trainer. A deployment trains once and runs every
+    eval off the one weight vector. Cleared between bench reps."""
+    key = f"{id(spark)}:{sf_dir}:sep_w8"
+    if key not in _OBJ_MEMO:
+        _OBJ_MEMO[key] = fml.logreg_gd(
+            _sep_feats(spark, sf_dir), ["x1", "x2"], "y", lr=5.0, n_iter=8
+        )
+    return _OBJ_MEMO[key]
 
 
 def _sep_stages(n_iter: int = 8, lr: float = 5.0, dp: int = 6) -> str:
@@ -7661,7 +7805,7 @@ def q_logreg_sep_auc(spark, sf_dir):
     ``logreg_returnflag_gd``; the golden test pins the ≥ 0.9 floor at
     3 SFs."""
     feats = _sep_feats(spark, sf_dir)
-    w = fml.logreg_gd(feats, ["x1", "x2"], "y", lr=5.0, n_iter=8)
+    w = _sep_w8(spark, sf_dir)
     return fml.auc_score(feats, ["x1", "x2"], "y", w)
 
 
@@ -7686,7 +7830,7 @@ def q_logreg_sep_calibration(spark, sf_dir):
     high-p ones, tracking mean_pred (the golden test asserts the
     spread). Same unrolled-twin machinery as ``logreg_calibration``."""
     feats = _sep_feats(spark, sf_dir)
-    w = fml.logreg_gd(feats, ["x1", "x2"], "y", lr=5.0, n_iter=8)
+    w = _sep_w8(spark, sf_dir)
     return fml.calibration_buckets(feats, ["x1", "x2"], "y", w)
 
 
