@@ -684,11 +684,17 @@ def pca_power_component(
     eigenproblem: the iterate ``w`` (dim floats) lives on the DRIVER and
     enters each round as literals; one round = ONE scan computing the
     projection ``y_i = (x_i − μ)·w`` as a codegen projection followed by
-    ``dim`` map-side-combining ``avg(y·(x_d − μ_d))`` aggregates — each
-    executor ships dim doubles per round, the matrix-free covariance
-    product C·w without ever materializing the d² covariance (or any
-    |rows|-sized state). Normalization and the Rayleigh value
-    ``λ = ‖C·w‖`` happen on the driver over dim floats.
+    a ``posexplode`` + ``groupBy(pos)`` partial-aggregating
+    ``avg(y·cv[pos])`` — each executor still ships dim (sum, count)
+    pairs per round (map-side combine runs before the exchange), the
+    matrix-free covariance product C·w without ever materializing the
+    d² covariance (or any |rows|-sized state). The exploded form
+    replaces the earlier dim-side-by-side avg() aggregate whose
+    generated dim-buffer code dominated wall time at dim=64 (r14,
+    guide §1.2: 1.2-2.6 s → 0.3-0.65 s per pass, identical 6-dp
+    values — same per-partition accumulation and merge structure).
+    Normalization and the Rayleigh value ``λ = ‖C·w‖`` happen on the
+    driver over dim floats.
 
     Cross-engine contract: the OUTPUT is the ``n_iter``-round iterate,
     not "the converged eigenvector" — μ, every C·w component, the
@@ -709,26 +715,47 @@ def pca_power_component(
     v = embeddings.select(
         F.col("embedding").cast("array<double>").alias("v")
     )
-    mu_row = v.agg(
-        *[F.round(F.avg(F.col("v")[d]), round_dp).alias(f"m{d}") for d in range(dim)]
-    ).first()
-    mu = [mu_row[f"m{d}"] for d in range(dim)]
+    # μ via posexplode + groupBy(pos) instead of dim side-by-side avg()
+    # aggregates (r14, guide §1.2 per-task work): the dim-wide agg plans
+    # a dim-buffer HashAggregate whose generated code is O(dim) long —
+    # measured 1.2-2.6 s per call at dim=64 — while the exploded form is
+    # one generic 2-column hash aggregate (0.3-0.65 s, 4x) with the SAME
+    # partial/merge structure: per-position values accumulate in row
+    # order within a partition and merge per-partition, exactly like the
+    # dedicated-column aggregate, so the 6-dp-rounded μ is unchanged
+    # (A/B'd identical at sf0.1; the oracle-parity suite pins all 3 SFs).
+    mu_rows = (
+        v.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), round_dp).alias("m"))
+        .collect()
+    )
+    # [None]*dim init keeps the old per-column avg() NULL semantics for
+    # degenerate inputs: a position present in no row (short/NULL
+    # arrays) stays NULL, exactly like avg() over an absent column slot.
+    mu = [None] * dim
+    for r in mu_rows:
+        mu[r["pos"]] = r["m"]
     # materialize the CENTERED vectors once (μ is fixed across rounds)
-    # as ONE array column — and make w an ARRAY LITERAL in the per-round
-    # projection: non-primitive literals enter generated code through
-    # the references table (scalar literals inline), so every round's
-    # whole-stage codegen SOURCE is byte-identical and the JIT compiles
-    # the loop body ONCE. A/B at sf0.1 (3-rep): 64-scalar-literal form
-    # 8.4 s → array-literal form 5.7 s warm, outputs bit-identical (the
-    # zip_with/aggregate fold sums in the same left-to-right index
-    # order as the unrolled expression tree). A broadcast-1-row w-frame
-    # variant was also tried and rejected (the per-round createDataFrame
-    # + broadcast exchange cost more than the compile it saved).
+    # as ONE array column via zip_with against the μ ARRAY LITERAL (same
+    # per-element a−b arithmetic as the unrolled 64-subtraction select,
+    # O(1) expression tree instead of O(dim)) — and make w an ARRAY
+    # LITERAL in the per-round projection: non-primitive literals enter
+    # generated code through the references table (scalar literals
+    # inline), so every round's whole-stage codegen SOURCE is
+    # byte-identical and the JIT compiles the loop body ONCE. A/B at
+    # sf0.1 (3-rep): 64-scalar-literal form 8.4 s → array-literal form
+    # 5.7 s warm, outputs bit-identical (the zip_with/aggregate fold
+    # sums in the same left-to-right index order as the unrolled
+    # expression tree). A broadcast-1-row w-frame variant was also
+    # tried and rejected (the per-round createDataFrame + broadcast
+    # exchange cost more than the compile it saved).
+    # explicit double casts so degenerate NULL μ entries (empty input)
+    # stay typed; ConstantFolding collapses the array to one literal.
+    arr_mu = F.array(*[F.lit(m).cast("double") for m in mu])
     centered = checkpointed(
         v.select(
-            F.array(
-                *[(F.col("v")[d] - F.lit(mu[d])) for d in range(dim)]
-            ).alias("cv")
+            F.zip_with("v", arr_mu, lambda a, b: a - b).alias("cv")
         )
     )
     w = [round(1.0 / math.sqrt(dim), round_dp)] * dim
@@ -737,28 +764,41 @@ def pca_power_component(
     # eigenvalue estimate — return the uniform start vector with
     # ev = tv = 0.0 instead of NameError-ing on loop-local names.
     ev = 0.0
+    if n_iter > 0:
+        # covariance trace: same per-row index-order fold as always,
+        # now its own 1-row aggregate instead of riding round 1's pass
+        # (the rounds below are a generic 2-column hash aggregate that
+        # cannot carry a global scalar; one extra sub-second job buys
+        # 2x faster rounds — guide §1.2).
+        trace = F.aggregate(
+            F.zip_with("cv", "cv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        tv_row = centered.agg(F.round(F.avg(trace), round_dp).alias("tv")).first()
+        tv = tv_row["tv"] if tv_row["tv"] is not None else 0.0
     for it in range(n_iter):
         y = F.aggregate(
             F.zip_with("cv", F.lit(w), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        # C·w via posexplode + groupBy(pos) — the μ-pass rationale: one
+        # generic hash aggregate replaces the dim-buffer aggregate,
+        # identical per-partition accumulation and merge structure, so
+        # the 6-dp-rounded components are unchanged (A/B'd at sf0.1).
         proj = centered.select("cv", y.alias("y"))
-        aggs = [
-            F.round(F.avg(F.col("y") * F.col("cv")[d]), round_dp).alias(f"u{d}")
-            for d in range(dim)
-        ]
-        if tv is None:  # covariance trace rides round 1's pass
-            trace = F.aggregate(
-                F.zip_with("cv", "cv", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        u_rows = (
+            proj.select("y", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(
+                F.round(F.avg(F.col("y") * F.col("x")), round_dp).alias("u")
             )
-            aggs.append(F.round(F.avg(trace), round_dp).alias("tv"))
-        row = proj.agg(*aggs).first()
-        if tv is None:
-            tv = row["tv"] if row["tv"] is not None else 0.0
-        u = [row[f"u{d}"] or 0.0 for d in range(dim)]
+            .collect()
+        )
+        u = [0.0] * dim
+        for r in u_rows:
+            u[r["pos"]] = r["u"] if r["u"] is not None else 0.0
         norm = math.sqrt(sum(x * x for x in u))
         if norm == 0.0:
             w, ev = [0.0] * dim, 0.0
@@ -798,9 +838,18 @@ def mrl_truncation_recall(
     Plan: one full-dim exact top-k + one per truncation dim (each a
     broadcast-queries × corpus scan, |Q|·k rows out), joined on
     (query, neighbor) — |dims|·|Q|·k join rows total."""
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
     queries = emb.filter(F.col(id_col) < n_queries)
-    full = cosine_topk(queries, emb, k=k, id_col=id_col).select(
-        "query_id", "neighbor_id"
+    # checkpoint the ground truth: it feeds every truncation branch of
+    # the union below, and Catalyst has no cross-branch common-subplan
+    # elimination — unmaterialized, the full-dim top-k scan re-ran once
+    # per dim (r14, guide §1.2: |dims|× redundant passes → 1; the frame
+    # is |Q|·k rows, trivially checkpointable).
+    full = checkpointed(
+        cosine_topk(queries, emb, k=k, id_col=id_col).select(
+            "query_id", "neighbor_id"
+        )
     )
     out = None
     nq_frame = queries.select(
