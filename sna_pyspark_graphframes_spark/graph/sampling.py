@@ -76,15 +76,39 @@ def _walk_one_community(
     # walk is placement-independent only over canonically-ordered inputs
     # (FIXTURES.md §5 contract; caught by running under a different
     # shuffle-partition count).
-    by_id = sorted(
-        (int(v), sorted(int(u) for u in nbrs)) for v, nbrs in zip(ids, nbrs_col)
+    #
+    # Vectorized (r14, guide §4.2): the original per-element Python
+    # comprehensions (sorted(int(u) ...) per row + a set-membership filter
+    # over every neighbor entry) dominated the kernel at ~1.4 s warm for a
+    # 20k-vertex community — numpy does the same canonicalization as one
+    # global lexsort + isin over the flattened adjacency. Equivalence to
+    # the scalar form (and hence to the pinned golden walks): ids are
+    # unique, so ordering rows by id matches sorting (id, nbrs) tuples;
+    # per-row neighbor lists end up ascending either way; and the RNG
+    # consumption below is untouched (same draws in the same order).
+    ids64 = np.asarray(ids, dtype=np.int64)
+    row_order = np.argsort(ids64)
+    vertices = ids64[row_order]
+    counts = np.fromiter(
+        (len(n) for n in nbrs_col), dtype=np.int64, count=len(nbrs_col)
     )
-    vertices = [v for v, _ in by_id]
-    vertex_set = set(vertices)
-
-    intra = {
-        v: [u for u in nbrs if u in vertex_set] for v, nbrs in by_id
-    }
+    if counts.sum():
+        flat = np.concatenate(
+            [np.asarray(n, dtype=np.int64) for n in nbrs_col]
+        )
+    else:
+        flat = np.empty(0, dtype=np.int64)
+    # row index of each flattened entry, in SORTED-row numbering
+    rank_of_row = np.empty(len(ids64), dtype=np.int64)
+    rank_of_row[row_order] = np.arange(len(ids64))
+    flat_row = np.repeat(rank_of_row, counts)
+    keep = np.isin(flat, vertices)
+    kept_vals, kept_rows = flat[keep], flat_row[keep]
+    order2 = np.lexsort((kept_vals, kept_rows))  # by row, then ascending value
+    kept_vals = kept_vals[order2]
+    splits = np.searchsorted(kept_rows[order2], np.arange(1, len(ids64)))
+    per_row = np.split(kept_vals, splits)
+    intra = {int(v): a for v, a in zip(vertices, per_row)}
 
     rng = np.random.default_rng((seed * 1_000_003 + label) % (2**63))
     start = int(rng.choice(vertices))
@@ -94,7 +118,7 @@ def _walk_one_community(
     steps = min(walk_length(len(vertices), cc, alpha), max_walk_steps)
     for _ in range(1, steps):
         nbrs = intra[start]
-        if not nbrs:
+        if not len(nbrs):
             break  # dead-end: reference spins in place forever — same output
         start = int(nbrs[rng.integers(0, len(nbrs))])
         if start not in seen:
