@@ -413,7 +413,28 @@ def range_prefix_sums(
     from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
 
     spark = g.sparkSession
-    p = n_range_partitions or spark.sparkContext.defaultParallelism
+    # Materialize the grid BEFORE the range exchange (r14, guide §2.4):
+    # RangePartitioning needs range bounds, which Spark gets from a
+    # separate sampling pass over the CHILD PLAN — unmaterialized, the
+    # caller's whole upstream aggregation executed twice per engine call
+    # (measured: spearman's 583k-distinct price grid re-ran its 600k-row
+    # groupBy for the sampler). Checkpointing first makes the sampling
+    # pass a cheap read of materialized blocks, and gives us the grid
+    # size for free, which sizes the range shuffle adaptively:
+    # ~256k grid rows per partition, so a 50-row quantity grid runs as
+    # ONE range partition (numPartitions=1 skips bound-sampling
+    # entirely) while a 100 TB grid still fans out to the cluster
+    # (capped by defaultParallelism, itself scale-derived). The prefix
+    # sums are partition-count-invariant: offsets accumulate in pid
+    # order whatever p is.
+    grid = checkpointed(g)
+    p = n_range_partitions or max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-grid.count() // 262_144),
+        ),
+    )
     # pid is physical — pin it with a checkpoint before the two reads.
     # lazy: the per-pid totals collect below is the materializing action
     # (the r9 setup-fold recipe) — one job for checkpoint-write +
@@ -421,7 +442,7 @@ def range_prefix_sums(
     # fewer driver actions per engine call; the engine runs under 8+
     # registry queries).
     gp = checkpointed(
-        g.repartitionByRange(p, order_col).withColumn(
+        grid.repartitionByRange(p, order_col).withColumn(
             "pid", F.spark_partition_id()
         ),
         lazy=True,
