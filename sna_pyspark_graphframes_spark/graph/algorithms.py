@@ -1493,8 +1493,12 @@ def multi_source_bfs(
         new_frontier = expanded.join(
             seen.select("landmark", "id"), ["landmark", "id"], "left_anti"
         )
-        new_frontier = checkpointed(new_frontier)
-        if new_frontier.isEmpty():
+        # lazy + count: the emptiness probe IS the materializing action —
+        # one job per level instead of checkpoint-write + isEmpty (r14,
+        # guide §1.2: the loop runs diameter-many levels and the probe was
+        # half its driver actions)
+        new_frontier = checkpointed(new_frontier, lazy=True)
+        if not new_frontier.count():
             break
         levels.append(new_frontier)
         frontier, prev = new_frontier, frontier
@@ -1561,9 +1565,10 @@ def bfs(
             # (same argument as multi_source_bfs, r7)
             seen = frontier if prev is None else frontier.unionByName(prev)
         new_frontier = checkpointed(
-            expanded.join(seen.select("id"), "id", "left_anti")
+            expanded.join(seen.select("id"), "id", "left_anti"),
+            lazy=True,  # count below materializes (one job per level, r14)
         )
-        if new_frontier.isEmpty():
+        if not new_frontier.count():
             break
         levels.append(new_frontier)
         frontier, prev = new_frontier, frontier
@@ -2458,6 +2463,10 @@ def betweenness_centrality(
     depth = 0
     for it in range(max_iter):
         expanded = (
+            # no shuffle_hash hint here (unlike multi_source_bfs): the
+            # sampled frontier is 16 sources wide and AQE broadcasts the
+            # late sparse levels — forcing the hash join added 6 jobs and
+            # ~1.5 s at sf0.1 (A/B'd r14)
             frontier.join(sym, frontier.id == sym.src)
             .select(
                 "source",
@@ -2472,8 +2481,10 @@ def betweenness_centrality(
         new_frontier = expanded.join(
             seen.select("source", "id"), ["source", "id"], "left_anti"
         )
-        new_frontier = checkpointed(new_frontier)
-        if new_frontier.isEmpty():
+        # lazy + count: one job per level instead of two (r14, the
+        # multi_source_bfs fold — the forward phase is diameter-deep)
+        new_frontier = checkpointed(new_frontier, lazy=True)
+        if not new_frontier.count():
             depth = it
             break
         levels.append(new_frontier)
