@@ -755,8 +755,15 @@ def pca_power_component(
     # order within a partition and merge per-partition, exactly like the
     # dedicated-column aggregate, so the 6-dp-rounded μ is unchanged
     # (A/B'd identical at sf0.1; the oracle-parity suite pins all 3 SFs).
+    # pos < dim guard (ADVICE r14): a vector longer than the fixed dim
+    # contract used to be silently TRUNCATED by the dim-wide column form;
+    # the exploded form would instead IndexError on the driver at
+    # ``mu[pos]``. The filter restores the truncation semantics; for
+    # in-domain (exactly-dim) inputs it matches every row and the
+    # aggregate is unchanged.
     mu_rows = (
         v.select(F.posexplode("v").alias("pos", "x"))
+        .where(F.col("pos") < dim)
         .groupBy("pos")
         .agg(F.round(F.avg("x"), round_dp).alias("m"))
         .collect()
@@ -764,9 +771,12 @@ def pca_power_component(
     # [None]*dim init keeps the old per-column avg() NULL semantics for
     # degenerate inputs: a position present in no row (short/NULL
     # arrays) stays NULL, exactly like avg() over an absent column slot.
+    # ``+ 0.0`` coerces IEEE -0.0 (round(avg) of a mean in (-5e-7, 0))
+    # to +0.0, matching the corpus.py normalization convention (ADVICE
+    # r14) — the oracle canonicalizer prints "-0" vs "0" otherwise.
     mu = [None] * dim
     for r in mu_rows:
-        mu[r["pos"]] = r["m"]
+        mu[r["pos"]] = r["m"] + 0.0 if r["m"] is not None else None
     # materialize the CENTERED vectors once (μ is fixed across rounds)
     # as ONE array column via zip_with against the μ ARRAY LITERAL (same
     # per-element a−b arithmetic as the unrolled 64-subtraction select,
@@ -784,9 +794,16 @@ def pca_power_component(
     # explicit double casts so degenerate NULL μ entries (empty input)
     # stay typed; ConstantFolding collapses the array to one literal.
     arr_mu = F.array(*[F.lit(m).cast("double") for m in mu])
+    # slice(…, 1, dim) restores the fixed-dim truncation for ragged
+    # longer-than-dim rows (ADVICE r14: zip_with pads to max length, so
+    # cv would otherwise exceed dim and crash the exploded C·w read);
+    # for in-domain rows zip_with already emits exactly dim elements and
+    # the slice is the identity.
     centered = checkpointed(
         v.select(
-            F.zip_with("v", arr_mu, lambda a, b: a - b).alias("cv")
+            F.slice(
+                F.zip_with("v", arr_mu, lambda a, b: a - b), 1, dim
+            ).alias("cv")
         )
     )
     w = [round(1.0 / math.sqrt(dim), round_dp)] * dim
@@ -827,9 +844,12 @@ def pca_power_component(
             )
             .collect()
         )
+        # + 0.0: same -0.0 → +0.0 coercion as μ (ADVICE r14) — the old
+        # ``row[f"u{d}"] or 0.0`` form normalized negative zero as a side
+        # effect; preserve that so the loading column never carries -0.0.
         u = [0.0] * dim
         for r in u_rows:
-            u[r["pos"]] = r["u"] if r["u"] is not None else 0.0
+            u[r["pos"]] = r["u"] + 0.0 if r["u"] is not None else 0.0
         norm = math.sqrt(sum(x * x for x in u))
         if norm == 0.0:
             w, ev = [0.0] * dim, 0.0

@@ -2610,31 +2610,45 @@ def neighborhood_function(
     (NetworkX on the reference's collect()ed graph,
     ``/root/reference/main.py:203-206``).
 
-    Superstep layout (r14 optimization — guide §2.4 "remove shuffles
-    outright", A/B'd at sf0.1: loop 11.3 s → below, identical n_pairs
-    trajectory): the edges live in the src-partitioned persisted layout
-    (the CC/LPA/katz frame — ``sym_layout`` shares ``_copurchase_sym``
-    exactly like :func:`connected_components`, saving this operator's
-    private symmetrize+checkpoint too), the |V|-row sketch state joins
-    in via the size-gated hint (broadcast under the byte budget —
-    sketch width counts, ``2^lgk`` bytes per row at HLL_8 — shuffled
-    hash beyond), and the per-round neighbor aggregate groups by src,
-    so its exchange is ELIDED: zero per-round exchanges of edge-derived
-    sketch rows, where the old union-all shape re-shuffled |E| sketch
-    rows every radius. The self-ball fold (B(v,r) ⊇ B(v,r−1)) moves
-    from the union-all into a binary ``hll_union`` against the |V|-row
-    state — register-wise max is associative, commutative and
-    idempotent, so re-associating the union changes no register values
-    and therefore no estimates (duplicate edges, ``dedup=False``, are
-    no-ops for the same reason); sparse-mode coupon exactness on
-    fixture graphs is union-path-independent too, so the exact-BFS
-    oracles hold unchanged."""
+    Superstep layout (r15 — guide §2.2 "shuffle fewer bytes"; replaces
+    the r14 broadcast-state shape the driver measured REGRESSING
+    10.1 → 15.7 s at 32 cores, VERDICT r14 What's wrong #1): the edges
+    live in the shared src-partitioned persisted layout
+    (``sym_layout`` = ``_copurchase_sym``, the CC/LPA/katz frame), and
+    each round is the r13 union-fold — messages ∪ state, ONE
+    ``hll_union_agg`` groupBy — but with the state joined on SRC
+    instead of dst. A symmetric edge set contains (u,v) iff (v,u), so
+    matching sketches through ``src`` and emitting them onto ``dst``
+    yields exactly the dst-join's message multiset; register-wise max
+    is order/association-insensitive, so the aggregate — and every
+    estimate — is unchanged (sparse-mode coupon exactness on fixture
+    graphs included: the exact-BFS oracles hold). The payoff: the join
+    probes the persisted layout IN PLACE (its hash(src) partitioning
+    satisfies the join requirement), so the only per-round exchanges
+    are the |V|-row state into the join and the map-side-combined
+    union aggregate — the |E|-row edge re-shuffle the r13 dst-join
+    paid every radius is gone, and so are the r14 shape's per-round
+    state broadcast (a driver collect of the widest frame in the
+    engine, every radius) and its extra state-side join exchange.
+    The state side takes ``shuffle_hash`` unconditionally: sketch rows
+    are ~2^lgk bytes wide, so the broadcast gate that is right for
+    (long, long) vertex states mis-prices this frame (the r14
+    lesson)."""
     owns_layout = sym_layout is None
-    e = (
-        _edges_partitioned(symmetrize(edges, dedup=False), "src")
-        if owns_layout
-        else sym_layout
-    )
+    if owns_layout:
+        # Private layout goes through localCheckpoint, NOT persist():
+        # CacheManager is plan-keyed (ADVICE r8/r14), so persisting +
+        # unpersisting a plan byte-identical to the shared
+        # ``_copurchase_sym`` layout would evict that shared cache out
+        # from under later consumers mid-session. localCheckpoint keeps
+        # the hash(src) partitioning and has no CacheManager entry.
+        e = checkpointed(
+            symmetrize(edges, dedup=False)
+            .repartition("src")
+            .dropDuplicates(["src", "dst"])
+        )
+    else:
+        e = sym_layout
     state = (
         e.select(F.col("src").alias("id"))
         .distinct()
@@ -2644,25 +2658,14 @@ def neighborhood_function(
     state = checkpointed(state, lazy=True)
     n_v = state.count()  # B(v, 0) = {v}; count materializes (r9)
     rows = [(0, n_v)]
-    # bytes-aware broadcast gate: the row gate alone under-counts a
-    # sketch state by 2^lgk (a dense HLL_8 register array per row)
-    bcast = (
-        n_v <= STATE_BROADCAST_MAX_ROWS
-        and n_v * ((1 << lgk) + 64) <= 64 * 1024 * 1024
-    )
     for r in range(1, max_r + 1):
-        st = state.select(F.col("id").alias("dst"), "sk")
-        st = st.hint("broadcast") if bcast else st.hint("shuffle_hash")
-        nbr = (
-            e.join(st, "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.hll_union_agg("sk").alias("nbr_sk"))
-        )
-        state = state.join(nbr, "id", "left").select(
-            "id",
-            F.when(F.col("nbr_sk").isNull(), F.col("sk"))
-            .otherwise(F.hll_union("sk", "nbr_sk"))
-            .alias("sk"),
+        msgs = e.join(
+            state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+        ).select(F.col("dst").alias("id"), "sk")
+        state = (
+            msgs.unionByName(state)
+            .groupBy("id")
+            .agg(F.hll_union_agg("sk").alias("sk"))
         )
         # lazy: the pair-count read below is the materializing action —
         # one job per radius instead of two (checkpoint write + read);
@@ -2675,8 +2678,6 @@ def neighborhood_function(
         if n == rows[-1][1]:
             break
         rows.append((r, n))
-    if owns_layout:  # shared layouts outlive the call (caller-owned)
-        e.unpersist(blocking=False)
     spark = edges.sparkSession
     return spark.createDataFrame(rows, "r int, n_pairs long")
 

@@ -85,22 +85,26 @@ def user_running_totals(events_stream: DataFrame) -> DataFrame:
 def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful operator over the events file-stream (availableNow)
     into a memory sink; returns the materialized result."""
-    import uuid
-
-    from sna_pyspark_graphframes_spark.streaming.stream import read_event_stream
+    from sna_pyspark_graphframes_spark.streaming.stream import (
+        read_event_stream,
+        run_to_memory,
+        state_shuffle_partitions,
+    )
 
     ev = read_event_stream(spark, sf_dir).select("user_id", "ts", "value")
     out = user_running_totals(ev)
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    # adaptive state partitions (r15): the pandas-state operator pays a
+    # Python/Arrow worker round-trip PER STATE PARTITION per micro-batch
+    # — the most expensive flavor of the fixed per-partition cost the
+    # shared helper sizes away (see state_shuffle_partitions).
+    return run_to_memory(
+        out,
+        spark,
+        output_mode="update",
+        state_partitions=state_shuffle_partitions(
+            spark, sf_dir, bytes_per_partition=128 << 10
+        ),
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 # --- transformWithStateInPandas (Spark 4's arbitrary-state API) ---------
@@ -183,19 +187,19 @@ def stream_user_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFram
     """availableNow file-stream run of the transformWithState operator
     into a memory sink; must equal the batch aggregate (and the
     applyInPandasWithState twin) on a finite source."""
-    import uuid
-
-    from sna_pyspark_graphframes_spark.streaming.stream import read_event_stream
+    from sna_pyspark_graphframes_spark.streaming.stream import (
+        read_event_stream,
+        run_to_memory,
+        state_shuffle_partitions,
+    )
 
     ev = read_event_stream(spark, sf_dir).select("user_id", "ts", "value")
     out = user_running_totals_tws(ev)
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    return run_to_memory(
+        out,
+        spark,
+        output_mode="update",
+        state_partitions=state_shuffle_partitions(
+            spark, sf_dir, bytes_per_partition=128 << 10
+        ),
     )
-    q.awaitTermination()
-    return spark.table(name)

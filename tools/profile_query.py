@@ -35,6 +35,14 @@ def main() -> None:
     ap.add_argument("--names", required=True)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--plans-tag", default=None)
+    ap.add_argument("--plans-dir", default="r15")
+    ap.add_argument(
+        "--loop-plans",
+        action="store_true",
+        help="capture each checkpointed() loop-body plan to "
+        "plans/<dir>/<name>_loops_<tag>/ (VERDICT r14 Next #5: the real "
+        "per-round plans, not the final frame's Scan ExistingRDD)",
+    )
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--no-memo-share", action="store_true")
@@ -63,7 +71,7 @@ def main() -> None:
     def n_jobs() -> int:
         return len(sc._jsc.sc().statusTracker().getJobIdsForGroup(None))
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     for rep in range(args.reps):
@@ -71,6 +79,11 @@ def main() -> None:
         for name in names:
             if args.no_memo_share:
                 registry.clear_session_caches()
+            if args.loop_plans and rep == 0:
+                tag = args.plans_tag or "loops"
+                os.environ["SPARK_GRAFT_LOOP_PLAN_DIR"] = os.path.join(
+                    plans_dir, f"{name}_loops_{tag}"
+                )
             sc.setJobDescription(f"profile:{name}")
             j0 = n_jobs()
             t0 = time.perf_counter()
@@ -78,6 +91,7 @@ def main() -> None:
             n = df.count()
             t_count = time.perf_counter() - t0
             jobs = n_jobs() - j0
+            os.environ.pop("SPARK_GRAFT_LOOP_PLAN_DIR", None)
             line = f"[rep {rep}] {name}: count={t_count:.3f}s jobs={jobs} rows={n}"
             if args.noop:
                 t1 = time.perf_counter()
