@@ -86,6 +86,43 @@ def _state_cadence(n_rows: int, refs_per_step: int = 1) -> int:
     return 3
 
 
+# Layout partition sizing (r15, guide §2.2 "fewer, larger partitions" /
+# §2.3 scale-adaptive partitioning). The persisted loop layouts used to
+# take the session default (`spark.sql.shuffle.partitions` = the core
+# count), and — because a persisted plan's partitioning is pinned at build
+# (AQE does not re-coalesce cached plans;
+# `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` defaults
+# false) — EVERY superstep of every loop then scheduled core-count tasks
+# over a few MB of edges. That is exactly the r14 anti-scaling signature
+# (pagerank_top20 0.67, lpa 0.53 8c/32c time ratio: 32 cores slower than
+# 8 on the same data). The count is now derived from the measured edge
+# count at build time:
+#   * work floor: at least ~250k edge rows (~4 MB of (long,long) pairs)
+#     per task — below that, task scheduling dominates the task;
+#   * scale ceiling: never more than ~128 MB per partition (guide §2.2 /
+#     §6 partition-size band), which is what grows the count with data;
+#   * core clamp applies only to the work floor (use idle cores only
+#     when every task still clears the floor), so the count is
+#     DATA-sized, not core-sized: sf0.1 co-purchase (2.39M arcs) → 10
+#     partitions at 32 AND at 8 cores; 100 TB → the bytes term.
+# Interleaved A/B at sf0.1, 32 cores (r15): pagerank 15-round loop on the
+# co-purchase layout 5.2-8.7 s @32 parts → 2.8-3.4 s @4 / 3.8-4.2 s @8;
+# LPA@5 5.4 s @32 → 3.2-3.6 s @8. The one-time count() pass at build is
+# amortized over every superstep of every consumer of the layout.
+EDGE_ROWS_PER_TASK = 250_000
+EDGE_PART_MAX_BYTES = 128 << 20
+_EDGE_ROW_BYTES = 16  # two packed longs; payload columns only add slack
+
+
+def _adaptive_edge_parts(n_rows: int, spark) -> int:
+    by_bytes = -(-(n_rows * _EDGE_ROW_BYTES) // EDGE_PART_MAX_BYTES)
+    by_work = min(
+        spark.sparkContext.defaultParallelism,
+        -(-n_rows // EDGE_ROWS_PER_TASK),
+    )
+    return max(1, by_bytes, by_work)
+
+
 def _edges_partitioned(
     e: DataFrame, key: str, num_partitions: int | None = None
 ) -> DataFrame:
@@ -101,17 +138,20 @@ def _edges_partitioned(
     median vs the localCheckpoint layout (REPORT.md r7). Callers must
     ``.unpersist()`` once the loop's final state is materialized.
 
-    ``num_partitions`` (r12): callers that KNOW the graph is small (the
-    fixture-scale registry layouts) pass a small count — every superstep
-    sub-job then schedules that many tasks instead of
-    ``spark.sql.shuffle.partitions``; at sf0.1 the rings loops measured
-    ~20%% faster at 8 partitions. Production callers leave it None (the
-    session default, AQE-sized for real data)."""
+    ``num_partitions``: callers that already know the graph's size pass
+    an explicit count; by default (r15) the count is DERIVED from the
+    measured edge count (``_adaptive_edge_parts`` — data-sized, not
+    core-sized; see the sizing note above). The derivation pays one
+    ``count()`` of ``e`` before the layout shuffle — once per layout
+    build, amortized over every superstep of every consumer; callers on
+    a 100 TB graph that know |E| should pass ``num_partitions``
+    explicitly and skip that pass."""
     from pyspark import StorageLevel
 
-    parts = [num_partitions] if num_partitions else []
+    if num_partitions is None:
+        num_partitions = _adaptive_edge_parts(e.count(), e.sparkSession)
     return (
-        e.repartition(*parts, key)
+        e.repartition(num_partitions, key)
         .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1880,9 +1920,13 @@ def pagerank_weighted(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
             )
         )
+    e = e.filter(F.col("src") != F.col("dst"))
+    # data-sized layout partitioning (r15) — same derivation as
+    # _edges_partitioned, without its dedup (parallel edges are weights
+    # here); the count pass is once per call, amortized over max_iter
+    # rounds of exchange-free contribution aggregates.
     e = (
-        e.filter(F.col("src") != F.col("dst"))
-        .repartition("dst")
+        e.repartition(_adaptive_edge_parts(e.count(), e.sparkSession), "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     out_w = e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("s"))
@@ -2546,6 +2590,15 @@ def betweenness_centrality(
                 "source", "id", F.coalesce("inc", F.lit(0.0)).alias("delta")
             )
         )
+        # Eager, deliberately (r15, VERDICT r14 Next #4 measured and
+        # REJECTED): a lazy checkpoint here does not fold the backward
+        # sweep into one job — the next level's contrib join broadcasts
+        # ``delta_prev``, and building that broadcast forces a per-level
+        # job regardless — while the lazily-constructed LogicalRDD (no
+        # executed plan yet) cannot report its output partitioning, so
+        # every consumer re-plans exchanges an eager checkpoint elides.
+        # A/B at sf0.1 (3 reps, 32 cores): lazy 7.6-12.5 s vs eager
+        # 3.0-4.1 s on betweenness_sampled; job count 84 → 83 only.
         lvl_delta = checkpointed(lvl_delta)
         per_level_delta.append(lvl_delta)
         delta_prev = lvl_delta.select(
@@ -2662,8 +2715,21 @@ def neighborhood_function(
         msgs = e.join(
             state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
         ).select(F.col("dst").alias("id"), "sk")
+        # The self-union is needed only in round 1 (r15). From round 2 on,
+        # B_r(v) ⊆ ∪_{u∈N(v)} B_r(u) on a symmetric self-loop-free graph
+        # whose vertex set is edge-derived (every v has a neighbor, and
+        # for any x within r of v the first hop u of a shortest path has
+        # d(u,x) ≤ r; for x = v, d(u,v) = 1 ≤ r) — so the messages alone
+        # already cover the old ball and register-wise max over the same
+        # set yields the SAME sketch state (the HyperANF invariant: a
+        # round's sketch equals the sketch of its ball set). Round 1 is
+        # the exception (∪_u B_0(u) = N(v) misses v itself). Verified
+        # bit-identical estimates per round at sf0.1 and oracle-green at
+        # 3 SFs; saves a |V|-row scan + that many union buffers per
+        # round of the engine's widest frame.
+        src_frame = msgs.unionByName(state) if r == 1 else msgs
         state = (
-            msgs.unionByName(state)
+            src_frame
             .groupBy("id")
             .agg(F.hll_union_agg("sk").alias("sk"))
         )
@@ -3064,14 +3130,39 @@ def hits(
     per-half-step driver actions — the telemetry the action-fold test
     asserts on.
     """
-    e = checkpointed(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    from pyspark import StorageLevel
+
+    d = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    # TWO key-partitioned persisted layouts (r15, guide §2.4 "remove
+    # shuffles outright"): the half-steps alternate their aggregate key
+    # (auth groups by dst, hub by src), so ONE layout can only elide half
+    # the per-half-step exchanges. A dst-partitioned copy serves the auth
+    # half and a src-partitioned copy the hub half: each half-step's
+    # broadcast state join preserves the probed layout's partitioning and
+    # its keyed sum runs exchange-free — the per-half-step |E|-row
+    # exchange (2·n_iter of them) is gone for the price of one extra |E|
+    # materialization up front. Partition counts are data-derived
+    # (_adaptive_edge_parts). A/B at sf0.1 (3 reps, 32 cores): 5.2-5.7 s
+    # → 4.8-5.0 s warm, identical values; per-half-step exchanges 1 → 0.
+    n_e = d.count()
+    e_auth = d.repartition(
+        _adaptive_edge_parts(n_e, edges.sparkSession), "dst"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e_hub = d.repartition(
+        _adaptive_edge_parts(n_e, edges.sparkSession), "src"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    verts = (
+        e_auth.select(F.col("src").alias("id"))
+        .union(e_auth.select("dst"))
         .distinct()
     )
-    verts = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
     verts = checkpointed(verts, lazy=True)
     n = verts.count()  # the materializing action (r9 setup fold)
     if n == 0:
+        e_auth.unpersist(blocking=False)
+        e_hub.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame(
             [], "id long, hub double, auth double"
         )
@@ -3082,7 +3173,10 @@ def hits(
     def _half(state: DataFrame, val: str, join_on: str, group_to: str):
         """One half-step: sum ``val`` over ``join_on``-matched edges onto
         ``group_to`` endpoints, L2-normalize, round 6 dp — one action,
-        sparse state (absent id ⇔ score 0)."""
+        sparse state (absent id ⇔ score 0). Probes the layout whose
+        partitioning key is the AGGREGATE key (``group_to``) so the keyed
+        sum needs no exchange."""
+        e = e_auth if group_to == "dst" else e_hub
         summed = (
             e.join(_state_hinted(state, n), F.col(join_on) == state["id"])
             .groupBy(F.col(group_to).alias("id"))
@@ -3101,6 +3195,11 @@ def hits(
     for _ in range(n_iter):
         auth = _half(hub, "hub", "src", "dst")
         hub = _half(auth, "auth", "dst", "src")
+    # every half-step state is localCheckpoint-materialized (the norm
+    # read), so the edge layouts are dead here — the final densify below
+    # reads checkpointed blocks only
+    e_auth.unpersist(blocking=False)
+    e_hub.unpersist(blocking=False)
     # densify ONCE: zero-out-degree vertices carry hub 0, zero-in-degree
     # vertices auth 0 — identical to the r7 per-half-step left joins
     return (

@@ -848,13 +848,24 @@ def _copurchase_sym(spark, sf_dir):
 
 
 def _deg(spark, sf_dir):
+    # checkpointed (r15, VERDICT r14 Next #7 — the MRL recipe): the lazy
+    # degree aggregate used to be the COMMON SUBPLAN of every triangle-
+    # family consumer — _degree_oriented alone references it twice, so
+    # triangle_count's first build planned a ~3,760-line tree nesting the
+    # degree cache inside the triangle cache inside the layout. An eager
+    # localCheckpoint collapses the memo to a |V|-row LogicalRDD: every
+    # consumer's plan (and Catalyst's per-consumer analysis time) shrinks,
+    # and the degree pass provably runs once. Same rows, same memo
+    # eviction (cleared between bench reps).
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
     return _memo(
         spark,
         sf_dir,
         "degrees",
-        lambda: metrics.degrees(
+        lambda: checkpointed(metrics.degrees(
             _copurchase(spark, sf_dir), sym=_copurchase_sym(spark, sf_dir)
-        ),
+        )),
     )
 
 
@@ -866,15 +877,22 @@ def _tri(spark, sf_dir):
     # orientation from the raw edge memo — it now reads the shared
     # persisted layout, and the adjacency groupBy("src") rides the
     # layout's partitioning exchange-free.
+    # checkpointed like _deg (r15): the triangle table is |V| rows behind
+    # a 2-join + explode plan over the layout — an eager localCheckpoint
+    # makes every downstream consumer (avg_clustering, transitivity,
+    # vertex_cc, fidelity) a 1-line LogicalRDD read instead of a
+    # re-analysis of the nested tree.
+    from sna_pyspark_graphframes_spark.plans.iterate import checkpointed
+
     return _memo(
         spark,
         sf_dir,
         "triangles",
-        lambda: metrics.triangles_per_vertex_adjacency(
+        lambda: checkpointed(metrics.triangles_per_vertex_adjacency(
             _copurchase(spark, sf_dir),
             deg=_deg(spark, sf_dir),
             sym=_copurchase_sym(spark, sf_dir),
-        ),
+        )),
     )
 
 
@@ -1735,11 +1753,13 @@ def _rings_sym3(spark, sf_dir):
     applied to the fixture family): katz / MIS / eigenvector all read
     EXACTLY ``_edges_partitioned(symmetrize(rings, dedup=False), "src")``,
     so the build (orders window + symmetrize + one shuffle + persist) is
-    paid once per (session, sf_dir) instead of once per query. 8
-    partitions: the graph is |orders|-sized by construction (~150 k rows
-    at sf0.1), so every superstep sub-job schedules 8 tasks instead of
-    32 — measured ~20% faster rounds; production graphs take the
-    default (see ``_edges_partitioned``)."""
+    paid once per (session, sf_dir) instead of once per query. The
+    partition count was pinned at 8 in r12 (a local-mode tuning); r15
+    drops the pin for the measured-|E| derivation every other layout
+    uses (``_adaptive_edge_parts``: ~300k arcs at sf0.1 → 2 partitions;
+    interleaved A/B on the katz loop: 2.3-3.2 s at 2 parts vs 2.4-6.4 s
+    at 8 — same or better, and the count now grows with the data
+    instead of being a constant)."""
     return _memo(
         spark,
         sf_dir,
@@ -1749,7 +1769,6 @@ def _rings_sym3(spark, sf_dir):
                 _order_rings(spark, sf_dir, min_n=3), dedup=False
             ),
             "src",
-            num_partitions=8,
         ),
     )
 

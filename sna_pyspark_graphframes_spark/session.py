@@ -94,8 +94,14 @@ def get_spark(
         # then accumulate dead blocks until the memory store thrashes and
         # late queries degrade 2-5x. A short periodic GC keeps the block
         # store bounded; on a cluster the same setting protects long-lived
-        # executors.
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        # executors. Parameterised (r15): a harness that already forces a
+        # GC + cleaner drain between queries (bench.py, profile_query.py)
+        # makes the timer redundant-but-harmful — it fires full GCs INSIDE
+        # timed queries (multi-second pauses landing in superstep loops).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
