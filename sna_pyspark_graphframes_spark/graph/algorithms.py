@@ -3146,6 +3146,7 @@ def hits(
     # materialization up front. Partition counts are data-derived
     # (_adaptive_edge_parts). A/B at sf0.1 (3 reps, 32 cores): 5.2-5.7 s
     # → 4.8-5.0 s warm, identical values; per-half-step exchanges 1 → 0.
+    d = checkpointed(d)  # one distinct pass feeds the count + both layouts
     n_e = d.count()
     e_auth = d.repartition(
         _adaptive_edge_parts(n_e, edges.sparkSession), "dst"

@@ -71,6 +71,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst=false (pure size-based AQE coalescing, the
+        # busy-cluster posture Spark's docs suggest) was A/B'd in r15 and
+        # REJECTED for this engine: full-board bench at sf0.1/32 cores
+        # ran 267.4 s vs 209.3 s with the default — fat 64MB-target
+        # partitions serialize the compute-heavy post-shuffle stages
+        # (similarity intersections, text aggregations) that the default
+        # keeps spread across cores. Knob retained for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
