@@ -428,11 +428,12 @@ def range_prefix_sums(
     # sums are partition-count-invariant: offsets accumulate in pid
     # order whatever p is.
     grid = checkpointed(g)
+    n_grid = grid.count()
     p = n_range_partitions or max(
         1,
         min(
             spark.sparkContext.defaultParallelism,
-            -(-grid.count() // 262_144),
+            -(-n_grid // 262_144),
         ),
     )
     # pid is physical — pin it with a checkpoint before the two reads.
@@ -472,6 +473,13 @@ def range_prefix_sums(
         for c in cols:
             run[c] += r[c] or (0.0 if _is_fp(c) else 0)
     totals = dict(run)
+    # reserved key (r15): the measured grid row count, already paid for
+    # by the partition-count derivation above — callers that join the
+    # grid back onto row-level frames use it to SIZE-GATE a broadcast
+    # hint on the grid side (plans.hints.state_hinted), skipping the
+    # row-side exchange of a sort-merge join. "__"-prefixed so the
+    # per-column totals lookups (totals.get(col)) never collide.
+    totals["__grid_rows"] = n_grid
     if not offsets_rows:
         out = g.select(
             "*",
@@ -826,17 +834,30 @@ def avg_rank2(
     rank sums themselves. Built on the distributed prefix-sum pattern
     (:func:`range_prefix_sums` — no global single-task window). NULLs
     drop."""
+    return _avg_rank2_sized(df, value_col, n_range_partitions)[0]
+
+
+def _avg_rank2_sized(
+    df: DataFrame,
+    value_col: str,
+    n_range_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """:func:`avg_rank2` plus the measured distinct-value count (free —
+    the prefix-sum engine counts the grid anyway), so callers that join
+    the rank table back onto row-level frames can size-gate a broadcast
+    hint on it (r15, guide §3.1)."""
     g = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(F.count("*").cast("long").alias("c"))
     )
-    cum, _ = range_prefix_sums(g, "v", ["c"], n_range_partitions)
-    return cum.select(
+    cum, totals = range_prefix_sums(g, "v", ["c"], n_range_partitions)
+    out = cum.select(
         "v",
         "c",
         (2 * F.col("cum_c") - F.col("c") + 1).cast("long").alias("r2"),
     )
+    return out, int(totals.get("__grid_rows", 0))
 
 
 def spearman_corr(
@@ -866,18 +887,25 @@ def spearman_corr(
     fixtures' scale.
 
     Plan: two distinct-value grids (prefix-summed without a global
-    window), two shuffle equi-joins back onto the rows, one 1-row
-    reduce. Every stage keyed and parallel."""
+    window), two equi-joins back onto the rows, one 1-row reduce. The
+    rank tables are SIZE-GATED broadcast sides (r15, guide §3.1): they
+    come off a checkpoint (no catalog stats, so neither Catalyst nor
+    AQE's planning pass picks the broadcast, and AQE's runtime
+    conversion still pays the row side's shuffle writes first — the
+    hints.py measurement); the grid row count the prefix-sum engine
+    already measured gates broadcast vs shuffle-hash, so the row-level
+    frame is never exchanged while the rank table fits. A/B at
+    sf0.1/32c, 3 reps: spearman 2.9–3.2 s → see OPTIMIZATION_r15.md."""
+    from sna_pyspark_graphframes_spark.plans.hints import state_hinted
+
     d = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
-    rx = avg_rank2(d, "_x", n_range_partitions).select(
-        F.col("v").alias("_x"), F.col("r2").alias("rx")
-    )
-    ry = avg_rank2(d, "_y", n_range_partitions).select(
-        F.col("v").alias("_y"), F.col("r2").alias("ry")
-    )
-    j = d.join(rx, "_x").join(ry, "_y")
+    rx, ngx = _avg_rank2_sized(d, "_x", n_range_partitions)
+    rx = rx.select(F.col("v").alias("_x"), F.col("r2").alias("rx"))
+    ry, ngy = _avg_rank2_sized(d, "_y", n_range_partitions)
+    ry = ry.select(F.col("v").alias("_y"), F.col("r2").alias("ry"))
+    j = d.join(state_hinted(rx, ngx), "_x").join(state_hinted(ry, ngy), "_y")
     agg = j.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("rx").cast("long").alias("_sx"),
@@ -938,15 +966,20 @@ def mann_whitney_u(
     ).select(
         F.col(value_col).alias("_v"), (g == group_a).alias("_a")
     )
-    r = avg_rank2(d, "_v", n_range_partitions).select(
+    r, n_grid = _avg_rank2_sized(d, "_v", n_range_partitions)
+    r = r.select(
         F.col("v").alias("_v"),
         "r2",
         (F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("_t3"),
     )
     # tie term lives on the grid (one row per distinct value); the
-    # per-row join only needs r2
+    # per-row join only needs r2. The rank table is a size-gated
+    # broadcast side (r15, guide §3.1 — the spearman_corr rationale):
+    # the row-level frame is never exchanged while the grid fits.
+    from sna_pyspark_graphframes_spark.plans.hints import state_hinted
+
     ties = r.agg(F.coalesce(F.sum("_t3"), F.lit(0)).cast("long").alias("tie_sum"))
-    j = d.join(r.select("_v", "r2"), "_v")
+    j = d.join(state_hinted(r.select("_v", "r2"), n_grid), "_v")
     agg = j.agg(
         F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(~F.col("_a"), 1).otherwise(0)).cast("long").alias("n_b"),
